@@ -3,36 +3,454 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Every query routes through sonar_spark operators (SURVEY.md §2):
+frame/hop windowed features, as-of join, sessionize-by-gap, top-k,
+percentile/outlier stats, dedup, token stats, brute-force cosine kNN.
+Float columns are rounded to 6 decimals on BOTH sides so the
+value-hash is robust to last-ulp engine differences.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sonar_spark.config import AsofConfig, FrameConfig  # noqa: E402
+from sonar_spark.datagen import entity_of  # noqa: E402
+from sonar_spark.functions.text import (  # noqa: E402
+    doc_fingerprint,
+    n_tokens,
+    to_token_length_table,
+    to_token_table,
+)
+from sonar_spark.operators.asof import asof_join  # noqa: E402
+from sonar_spark.operators.features import frame_features_arrow  # noqa: E402
+from sonar_spark.operators.sessionize import sessionize_by_gap  # noqa: E402
+from sonar_spark.operators.topk import knn_bruteforce, topk_per_group  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenized documents -> frame/hop windowed features
+    (vectorized Arrow kernel) -> as-of join of the per-doc frame
+    stream against an event-derived reference catalog -> per-doc
+    feature summary. Runs on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    toks = to_token_table(docs)
+    feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8))
+    left = feats.withColumn("entity", entity_of(F.col("doc_id"), 16)).withColumn(
+        "ts", F.col("frame_ts")
+    )
+    ev = _t(spark, sf_dir, "events")
+    catalog = ev.select(
+        F.format_string("ent%04d", F.pmod(F.col("user_id"), F.lit(16))).alias(
+            "entity"
+        ),
+        F.pmod(F.xxhash64(F.col("event_id")), F.lit(64)).alias("ref_ts"),
+        F.col("event_id").alias("ref_version"),
+        F.array(F.col("value")).alias("ref_features"),
+    )
+    joined = asof_join(
+        left,
+        catalog,
+        key="entity",
+        left_ts="ts",
+        right_ts="ref_ts",
+        version="ref_version",
+        payload=("ref_features",),
+        strategy="union",
+    )
+    return joined.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_frames"),
+        F.round(F.avg("rms_energy"), 6).alias("avg_rms_energy"),
+        F.round(F.max("flux"), 6).alias("max_flux"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.sum(F.col("matched_ref_ts").isNotNull().cast("long")).alias("n_matched"),
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows over events: per-window stats bundle
+    (SURVEY §2.5 summary stats; percentile exact linear-interp)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50_value"),
+    )
+
+
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize-by-gap (>1800s) per user over events (SURVEY §2.9
+    run-length sessionization), then per-session summary."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp(F.col("ts"))
+    )
+    s = sessionize_by_gap(ev, key="user_id", ts="ts_sec", gap=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts_sec").alias("session_start"),
+        F.count("*").alias("n_events"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_s"),
+    )
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's latest
+    login at-or-before it (backward, inclusive; ties on ts broken by
+    max event_id) — the point-in-time join core (SURVEY §2.6)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp(F.col("ts"))
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    right = (
+        ev.where(F.col("event_type") == "login")
+        .groupBy("user_id", F.col("ts_sec").alias("ref_ts"))
+        .agg(
+            F.max("event_id").alias("ref_version"),
+            F.round(F.max_by("value", "event_id"), 6).alias("ref_value"),
+        )
+    )
+    return asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts_sec",
+        right_ts="ref_ts",
+        version="ref_version",
+        payload=("ref_value",),
+        strategy="union",
+    ).select(
+        "event_id", "user_id", "ts_sec", "matched_ref_ts", "ref_version", "ref_value"
+    )
+
+
+def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as q_asof_events but through the range-bucketed cogroup
+    merge_asof physical strategy (skew path) — must agree with the
+    union strategy AND the SQL oracle."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp(F.col("ts"))
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    right = (
+        ev.where(F.col("event_type") == "login")
+        .groupBy("user_id", F.col("ts_sec").alias("ref_ts"))
+        .agg(
+            F.max("event_id").alias("ref_version"),
+            F.round(F.max_by("value", "event_id"), 6).alias("ref_value"),
+        )
+    )
+    return asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts_sec",
+        right_ts="ref_ts",
+        version="ref_version",
+        payload=("ref_value",),
+        cfg=AsofConfig(bucket_width=86400 * 7),
+        strategy="bucketed",
+    ).select(
+        "event_id", "user_id", "ts_sec", "matched_ref_ts", "ref_version", "ref_value"
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer — the FindBestMatches
+    top-k pattern (SURVEY §2.8)."""
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        o,
+        "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select(
+        "o_custkey",
+        F.col("rank").cast("int").alias("rank"),
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via 64-bit content fingerprint of normalized text
+    (hash-groupBy dedup; fingerprint role of reference
+    fingerprint/utils.go:21-28)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(doc_fingerprint(F.col("text"))).alias("n_distinct"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source (text-analysis surface)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", n_tokens(F.col("text")).alias("nt"))
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("long").alias("sum_tokens"),
+        F.round(F.avg("nt"), 6).alias("avg_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+    )
+
+
+def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + IQR outlier counts per returnflag
+    (SURVEY §2.5 percentiles/outlier detection)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+        F.percentile("l_extendedprice", 0.95).alias("q95"),
+    )
+    j = li.join(F.broadcast(q), "l_returnflag")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr) | (
+        F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("q1"), 6).alias("p25"),
+        F.round(F.min("q3"), 6).alias("p75"),
+        F.round(F.min("q95"), 6).alias("p95"),
+        F.round(F.min(iqr), 6).alias("iqr"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+    )
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors over the embedding
+    table (similarity-search baseline, SURVEY §2.6 NearestNeighbors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    return knn_bruteforce(qs, emb, k=5).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+def q_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/hop windowed features (W=32, H=8) over a deterministic
+    token stream (per-token character lengths of documents) — the
+    windowed-statistics core, vectorized Arrow kernel (SURVEY §2.2,
+    §2.5). SQL-oracle-checkable because token values are derivable
+    identically in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = to_token_length_table(docs)
+    feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8))
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        F.round("rms_energy", 6).alias("rms_energy"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("p50", 6).alias("p50"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "windowed_stats": q_windowed_stats,
+        "sessionize_gap": q_sessionize_gap,
+        "asof_events": q_asof_events,
+        "asof_bucketed": q_asof_bucketed,
+        "topk_orders": q_topk_orders,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "percentiles_lineitem": q_percentiles_lineitem,
+        "embedding_knn": q_embedding_knn,
+        "frame_energy": q_frame_energy,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         floor(epoch(ts))::BIGINT AS ts_sec
+  FROM events
+),
+l AS (
+  SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts_sec AS ref_ts,
+         max(event_id) AS ref_version,
+         round(arg_max(value, event_id), 6) AS ref_value
+  FROM e WHERE event_type = 'login' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts_sec,
+       r.ref_ts AS matched_ref_ts, r.ref_version, r.ref_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_sec >= r.ref_ts
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "windowed_stats": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(quantile_cont(value, 0.5), 6) AS p50_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize_gap": """
+            WITH e AS (
+              SELECT user_id, floor(epoch(ts))::BIGINT AS ts_sec FROM events
+            ),
+            l AS (
+              SELECT user_id, ts_sec,
+                     CASE WHEN ts_sec - lag(ts_sec) OVER
+                       (PARTITION BY user_id ORDER BY ts_sec) > 1800
+                     THEN 1 ELSE 0 END AS ns
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, ts_sec,
+                     (sum(ns) OVER (PARTITION BY user_id ORDER BY ts_sec
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+              FROM l
+            )
+            SELECT user_id, session_id,
+                   min(ts_sec) AS session_start,
+                   count(*) AS n_events,
+                   max(ts_sec) - min(ts_sec) AS duration_s
+            FROM s GROUP BY 1, 2
+        """,
+        "asof_events": _ASOF_SQL,
+        "asof_bucketed": _ASOF_SQL,
+        "topk_orders": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders
+            )
+            SELECT o_custkey, rk::INT AS rank, o_orderkey,
+                   round(o_totalprice, 6) AS o_totalprice
+            FROM r WHERE rk <= 3
+        """,
+        "dedup_exact": r"""
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g')))
+                     AS n_distinct
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": r"""
+            WITH t AS (
+              SELECT source,
+                     len(string_split_regex(trim(text), '\s+')) AS nt
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(nt)::BIGINT AS sum_tokens,
+                   round(avg(nt), 6) AS avg_tokens,
+                   max(nt) AS max_tokens
+            FROM t GROUP BY 1
+        """,
+        "percentiles_lineitem": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.25) AS q1,
+                     quantile_cont(l_extendedprice, 0.75) AS q3,
+                     quantile_cont(l_extendedprice, 0.95) AS q95
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l.l_returnflag, count(*) AS n,
+                   round(min(q1), 6) AS p25,
+                   round(min(q3), 6) AS p75,
+                   round(min(q95), 6) AS p95,
+                   round(min(q3 - q1), 6) AS iqr,
+                   sum(CASE WHEN l_extendedprice > q3 + 1.5 * (q3 - q1)
+                            OR l_extendedprice < q1 - 1.5 * (q3 - q1)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM lineitem l JOIN q USING (l_returnflag)
+            GROUP BY 1
+        """,
+        "embedding_knn": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 8
+            ),
+            p AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+              FROM q, embeddings e WHERE e.vec_id != query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+              FROM p
+            )
+            SELECT query_id, rk::INT AS rank, neighbor_id,
+                   round(sim, 6) AS cosine_sim
+            FROM r WHERE rk <= 5
+        """,
+        "frame_energy": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id,
+                     generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt,
+                     count(*) OVER w AS cnt,
+                     avg(val * val) OVER w AS msq,
+                     avg(val) OVER w AS mu,
+                     var_pop(val) OVER w AS vp,
+                     quantile_cont(val, 0.5) OVER w AS med
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            )
+            SELECT doc_id, (strt / 8)::BIGINT AS frame_idx,
+                   round(sqrt(msq), 6) AS rms_energy,
+                   round(mu, 6) AS mean,
+                   round(sqrt(vp), 6) AS std,
+                   round(med, 6) AS p50
+            FROM f WHERE strt % 8 = 0 AND cnt = 32
+        """,
+    }

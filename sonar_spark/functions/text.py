@@ -1,0 +1,84 @@
+"""Text-analysis column functions for the training-data pipeline
+surface: tokenization, token counting, quality scoring, language-ID
+heuristic, document fingerprinting. All JVM-side expressions.
+
+These adapt the documents table (doc_id, text, lang, source, n_chars)
+into the engine's input_hint token shape: tokens are derived
+deterministically from the text so Spark and any SQL oracle agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize_ws(text: Column) -> Column:
+    """Whitespace tokens (array<string>)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_lengths(text: Column) -> Column:
+    """array<int> of per-token character lengths — a deterministic
+    numeric token stream derivable identically in any SQL engine
+    (used as the cross-engine token value for frame features)."""
+    return F.transform(tokenize_ws(text), F.length)
+
+
+def token_ids(text: Column, vocab: int = 50_257) -> Column:
+    """Deterministic int32 token ids via xxhash64(token) % vocab —
+    the token table adapter (input_hint shape) for real text."""
+    return F.transform(
+        tokenize_ws(text), lambda t: F.pmod(F.xxhash64(t), F.lit(vocab)).cast("int")
+    )
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokenize_ws(text))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: blend of mean word length
+    band, alpha ratio and terminal punctuation (the pipeline-side
+    analog of the reference's rule-score content classifier,
+    fingerprint/content_detector.go:156-221)."""
+    n_tok = n_tokens(text)
+    mean_wl = F.length(F.trim(text)).cast("double") / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+        / F.greatest(F.length(text), F.lit(1))
+    )
+    ends_sentence = F.when(text.rlike(r"[.!?]\s*$"), 1.0).otherwise(0.0)
+    wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.5)
+    return (0.4 * alpha_ratio + 0.4 * wl_band + 0.2 * ends_sentence).alias(
+        "quality_score"
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint (xxhash64 of normalized text) —
+    exact-dup key (the sha256-derived fingerprint ID role,
+    reference fingerprint/utils.go:21-28)."""
+    return F.xxhash64(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def to_token_table(docs: DataFrame, vocab: int = 50_257) -> DataFrame:
+    """documents(doc_id,text,source,...) -> input_hint token table
+    (doc_id string, tokens array<int>, n_tok int, source string)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        token_ids(F.col("text"), vocab).alias("tokens"),
+        n_tokens(F.col("text")).cast("int").alias("n_tok"),
+        F.col("source"),
+    )
+
+
+def to_token_length_table(docs: DataFrame) -> DataFrame:
+    """Like to_token_table but token values are per-token character
+    lengths — reproducible in DuckDB SQL for oracle checks."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        token_lengths(F.col("text")).alias("tokens"),
+        n_tokens(F.col("text")).cast("int").alias("n_tok"),
+        F.col("source"),
+    )

@@ -1,0 +1,167 @@
+"""Obviously-correct loop oracles (FIXTURES.md #3 golden vectors).
+
+Deliberately a *separate code path* from sonar_spark.kernels: plain
+Python loops, no stride tricks, no FFT, no vectorization — so an
+allclose match between engine output and these is meaningful.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def frame_slices(tokens, window: int, hop: int):
+    n = len(tokens)
+    out = []
+    i = 0
+    while i * hop + window <= n:
+        out.append([float(t) for t in tokens[i * hop : i * hop + window]])
+        i += 1
+    return out
+
+
+def frame_features_golden(tokens, window: int, hop: int, entropy_bins: int = 16):
+    """Per-frame feature dicts, loop implementation."""
+    frames = frame_slices(tokens, window, hop)
+    rows = []
+    prev = None
+    for idx, f in enumerate(frames):
+        w = len(f)
+        mean = sum(f) / w
+        c = [x - mean for x in f]
+        m2 = sum(x * x for x in c) / w
+        m3 = sum(x**3 for x in c) / w
+        m4 = sum(x**4 for x in c) / w
+        std = math.sqrt(m2)
+        skew = m3 / m2**1.5 if m2 > 0 else 0.0
+        kurt = m4 / m2**2 - 3.0 if m2 > 0 else 0.0
+        rms = math.sqrt(sum(x * x for x in f) / w)
+        crest = max(abs(x) for x in f) / rms if rms > 0 else 0.0
+        zc = 0
+        for a, b in zip(c, c[1:]):
+            if (a > 0) != (b > 0) or (a < 0) != (b < 0):
+                zc += 1
+        zcr = zc / (w - 1)
+        if prev is None:
+            flux = 0.0
+        else:
+            flux = math.sqrt(
+                sum(max(0.0, a - b) ** 2 for a, b in zip(f, prev))
+            )
+        q25, q50, q75 = (_quantile_r7(f, p) for p in (0.25, 0.5, 0.75))
+        ent = _entropy(f, entropy_bins)
+        rows.append(
+            dict(
+                frame_idx=idx,
+                rms_energy=rms,
+                mean=mean,
+                var=m2,
+                std=std,
+                skew=skew,
+                kurt=kurt,
+                min=min(f),
+                max=max(f),
+                crest=crest,
+                zcr=zcr,
+                flux=flux,
+                p25=q25,
+                p50=q50,
+                p75=q75,
+                entropy=ent,
+            )
+        )
+        prev = f
+    return rows
+
+
+def _quantile_r7(vals, p):
+    s = sorted(vals)
+    h = (len(s) - 1) * p
+    k = int(math.floor(h))
+    if k + 1 >= len(s):
+        return float(s[-1])
+    return s[k] + (h - k) * (s[k + 1] - s[k])
+
+
+def _entropy(vals, bins):
+    lo, hi = min(vals), max(vals)
+    if hi <= lo:
+        hi = lo + 1.0
+    counts = [0] * bins
+    for v in vals:
+        b = int((v - lo) / (hi - lo) * bins)
+        if b >= bins:
+            b = bins - 1
+        counts[b] += 1
+    n = len(vals)
+    ent = 0.0
+    for cnt in counts:
+        if cnt:
+            p = cnt / n
+            ent -= p * math.log2(p)
+    return ent
+
+
+def asof_brute_force(left_rows, right_rows):
+    """Quadratic last-<= matcher (FIXTURES.md #2 leakage oracle).
+
+    left_rows: (entity, ts, ...); right_rows: (entity, ref_ts,
+    ref_version, payload). Tie-break on equal ref_ts: max ref_version.
+    Returns {(entity, ts): (ref_ts, ref_version) or None}."""
+    out = {}
+    for le, lts in left_rows:
+        best = None
+        for re_, rts, rv in right_rows:
+            if re_ != le or rts > lts:
+                continue
+            if best is None or rts > best[0] or (rts == best[0] and rv > best[1]):
+                best = (rts, rv)
+        out[(le, lts)] = best
+    return out
+
+
+def jaccard_exact(a, b) -> float:
+    """Exact Jaccard on >0-support sets (stats/distance.go:198-216)."""
+    sa, sb = set(a), set(b)
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+def xcorr_naive(a, b, max_lag):
+    """Time-domain zero-normalized CC, plain loops."""
+    a = [float(x) for x in a]
+    b = [float(x) for x in b]
+
+    def zn(x):
+        m = sum(x) / len(x)
+        s = math.sqrt(sum((v - m) ** 2 for v in x) / len(x))
+        return [(v - m) / s if s > 0 else v - m for v in x]
+
+    za, zb = zn(a), zn(b)
+    L = max(0, min(max_lag, len(a) - 1, len(b) - 1))
+    lags, corr = [], []
+    for lag in range(-L, L + 1):
+        acc, cnt = 0.0, 0
+        for t in range(len(a)):
+            u = t + lag
+            if 0 <= u < len(b):
+                acc += za[t] * zb[u]
+                cnt += 1
+        lags.append(lag)
+        corr.append(acc / cnt if cnt else 0.0)
+    return np.array(lags), np.array(corr)
+
+
+def dtw_naive(a, b):
+    """Full (unbanded) DTW symmetric2, plain loops."""
+    q, r = len(a), len(b)
+    INF = float("inf")
+    D = [[INF] * (r + 1) for _ in range(q + 1)]
+    D[0][0] = 0.0
+    for i in range(1, q + 1):
+        for j in range(1, r + 1):
+            c = abs(float(a[i - 1]) - float(b[j - 1]))
+            D[i][j] = min(D[i - 1][j] + c, D[i][j - 1] + c, D[i - 1][j - 1] + 2 * c)
+    return D[q][r] / (q + r)

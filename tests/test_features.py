@@ -1,0 +1,98 @@
+"""Per-frame feature golden tests: arrow path vs loop oracle vs
+built-in-expression path (three independent implementations)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sonar_spark import datagen, kernels, oracle
+from sonar_spark.config import FeatureConfig, FrameConfig
+from sonar_spark.operators.features import (
+    FEATURE_COLS,
+    doc_stats,
+    frame_features_arrow,
+    frame_features_builtin,
+)
+
+CFG = FrameConfig(window=64, hop=16)
+RTOL, ATOL = 1e-9, 1e-12
+
+
+def test_kernel_matches_golden_loop():
+    rng = np.random.default_rng(7)
+    for n in (64, 79, 80, 200, 1000):
+        toks = rng.integers(0, 50257, size=n).astype(np.int64)
+        got = kernels.frame_features(toks, CFG.window, CFG.hop, 16)
+        want = oracle.frame_features_golden(toks, CFG.window, CFG.hop, 16)
+        assert len(got["mean"]) == len(want)
+        for i, row in enumerate(want):
+            for k, v in row.items():
+                if k == "frame_idx":
+                    continue
+                assert np.isclose(
+                    got[k][i], v, rtol=RTOL, atol=ATOL
+                ), f"{k}@{i}: {got[k][i]} vs {v}"
+
+
+def test_arrow_features_match_golden(spark):
+    df = datagen.token_table(spark, n_docs=10)
+    src = {r["doc_id"]: r["tokens"] for r in df.collect()}
+    feats = frame_features_arrow(df, CFG).collect()
+    by_doc: dict[str, list] = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_checked = 0
+    for doc_id, toks in src.items():
+        want = oracle.frame_features_golden(toks, CFG.window, CFG.hop, 16)
+        have = sorted(by_doc.get(doc_id, []), key=lambda r: r["frame_idx"])
+        assert len(have) == len(want)
+        for h, w in zip(have, want):
+            for k, v in w.items():
+                if k == "frame_idx":
+                    continue
+                assert np.isclose(h[k], v, rtol=RTOL, atol=ATOL), (doc_id, k)
+                n_checked += 1
+    assert n_checked > 100
+
+
+def test_builtin_features_match_arrow(spark):
+    """Two independent in-Spark implementations agree (entropy is
+    arrow-only by design)."""
+    df = datagen.token_table(spark, n_docs=8)
+    cols = ["doc_id", "frame_idx"] + [c for c in FEATURE_COLS if c != "entropy"]
+    a = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in frame_features_arrow(df, CFG).select(*cols).collect()
+    }
+    b = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in frame_features_builtin(df, CFG).select(*cols).collect()
+    }
+    assert set(a) == set(b) and len(a) >= 20
+    for key in a:
+        for c in cols[2:]:
+            assert np.isclose(a[key][c], b[key][c], rtol=1e-9, atol=1e-9), (key, c)
+
+
+def test_doc_stats_shapes(spark):
+    df = datagen.token_table(spark, n_docs=6)
+    stats = doc_stats(frame_features_arrow(df, CFG))
+    rows = stats.collect()
+    # doc0 has n_tok < W -> no frames -> absent
+    assert {r["doc_id"] for r in rows} == {f"doc{i:08d}" for i in range(1, 6)}
+    for r in rows:
+        assert r["n_frames"] >= 1
+        assert r["rms_energy_mean"] is not None
+
+
+def test_determinism_across_partitionings(spark):
+    """Same results under different parallelism (SURVEY §7.4 #4)."""
+    a = frame_features_arrow(datagen.token_table(spark, n_docs=12, partitions=1), CFG)
+    b = frame_features_arrow(datagen.token_table(spark, n_docs=12, partitions=7), CFG)
+    pa = {(r["doc_id"], r["frame_idx"]): r for r in a.collect()}
+    pb = {(r["doc_id"], r["frame_idx"]): r for r in b.collect()}
+    assert set(pa) == set(pb)
+    for k in pa:
+        for c in FEATURE_COLS:
+            assert pa[k][c] == pb[k][c], (k, c)
