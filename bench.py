@@ -1,0 +1,139 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "throughput": {...}}
+
+The flagship featurize+asof pipeline also reports sequences/sec
+(BASELINE.json metric) over a deterministic generated token table
+(sonar_spark.datagen — same bytes at any parallelism).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from sonar_spark import datagen  # noqa: E402
+from sonar_spark.config import FrameConfig  # noqa: E402
+from sonar_spark.operators.asof import asof_join  # noqa: E402
+from sonar_spark.operators.features import frame_features_arrow  # noqa: E402
+from sonar_spark.session import get_spark  # noqa: E402
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def materialize_tokens(spark, n_docs: int) -> str:
+    """Write the deterministic input_hint token table to local parquet
+    once (the Iceberg-table stand-in); returns the path. Reused across
+    runs of the same size so bench times the PIPELINE, not datagen."""
+    path = f"/tmp/sonar_bench_tokens_{n_docs}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        toks = datagen.token_table(
+            spark, n_docs=n_docs,
+            partitions=max(2, spark.sparkContext.defaultParallelism),
+        )
+        toks.write.mode("overwrite").parquet(path)
+    return path
+
+
+def flagship_pipeline(spark, n_docs: int, tokens_path: str | None = None):
+    """Featurize + as-of join over the input_hint token table — the
+    BASELINE.json throughput pipeline (read -> frame features ->
+    as-of join -> aggregate)."""
+    if tokens_path is None:
+        toks = datagen.token_table(
+            spark, n_docs=n_docs,
+            partitions=max(2, spark.sparkContext.defaultParallelism),
+        )
+    else:
+        # a 100 TB scan yields thousands of input splits; the toy
+        # parquet is ~40 MB (=> a handful of splits), so spread it to
+        # keep every core busy like the real scan would
+        toks = spark.read.parquet(tokens_path).repartition(
+            spark.sparkContext.defaultParallelism * 2
+        )
+    feats = frame_features_arrow(toks, FrameConfig(window=64, hop=16))
+    # project the join payload to what downstream needs — the as-of
+    # join shuffles its left side, so column pruning here is the
+    # difference between a 4-column and a 20-column shuffle
+    left = feats.select(
+        "doc_id",
+        "rms_energy",
+        datagen.entity_of(F.col("doc_id"), 64).alias("entity"),
+        F.col("frame_ts").alias("ts"),
+    )
+    catalog = datagen.catalog_table(spark, n_entities=64, rows_per_entity=128)
+    joined = asof_join(left, catalog, strategy="union")
+    return joined.select(
+        F.count("*").alias("n_frames"),
+        F.sum(F.col("matched_ref_ts").isNotNull().cast("long")).alias("n_matched"),
+        F.round(F.sum("rms_energy"), 3).alias("sum_rms"),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("sonar-spark-bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+
+    # headline 1: flagship featurize+asof throughput on the
+    # pre-materialized token table (datagen excluded from timing)
+    tokens_path = materialize_tokens(spark, N_DOCS)
+    t0 = time.time()
+    row = flagship_pipeline(spark, N_DOCS, tokens_path).collect()[0]
+    t_flag = time.time() - t0
+    timings["featurize_asof"] = round(t_flag, 3)
+    n_frames = row["n_frames"]
+
+    # headline 2..n: driver queries on the sf parquet tables
+    qs = E.queries()
+    for name in (
+        "frame_energy",
+        "windowed_stats",
+        "sessionize_gap",
+        "asof_events",
+        "asof_bucketed",
+        "topk_orders",
+        "embedding_knn",
+        "percentiles_lineitem",
+        "minhash_dedup",
+        "align_pairs",
+    ):
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query wall time (featurize+asof pipeline + driver queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "throughput": {
+            "pipeline_docs": N_DOCS,
+            "pipeline_frames": int(n_frames),
+            "docs_per_sec": round(N_DOCS / t_flag, 1),
+            "frames_per_sec": round(n_frames / t_flag, 1),
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,77 +36,213 @@ def frame_view(x: np.ndarray, window: int, hop: int) -> np.ndarray:
     return np.lib.stride_tricks.sliding_window_view(x, window)[::hop][:nf]
 
 
+_FEATURE_KEYS = (
+    "rms_energy mean var std skew kurt min max crest zcr flux "
+    "p25 p50 p75 entropy"
+).split()
+
+
+class _Scratch:
+    """Per-worker reusable buffer pool. Fresh page allocation is
+    10-30x slower than warm pages on some hosts (first-touch page
+    faults); reusing buffers across Arrow batches keeps the kernel on
+    warm memory. Buffers grow geometrically and never shrink."""
+
+    def __init__(self):
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def get(self, name: str, shape: tuple, dtype=np.float64) -> np.ndarray:
+        n = int(np.prod(shape))
+        b = self._bufs.get(name)
+        if b is None or b.size < n or b.dtype != dtype:
+            cap = max(n, 2 * (b.size if b is not None else 0), 1024)
+            b = np.empty(cap, dtype=dtype)
+            b[:] = 0  # touch pages once
+            self._bufs[name] = b
+        return b[:n].reshape(shape)
+
+
+_scratch = _Scratch()
+
+
+def flat_frame_starts(
+    doc_lens: np.ndarray, window: int, hop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized frame-start offsets into the CONCATENATED token
+    stream of a batch of docs.
+
+    Given per-doc token counts, returns (starts, doc_nf): global
+    start index of every frame (doc-major, frame order within doc)
+    and frames per doc — no per-doc Python loop.
+    """
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    doc_nf = np.where(doc_lens >= window, (doc_lens - window) // hop + 1, 0)
+    total = int(doc_nf.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), doc_nf
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
+    starts_base = np.repeat(doc_off, doc_nf)
+    nf_start = np.concatenate(([0], np.cumsum(doc_nf)[:-1]))
+    local_idx = np.arange(total, dtype=np.int64) - np.repeat(nf_start, doc_nf)
+    return starts_base + local_idx * hop, doc_nf
+
+
+def frame_features_flat(
+    flat: np.ndarray,
+    doc_lens: np.ndarray,
+    window: int,
+    hop: int,
+    entropy_bins: int = 16,
+    scratch: _Scratch | None = None,
+    chunk: int = 4096,
+) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """All per-frame features for a batch given the concatenated token
+    values and per-doc lengths (the mapInArrow hot path).
+
+    Frames are gathered and processed in fixed-size chunks so the
+    per-worker working set stays ~O(chunk * window) bytes regardless
+    of Arrow batch size — with N parallel workers this bounds total
+    first-touch page-fault traffic (which is kernel-serialized and
+    wrecks scaling if each worker allocates batch-sized scratch).
+    """
+    s = scratch or _scratch
+    W = window
+    starts, doc_nf = flat_frame_starts(doc_lens, window, hop)
+    nf = len(starts)
+    if nf == 0:
+        return {k: np.empty(0) for k in _FEATURE_KEYS}, doc_nf
+
+    fv = np.asarray(flat, dtype=np.float64)
+    sw = np.lib.stride_tricks.sliding_window_view(fv, W)
+    out = {k: np.empty(nf) for k in _FEATURE_KEYS}
+
+    for a in range(0, nf, chunk):
+        b = min(a + chunk, nf)
+        # NOTE: plain fancy indexing; np.take(..., out=) on an
+        # overlapping strided view falls off numpy's fast path.
+        f = sw[starts[a:b]]
+        n = b - a
+        mean = f.mean(axis=1)
+        c = np.subtract(f, mean[:, None], out=s.get("c", (n, W)))
+        c2 = np.multiply(c, c, out=s.get("c2", (n, W)))
+        m2 = c2.mean(axis=1)
+        t = np.multiply(c2, c, out=s.get("t", (n, W)))
+        m3 = t.mean(axis=1)
+        np.multiply(c2, c2, out=t)
+        m4 = t.mean(axis=1)
+        std = np.sqrt(m2)
+        safe = np.where(m2 > 0, m2, 1.0)
+        out["mean"][a:b] = mean
+        out["var"][a:b] = m2
+        out["std"][a:b] = std
+        out["skew"][a:b] = np.where(m2 > 0, m3 / safe**1.5, 0.0)
+        out["kurt"][a:b] = np.where(m2 > 0, m4 / safe**2 - 3.0, 0.0)
+        # fused: E[x^2] = var + mean^2 (no extra pass over f)
+        rms = np.sqrt(m2 + mean * mean)
+        out["rms_energy"][a:b] = rms
+        fmin = f.min(axis=1)
+        fmax = f.max(axis=1)
+        out["min"][a:b] = fmin
+        out["max"][a:b] = fmax
+        # fused: max|x| = max(|min|, |max|) (no abs pass)
+        absmax = np.maximum(np.abs(fmin), np.abs(fmax))
+        out["crest"][a:b] = np.where(
+            rms > 0, absmax / np.where(rms > 0, rms, 1.0), 0.0
+        )
+        # ZCR: sign changes of centered values
+        sg = np.sign(c, out=t)
+        neq = np.not_equal(
+            sg[:, 1:], sg[:, :-1], out=s.get("neq", (n, W - 1), dtype=bool)
+        )
+        out["zcr"][a:b] = neq.sum(axis=1) / (W - 1)
+        # flux: positive-diff L2 vs previous frame (chunk boundary uses
+        # the last frame of the previous chunk; doc starts zeroed below)
+        d = s.get("d", (n, W))
+        if a == 0:
+            if n > 1:
+                np.subtract(f[1:], f[:-1], out=d[1:])
+            d[0] = 0.0
+        else:
+            prev = sw[starts[a - 1 : b - 1]]
+            np.subtract(f, prev, out=d)
+        np.maximum(d, 0.0, out=d)
+        np.multiply(d, d, out=d)
+        out["flux"][a:b] = np.sqrt(d.sum(axis=1))
+        # percentiles (R-7) via one in-buffer sort
+        srt = s.get("srt", (n, W))
+        srt[:] = f
+        srt.sort(axis=1)
+        for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            h = (W - 1) * p
+            k = int(np.floor(h))
+            frac = h - k
+            if frac == 0.0:
+                out[name][a:b] = srt[:, k]
+            else:
+                out[name][a:b] = srt[:, k] + frac * (srt[:, k + 1] - srt[:, k])
+        # Shannon entropy over fixed-width histogram per frame
+        lo, hi = fmin, np.where(fmax > fmin, fmax, fmin + 1.0)
+        sc = np.subtract(f, lo[:, None], out=s.get("sc", (n, W)))
+        np.divide(sc, (hi - lo)[:, None], out=sc)
+        np.multiply(sc, entropy_bins, out=sc)
+        bins = s.get("bins", (n, W), dtype=np.int64)
+        np.copyto(bins, sc, casting="unsafe")  # trunc toward zero
+        np.clip(bins, 0, entropy_bins - 1, out=bins)
+        bins += (np.arange(n, dtype=np.int64) * entropy_bins)[:, None]
+        counts = np.bincount(bins.ravel(), minlength=n * entropy_bins).reshape(
+            n, entropy_bins
+        )
+        # H = log2(W) - (1/W) * sum(n_b * log2(n_b))
+        cl = counts * np.log2(np.where(counts > 0, counts, 1))
+        out["entropy"][a:b] = np.log2(W) - cl.sum(axis=1) / W
+
+    # zero flux at every doc's first frame (no cross-doc leakage)
+    nz = doc_nf[doc_nf > 0]
+    fstarts = np.concatenate(([0], np.cumsum(nz)[:-1]))
+    out["flux"][fstarts] = 0.0
+    return out, doc_nf
+
+
+def frame_features_batch(
+    tokens_list,
+    window: int,
+    hop: int,
+    entropy_bins: int = 16,
+) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """All per-frame features for MANY docs in one vectorized pass.
+
+    Stacks every doc's frames into a single (total_frames, window)
+    matrix and computes each feature with one numpy op over the whole
+    Arrow batch — per-doc Python overhead amortizes away (the 10^12
+    scale discipline: one kernel invocation per Arrow batch).
+
+    Returns (features dict of 1-D arrays over all frames in doc
+    order, n_frames-per-doc int array). Flux is computed against the
+    previous frame WITHIN each doc (0 at every doc's first frame).
+
+    Thin wrapper over frame_features_flat (concatenates the token
+    arrays once); prefer the flat form when the caller already holds
+    contiguous values + offsets (Arrow ListArray).
+    """
+    doc_lens = np.array([len(t) for t in tokens_list], dtype=np.int64)
+    if len(tokens_list):
+        flat = np.concatenate(
+            [np.asarray(t, dtype=np.float64) for t in tokens_list]
+        )
+    else:
+        flat = np.empty(0)
+    return frame_features_flat(flat, doc_lens, window, hop, entropy_bins)
+
+
 def frame_features(
     tokens: np.ndarray,
     window: int,
     hop: int,
     entropy_bins: int = 16,
 ) -> dict[str, np.ndarray]:
-    """All per-frame features in one vectorized pass.
-
-    Returns dict of 1-D arrays of length n_frames. Uses float64
-    throughout; percentiles use linear interpolation on (n-1)*p
-    (Hyndman-Fan R-7 — matches numpy/Spark percentile()/DuckDB
-    quantile_cont for cross-engine comparability; the reference's
-    default R-6 variant is available in percentile_r6)."""
-    f = frame_view(np.asarray(tokens, dtype=np.float64), window, hop)
-    nf = f.shape[0]
-    if nf == 0:
-        return {
-            k: np.empty(0)
-            for k in (
-                "rms_energy mean var std skew kurt min max crest zcr flux "
-                "p25 p50 p75 entropy"
-            ).split()
-        }
-    mean = f.mean(axis=1)
-    c = f - mean[:, None]
-    m2 = (c**2).mean(axis=1)
-    m3 = (c**3).mean(axis=1)
-    m4 = (c**4).mean(axis=1)
-    std = np.sqrt(m2)
-    safe = np.where(m2 > 0, m2, 1.0)
-    skew = np.where(m2 > 0, m3 / safe**1.5, 0.0)
-    kurt = np.where(m2 > 0, m4 / safe**2 - 3.0, 0.0)
-    rms = np.sqrt((f**2).mean(axis=1))
-    fmin = f.min(axis=1)
-    fmax = f.max(axis=1)
-    crest = np.where(rms > 0, np.abs(f).max(axis=1) / np.where(rms > 0, rms, 1.0), 0.0)
-    # ZCR on mean-centered values (token analog of signal sign changes)
-    signs = np.sign(c)
-    zcr = (np.abs(np.diff(signs, axis=1)) > 0).sum(axis=1) / (window - 1)
-    # flux vs previous frame's window (positive-diff L2); first frame 0
-    d = f[1:] - f[:-1]
-    flux = np.zeros(nf)
-    flux[1:] = np.sqrt((np.maximum(d, 0.0) ** 2).sum(axis=1))
-    q = np.quantile(f, [0.25, 0.5, 0.75], axis=1)  # R-7 linear
-    # Shannon entropy over fixed-width histogram per frame
-    lo, hi = fmin, np.where(fmax > fmin, fmax, fmin + 1.0)
-    scaled = (f - lo[:, None]) / (hi - lo)[:, None]
-    bins = np.clip((scaled * entropy_bins).astype(np.int64), 0, entropy_bins - 1)
-    counts = np.zeros((nf, entropy_bins))
-    rows = np.repeat(np.arange(nf), window)
-    np.add.at(counts, (rows, bins.ravel()), 1.0)
-    p = counts / window
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ent = -np.where(p > 0, p * np.log2(p), 0.0).sum(axis=1)
-    return {
-        "rms_energy": rms,
-        "mean": mean,
-        "var": m2,
-        "std": std,
-        "skew": skew,
-        "kurt": kurt,
-        "min": fmin,
-        "max": fmax,
-        "crest": crest,
-        "zcr": zcr,
-        "flux": flux,
-        "p25": q[0],
-        "p50": q[1],
-        "p75": q[2],
-        "entropy": ent,
-    }
+    """Single-doc convenience wrapper over frame_features_batch."""
+    feats, _ = frame_features_batch([tokens], window, hop, entropy_bins)
+    return feats
 
 
 def percentile_r6(x: np.ndarray, p: float) -> float:

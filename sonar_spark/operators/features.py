@@ -46,38 +46,59 @@ def frame_features_arrow(
 ) -> DataFrame:
     """Token table -> per-frame feature rows, one vectorized pass.
 
-    Narrow (mapInPandas): each doc's frames are produced where the doc
-    row lives; no shuffle, no window-array materialization."""
+    Narrow (mapInArrow): each doc's frames are produced where the doc
+    row lives; no shuffle, no window-array materialization, no
+    per-row Python objects — the Arrow ListArray's contiguous values
+    buffer feeds the flat kernel directly, and per-doc fan-out of the
+    key columns is an Arrow take() (SURVEY §4.3 vectorization
+    discipline)."""
     W, H, bins = frame_cfg.window, frame_cfg.hop, feat_cfg.entropy_bins
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs = []
-            for doc_id, toks, n_tok, source in zip(
-                pdf["doc_id"], pdf["tokens"], pdf["n_tok"], pdf["source"]
-            ):
-                t = np.asarray(toks, dtype=np.int64)
-                feats = kernels.frame_features(t, W, H, bins)
-                nf = len(feats["rms_energy"])
-                if nf == 0:
-                    continue
-                out = pd.DataFrame(
-                    {
-                        "doc_id": doc_id,
-                        "source": source,
-                        "n_tok": int(n_tok),
-                        "frame_idx": np.arange(nf, dtype=np.int64),
-                        "frame_ts": np.arange(nf, dtype=np.int64) * H,
-                    }
-                )
-                for c in FEATURE_COLS:
-                    out[c] = feats[c]
-                outs.append(out)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return df.select("doc_id", "tokens", "n_tok", "source").mapInPandas(
-        gen, schema=_ARROW_SCHEMA
+        scratch = kernels._scratch
+        for batch in batches:
+            tok = batch.column(batch.schema.get_field_index("tokens"))
+            lens = pc.list_value_length(tok).to_numpy().astype(np.int64)
+            vals = tok.flatten().to_numpy(zero_copy_only=False)
+            flat = scratch.get("flat_tok", (len(vals),))
+            np.copyto(flat, vals)
+            feats, doc_nf = kernels.frame_features_flat(
+                flat, lens, W, H, bins, scratch=scratch
+            )
+            total = int(doc_nf.sum())
+            if total == 0:
+                continue
+            take_idx = pa.array(np.repeat(np.arange(len(lens)), doc_nf))
+            starts = np.concatenate(([0], np.cumsum(doc_nf)[:-1]))
+            frame_idx = np.arange(total, dtype=np.int64) - np.repeat(
+                starts, doc_nf
+            )
+            cols = {
+                "doc_id": pc.take(
+                    batch.column(batch.schema.get_field_index("doc_id")), take_idx
+                ),
+                "source": pc.take(
+                    batch.column(batch.schema.get_field_index("source")), take_idx
+                ),
+                "n_tok": pc.take(
+                    batch.column(batch.schema.get_field_index("n_tok")), take_idx
+                ),
+                "frame_idx": pa.array(frame_idx),
+                "frame_ts": pa.array(frame_idx * H),
+            }
+            for c in FEATURE_COLS:
+                cols[c] = pa.array(feats[c], type=pa.float64())
+            names = list(cols)
+            yield pa.RecordBatch.from_arrays([cols[n] for n in names], names=names)
+
+    out_cols = ["doc_id", "source", "n_tok", "frame_idx", "frame_ts"] + FEATURE_COLS
+    return (
+        df.select("doc_id", "tokens", "n_tok", "source")
+        .mapInArrow(gen, schema=_ARROW_SCHEMA)
+        .select(*out_cols)
     )
 
 
