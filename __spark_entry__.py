@@ -31,8 +31,19 @@ from sonar_spark.functions.text import (  # noqa: E402
     to_token_length_table,
     to_token_table,
 )
+from sonar_spark.config import AlignmentConfig, MinHashConfig  # noqa: E402
+from sonar_spark.operators.align import align_pairs, build_doc_series  # noqa: E402
 from sonar_spark.operators.asof import asof_join  # noqa: E402
-from sonar_spark.operators.features import frame_features_arrow  # noqa: E402
+from sonar_spark.operators.compare import compare_topk  # noqa: E402
+from sonar_spark.operators.features import (  # noqa: E402
+    doc_stats,
+    frame_features_arrow,
+)
+from sonar_spark.operators.fingerprint import (  # noqa: E402
+    minhash_fingerprints,
+    near_duplicates,
+    simhash_near_duplicates,
+)
 from sonar_spark.operators.sessionize import sessionize_by_gap  # noqa: E402
 from sonar_spark.operators.topk import knn_bruteforce, topk_per_group  # noqa: E402
 
@@ -279,6 +290,161 @@ def q_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles4(toks):
+    """Word-4-gram shingle strings (same construction in the SQL
+    oracle) — the n-gram Jaccard dedup unit (SURVEY §2.7 Jaccard)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
+        )
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard nearest neighbor per doc (within source):
+    the exact form of the MinHash estimand (distance.go:198-216)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        _shingles4(F.split(F.trim(F.col("text")), r"\s+")).alias("sh"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), "source", F.col("sh").alias("sh_a")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), "source", F.col("sh").alias("sh_b")
+    )
+    p = a.join(b, "source").where(F.col("doc_a") != F.col("doc_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    scored = p.select("doc_a", "doc_b", jac.alias("j"))
+    top = topk_per_group(
+        scored, "doc_a", [F.col("j").desc(), F.col("doc_b").asc()], 1
+    )
+    return top.select(
+        "doc_a",
+        F.col("doc_b").alias("nn_doc"),
+        F.round("j", 6).alias("jaccard"),
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from sonar_spark.functions.arrays import cosine_similarity
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    p = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        p.select("id_a", "id_b", sim.alias("s"))
+        .where(F.col("s") >= 0.4)
+        .select("id_a", "id_b", F.round("s", 6).alias("cosine_sim"))
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-quality aggregates (length/alpha/word-length
+    heuristics — content-classifier analog, content_detector.go:156-221)."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = n_tokens(F.col("text"))
+    mean_wl = F.length(F.trim(F.col("text"))).cast("double") / F.greatest(
+        nt, F.lit(1)
+    )
+    alpha = F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+    ).cast("double") / F.greatest(F.length(F.col("text")), F.lit(1))
+    wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.5)
+    quality = 0.4 * alpha + 0.4 * wl_band + 0.2 * F.lit(0.0)
+    d = docs.select(
+        "source",
+        alpha.alias("alpha"),
+        mean_wl.alias("wl"),
+        quality.alias("q"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("alpha"), 6).alias("avg_alpha_ratio"),
+        F.round(F.avg("wl"), 6).alias("avg_word_len"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token table + deterministic near-dup copies of ~10% of docs
+    (tokens minus the last 3) — planted dedup workload."""
+    base = to_token_table(_t(spark, sf_dir, "documents"))
+    dups = base.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"),
+        F.slice(F.col("tokens"), 1, F.col("n_tok") - 3).alias("tokens"),
+        (F.col("n_tok") - 3).alias("n_tok"),
+        F.col("source"),
+    )
+    return base.unionByName(dups)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection over the planted-dup corpus
+    (shingle->minhash->band->bucket-join; rows-only check, estimator
+    accuracy property-tested in pytest)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = near_duplicates(corpus, MinHashConfig(), threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection (16-bit-block LSH, hamming<=3)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    sigs = minhash_fingerprints(corpus, MinHashConfig())
+    return simhash_near_duplicates(sigs, max_hamming=3).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def q_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-lag alignment: each doc's rms series vs itself shifted
+    by 3 frames -> xcorr lag (hybrid DTW fallback on low confidence).
+    Rows-only; kernel correctness golden-tested in pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = frame_features_arrow(
+        to_token_length_table(docs), FrameConfig(window=16, hop=4)
+    )
+    series = build_doc_series(feats, "rms_energy")
+    pairs = series.where(F.size("series") >= 12).select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("series").alias("series_a"),
+        F.slice(F.col("series"), 4, F.size("series") - 3).alias("series_b"),
+    )
+    out = align_pairs(pairs, AlignmentConfig(max_lag=8))
+    return out.select(
+        "pair_id", "lag", "method", F.round("confidence", 6).alias("confidence")
+    )
+
+
+def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fingerprint comparison + FindBestMatches top-3
+    (comparison.go:133-263; rows-only)."""
+    toks = to_token_table(_t(spark, sf_dir, "documents"))
+    feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8))
+    stats = doc_stats(feats)
+    sigs = minhash_fingerprints(toks, MinHashConfig()).select("doc_id", "minhash")
+    fps = stats.join(sigs, "doc_id")
+    out = compare_topk(fps, fps, k=3)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "match_id",
+        F.round("similarity", 6).alias("similarity"),
+        "match_class",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -291,6 +457,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_lineitem": q_percentiles_lineitem,
         "embedding_knn": q_embedding_knn,
         "frame_energy": q_frame_energy,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "text_quality": q_text_quality,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "align_pairs": q_align_pairs,
+        "compare_topk": q_compare_topk,
     }
 
 
@@ -423,6 +596,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rk::INT AS rank, neighbor_id,
                    round(sim, 6) AS cosine_sim
             FROM r WHERE rk <= 5
+        """,
+        "ngram_jaccard": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(
+                         len(string_split_regex(trim(text), '\s+')) - 3, 1)),
+                       i -> array_to_string(
+                         string_split_regex(trim(text), '\s+')[i:i+3], ' ')
+                     )) AS sh
+              FROM documents
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+              FROM t a JOIN t b
+                ON a.source = b.source AND a.doc_id != b.doc_id
+            ),
+            r AS (
+              SELECT doc_a, doc_b, j,
+                     row_number() OVER (PARTITION BY doc_a
+                       ORDER BY j DESC, doc_b ASC) AS rk
+              FROM p
+            )
+            SELECT doc_a, doc_b AS nn_doc, round(j, 6) AS jaccard
+            FROM r WHERE rk = 1
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                     AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "text_quality": r"""
+            WITH d AS (
+              SELECT source,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS alpha,
+                     length(trim(text))::DOUBLE
+                       / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+                       AS wl
+              FROM documents
+            ),
+            q AS (
+              SELECT source, alpha, wl,
+                     0.4 * alpha
+                     + 0.4 * (CASE WHEN wl >= 3.0 AND wl <= 10.0
+                              THEN 1.0 ELSE 0.5 END)
+                     + 0.2 * 0.0 AS q
+              FROM d
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(avg(alpha), 6) AS avg_alpha_ratio,
+                   round(avg(wl), 6) AS avg_word_len,
+                   round(avg(q), 6) AS avg_quality
+            FROM q GROUP BY 1
         """,
         "frame_energy": r"""
             WITH toks AS (

@@ -262,6 +262,110 @@ def percentile_r6(x: np.ndarray, p: float) -> float:
 # ---------------------------------------------------------------- minhash
 
 _MERSENNE = (1 << 61) - 1
+_POLY_BASE = np.int64(1_000_003)
+
+
+def shingle_hashes_flat(
+    flat: np.ndarray, doc_lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Polynomial rolling hashes of every k-token shingle for a BATCH
+    of docs given concatenated token values (multiset — duplicates
+    kept; min/sum sketches are duplicate-insensitive where needed).
+
+    Docs with fewer than k tokens get one shingle padded with -1
+    (matches sonar_spark.kernels.shingle_hashes semantics).
+    Returns (hashes int64, shingles-per-doc int64)."""
+    t = np.asarray(flat, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    short = doc_lens < k
+    if short.any():
+        # pad short docs to k with -1 (rare path, per-doc)
+        parts = []
+        off = 0
+        for n in doc_lens:
+            seg = t[off : off + n]
+            if n < k:
+                seg = np.concatenate([seg, np.full(k - n, -1, dtype=np.int64)])
+            parts.append(seg)
+            off += n
+        t = np.concatenate(parts) if parts else t
+        doc_lens = np.maximum(doc_lens, k)
+    starts, doc_ns = flat_frame_starts(doc_lens, k, 1)
+    n = len(t)
+    with np.errstate(over="ignore"):
+        H = np.zeros(n - k + 1, dtype=np.int64)
+        for j in range(k):
+            H = H * _POLY_BASE + t[j : n - k + 1 + j]
+    return H[starts], doc_ns
+
+
+def minhash_batch(
+    flat: np.ndarray,
+    doc_lens: np.ndarray,
+    k: int,
+    num_hashes: int,
+    seed: int,
+) -> np.ndarray:
+    """MinHash signatures for a batch of docs: (n_docs, num_hashes)
+    int64. min over a multiset equals min over the set, so no
+    per-doc dedup pass is needed. Vectorized: one (a*x+b) mod p pass
+    + one minimum.reduceat per hash function."""
+    sh, doc_ns = shingle_hashes_flat(flat, doc_lens, k)
+    a, b = _hash_params(num_hashes, seed)
+    n_docs = len(doc_ns)
+    sig = np.full((n_docs, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    if len(sh) == 0:
+        return sig
+    pos = (sh % _MERSENNE).astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(doc_ns)[:-1]))
+    nonempty = doc_ns > 0
+    red_off = offsets[nonempty]
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
+    M = np.uint64(_MERSENNE)
+    for h in range(num_hashes):
+        hv = (au[h] * pos + bu[h]) % M
+        mins = np.minimum.reduceat(hv.astype(np.int64), red_off)
+        sig[nonempty, h] = mins
+    return sig
+
+
+def simhash_batch(
+    flat: np.ndarray, doc_lens: np.ndarray, k: int
+) -> np.ndarray:
+    """64-bit SimHash per doc over k-token shingle hashes (Charikar):
+    bit b of the signature = majority vote of bit b across shingle
+    hashes. Returns int64[n_docs] (bit 63 kept zero to stay in
+    non-negative int64 range for SQL friendliness)."""
+    sh, doc_ns = shingle_hashes_flat(flat, doc_lens, k)
+    n_docs = len(doc_ns)
+    out = np.zeros(n_docs, dtype=np.int64)
+    if len(sh) == 0:
+        return out
+    u = sh.astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(doc_ns)[:-1]))
+    nonempty = doc_ns > 0
+    red_off = offsets[nonempty]
+    half = doc_ns[nonempty].astype(np.float64) / 2.0
+    for bit in range(63):
+        ones = np.add.reduceat(
+            ((u >> np.uint64(bit)) & np.uint64(1)).astype(np.int64), red_off
+        )
+        out[nonempty] |= (ones > half).astype(np.int64) << np.int64(bit)
+    return out
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """LSH band keys: (n_docs, bands) int64, polynomial hash of each
+    band's rows (sig must have num_hashes % bands == 0)."""
+    n_docs, num_hashes = sig.shape
+    r = num_hashes // bands
+    # band i covers sig[:, i*r:(i+1)*r]
+    bh = np.zeros((n_docs, bands), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            bh = bh * _POLY_BASE + sig[:, np.arange(bands) * r + j]
+    return bh
 
 
 def _hash_params(num_hashes: int, seed: int):
@@ -321,6 +425,9 @@ def xcorr_normalized(a: np.ndarray, b: np.ndarray, max_lag: int,
     z-normalized inputs — the zero-normalized CC of
     stats/correlation.go:373-418. Method auto-switches to FFT above
     fft_threshold samples (stats/correlation.go:140-142).
+
+    Sign convention: the peak sits at POSITIVE lag L when b is
+    DELAYED by L relative to a (b[t] = a[t-L]).
     Returns (lags, corr)."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)

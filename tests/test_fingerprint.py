@@ -1,0 +1,131 @@
+"""MinHash/SimHash/LSH: estimator accuracy vs exact Jaccard (oracle),
+planted near-duplicates recovered end-to-end, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sonar_spark import kernels, oracle
+from sonar_spark.config import MinHashConfig
+from sonar_spark.operators.fingerprint import (
+    lsh_candidate_pairs,
+    minhash_fingerprints,
+    near_duplicates,
+    simhash_near_duplicates,
+)
+
+CFG = MinHashConfig(k_shingle=4, num_hashes=128, bands=32, seed=42)
+
+
+def _shingle_set(tokens, k=4):
+    t = list(tokens)
+    if len(t) < k:
+        t = t + [-1] * (k - len(t))
+    out = set()
+    B = 1_000_003
+    for i in range(len(t) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * B + int(t[i + j])) % (1 << 63)  # py ints; engine wraps int64
+        out.add(h)
+    return out
+
+
+def test_minhash_estimates_jaccard():
+    """MinHash signature agreement ~ exact shingle Jaccard within
+    binomial-error bounds (distance.go:198-216 estimand)."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 1000, size=400).astype(np.int64)
+    for mut_rate in (0.0, 0.05, 0.2, 0.6):
+        other = base.copy()
+        idx = rng.random(len(other)) < mut_rate
+        other[idx] = rng.integers(1000, 2000, size=int(idx.sum()))
+        flat = np.concatenate([base, other])
+        lens = np.array([len(base), len(other)])
+        sig = kernels.minhash_batch(flat, lens, 4, 256, 42)
+        est = (sig[0] == sig[1]).mean()
+        sh_a, _ = kernels.shingle_hashes_flat(base, np.array([len(base)]), 4)
+        sh_b, _ = kernels.shingle_hashes_flat(other, np.array([len(other)]), 4)
+        exact = oracle.jaccard_exact(sh_a.tolist(), sh_b.tolist())
+        # 256 hashes: std err = sqrt(j(1-j)/256) <= 0.032; 4 sigma
+        assert abs(est - exact) < 0.13, (mut_rate, est, exact)
+
+
+def test_minhash_identical_and_disjoint():
+    a = np.arange(100, dtype=np.int64)
+    b = np.arange(1000, 1100, dtype=np.int64)
+    sig = kernels.minhash_batch(
+        np.concatenate([a, a, b]), np.array([100, 100, 100]), 4, 64, 42
+    )
+    assert (sig[0] == sig[1]).all()  # identical docs -> identical sigs
+    assert (sig[0] == sig[2]).mean() < 0.2  # disjoint -> near-zero agreement
+
+
+def test_simhash_close_for_near_dup():
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1000, size=500).astype(np.int64)
+    near = base.copy()
+    near[::50] = 7777  # 2% mutation
+    far = rng.integers(0, 1000, size=500).astype(np.int64)
+    sim = kernels.simhash_batch(
+        np.concatenate([base, near, far]), np.array([500, 500, 500]), 4
+    )
+    ham_near = bin(int(sim[0]) ^ int(sim[1])).count("1")
+    ham_far = bin(int(sim[0]) ^ int(sim[2])).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 10
+
+
+def _planted_docs(spark, n=40):
+    """n base docs + near-dup copies of docs 0..4 (ids 1000+i)."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(n):
+        toks = rng.integers(0, 5000, size=200, dtype=np.int64)
+        rows.append((f"d{i:04d}", [int(x) for x in toks], 200, "web"))
+        if i < 5:
+            dup = toks.copy()
+            dup[::40] = 4999  # 2.5% mutation -> jaccard ~0.85
+            rows.append((f"d{1000+i:04d}", [int(x) for x in dup], 200, "web"))
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_lsh_recovers_planted_neardups(spark):
+    df = _planted_docs(spark)
+    pairs = near_duplicates(df, CFG, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    want = {(f"d{i:04d}", f"d{1000+i:04d}") for i in range(5)}
+    assert want <= got, got
+    # no false positives among unrelated docs at this threshold
+    assert got == want, got
+
+
+def test_simhash_near_duplicates_spark(spark):
+    """Recall guarantee: every pair within hamming<=3 shares one of 4
+    identical 16-bit blocks (pigeonhole), so block-LSH must find it."""
+    df = _planted_docs(spark)
+    sigs = minhash_fingerprints(df, CFG)
+    sims = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    want = set()
+    for i in range(5):
+        a, b = f"d{i:04d}", f"d{1000+i:04d}"
+        if bin(sims[a] ^ sims[b]).count("1") <= 3:
+            want.add((a, b))
+    pairs = simhash_near_duplicates(sigs, max_hamming=3).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert want <= got
+    for r in pairs:  # precision of the hamming column itself
+        assert bin(sims[r["doc_a"]] ^ sims[r["doc_b"]]).count("1") == r["hamming"]
+
+
+def test_fingerprints_deterministic(spark):
+    df = _planted_docs(spark)
+    a = {r["doc_id"]: (list(r["minhash"]), r["simhash"])
+         for r in minhash_fingerprints(df.repartition(1), CFG).collect()}
+    b = {r["doc_id"]: (list(r["minhash"]), r["simhash"])
+         for r in minhash_fingerprints(df.repartition(5), CFG).collect()}
+    assert a == b
