@@ -1,0 +1,149 @@
+"""Resumable featurize pipeline with per-partition lineage + metrics
+(north_rule: "resumable from checkpoint with per-partition lineage
+and metrics"; SURVEY §4.4).
+
+Unit of resume = a doc-hash bucket: bucket(doc_id) = pmod(xxhash64(
+doc_id), n_buckets). Each bucket is processed by one Spark job whose
+output is written to <out>/bucket=<i>/ followed by a write-once
+marker + metrics record under <out>/_lineage/. A re-run skips every
+bucket whose marker exists — killed runs resume where they stopped,
+and reprocessing a completed bucket is a no-op (idempotent: the
+bucket's output is overwritten atomically before the marker lands).
+
+On real infra the marker/commit would be an Iceberg snapshot commit
+per partition; the filesystem marker reproduces the semantics in the
+sandbox (write temp + atomic rename).
+
+Determinism: bucket membership is a pure function of doc_id, and the
+featurize kernel is deterministic, so output bytes are independent
+of executor count / task order (verified in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import FrameConfig
+from ..operators.features import frame_features_arrow
+
+
+def bucket_of(doc_id_col, n_buckets: int):
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets))
+
+
+@dataclass
+class BucketResult:
+    bucket: int
+    skipped: bool
+    rows_in: int = 0
+    rows_out: int = 0
+    wall_sec: float = 0.0
+
+
+class FeaturizeJob:
+    """Resumable: featurize(token table) -> per-frame feature parquet,
+    one doc-hash bucket at a time with lineage markers."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        n_buckets: int = 16,
+        frame_cfg: FrameConfig = FrameConfig(),
+    ):
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+        self.frame_cfg = frame_cfg
+        self.lineage_dir = os.path.join(out_dir, "_lineage")
+
+    # ---------------------------------------------------- lineage I/O
+
+    def _marker(self, bucket: int) -> str:
+        return os.path.join(self.lineage_dir, f"bucket_{bucket:05d}.json")
+
+    def is_done(self, bucket: int) -> bool:
+        return os.path.exists(self._marker(bucket))
+
+    def completed_buckets(self) -> list[int]:
+        if not os.path.isdir(self.lineage_dir):
+            return []
+        out = []
+        for f in os.listdir(self.lineage_dir):
+            if f.startswith("bucket_") and f.endswith(".json"):
+                out.append(int(f[len("bucket_"):-len(".json")]))
+        return sorted(out)
+
+    def _commit(self, res: BucketResult, extra: dict | None = None) -> None:
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        rec = {
+            "bucket": res.bucket,
+            "rows_in": res.rows_in,
+            "rows_out": res.rows_out,
+            "wall_sec": round(res.wall_sec, 3),
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            **(extra or {}),
+        }
+        tmp = self._marker(res.bucket) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._marker(res.bucket))  # write-once, atomic
+
+    def metrics(self) -> list[dict]:
+        return [
+            json.load(open(self._marker(b))) for b in self.completed_buckets()
+        ]
+
+    # ------------------------------------------------------------ run
+
+    def run(
+        self,
+        tokens: DataFrame,
+        *,
+        fail_after: int | None = None,
+    ) -> list[BucketResult]:
+        """Process every incomplete bucket; returns per-bucket results.
+        fail_after=k injects a crash after k buckets (resume tests)."""
+        results: list[BucketResult] = []
+        processed = 0
+        with_bucket = tokens.withColumn(
+            "__bucket", bucket_of(F.col("doc_id"), self.n_buckets)
+        )
+        for b in range(self.n_buckets):
+            if self.is_done(b):
+                results.append(BucketResult(bucket=b, skipped=True))
+                continue
+            t0 = time.time()
+            part = with_bucket.where(F.col("__bucket") == b).drop("__bucket")
+            feats = frame_features_arrow(part, self.frame_cfg)
+            path = os.path.join(self.out_dir, f"bucket={b}")
+            feats.write.mode("overwrite").parquet(path)
+            # counts from the written files (exactly what downstream sees)
+            spark = tokens.sparkSession
+            rows_out = spark.read.parquet(path).count()
+            rows_in = part.count()
+            res = BucketResult(
+                bucket=b,
+                skipped=False,
+                rows_in=rows_in,
+                rows_out=rows_out,
+                wall_sec=time.time() - t0,
+            )
+            self._commit(
+                res,
+                {"window": self.frame_cfg.window, "hop": self.frame_cfg.hop},
+            )
+            results.append(res)
+            processed += 1
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(f"injected failure after {processed} buckets")
+        return results
+
+    def read_output(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.out_dir).parquet(
+            os.path.join(self.out_dir, "bucket=*")
+        )
