@@ -445,6 +445,202 @@ def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization of event values (SURVEY §2.4,
+    normalization.go:33-72) + robust variant."""
+    from sonar_spark.operators.normalize import normalize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z = normalize(ev, "value", "zscore", group="user_id", out_col="z")
+    r = normalize(z, "value", "robust", group="user_id", out_col="rb")
+    return r.select(
+        "event_id",
+        "user_id",
+        F.round("z", 6).alias("zscore"),
+        F.round("rb", 6).alias("robust"),
+    )
+
+
+def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered moving average + median over each user's event values
+    (math.go:140-209)."""
+    from sonar_spark.operators.normalize import median_filter, moving_average
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts_sec", F.unix_timestamp("ts"))
+        .select("event_id", "user_id", "ts_sec", "value")
+    )
+    ma = moving_average(ev, "value", k=2, group="user_id",
+                        order=["ts_sec", "event_id"], out_col="ma")
+    md = median_filter(ma, "value", k=2, group="user_id",
+                       order=["ts_sec", "event_id"], out_col="med")
+    return md.select(
+        "event_id",
+        F.round("ma", 6).alias("moving_avg"),
+        F.round("med", 6).alias("moving_med"),
+    )
+
+
+def _doc_frame_rms(spark: SparkSession, sf_dir: str, W: int = 16, H: int = 4):
+    docs = _t(spark, sf_dir, "documents")
+    feats = frame_features_arrow(
+        to_token_length_table(docs), FrameConfig(window=W, hop=H)
+    )
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "frame_idx", "rms_energy",
+        "flux",
+    )
+
+
+def q_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length silence segments: frames with rms below the per-doc
+    mean grouped into runs >= 2 (DetectSilence run grouping,
+    silence_detection.go:44-75)."""
+    from sonar_spark.operators.sessionize import detect_silence
+
+    rms = _doc_frame_rms(spark, sf_dir)
+    stats = rms.groupBy("doc_id").agg(F.avg("rms_energy").alias("__mu"))
+    flagged = rms.join(F.broadcast(stats), "doc_id")
+    segs = detect_silence(
+        flagged,
+        key="doc_id",
+        order="frame_idx",
+        energy="rms_energy",
+        threshold=F.col("__mu"),
+        min_run=2,
+    )
+    return segs.select("doc_id", "seg_start", "seg_end", "run_len")
+
+
+def q_onsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onset detection: local maxima of frame rms above 1.5x per-doc
+    mean (DetectOnsetsEnergy + peak picker, onset_detection.go:59-94,
+    energy.go:228-247)."""
+    from sonar_spark.operators.sessionize import detect_onsets
+
+    rms = _doc_frame_rms(spark, sf_dir)
+    on = detect_onsets(
+        rms,
+        key="doc_id",
+        order="frame_idx",
+        signal="rms_energy",
+        threshold_scale=1.05,
+        min_interval=1,
+    )
+    return on.select(
+        "doc_id", "frame_idx", F.round("rms_energy", 6).alias("rms_energy")
+    )
+
+
+def q_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-function family over embedding pairs (SURVEY §2.7,
+    distance.go): euclidean/manhattan/chebyshev/dot/cosine."""
+    from sonar_spark.functions import arrays as A
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    p = a.join(b, F.col("id_a") < F.col("id_b"))
+    return p.select(
+        "id_a",
+        "id_b",
+        F.round(A.euclidean(F.col("va"), F.col("vb")), 6).alias("euclidean"),
+        F.round(A.manhattan(F.col("va"), F.col("vb")), 6).alias("manhattan"),
+        F.round(A.chebyshev(F.col("va"), F.col("vb")), 6).alias("chebyshev"),
+        F.round(A.dot(F.col("va"), F.col("vb")), 6).alias("dot"),
+        F.round(A.cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+
+
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear regression + correlation/covariance scalars
+    per group (math.go:211-263)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("pearson"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias(
+            "covar"
+        ),
+    )
+
+
+def q_entropy_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of event values per event_type via fixed-width
+    16-bin histogram (entropy.go:165-368,515-526): two-pass
+    (min/max agg -> bin counts -> -sum p log2 p)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    j = ev.join(F.broadcast(mm), "event_type")
+    binc = F.least(
+        F.floor(
+            (F.col("value") - F.col("__lo"))
+            / ((F.col("__hi") - F.col("__lo")) / 16)
+        ),
+        F.lit(15),
+    )
+    counts = j.groupBy("event_type", binc.alias("bin")).agg(
+        F.count("*").alias("c")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    pc = counts.join(tot, "event_type").withColumn(
+        "plogp",
+        (F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n")),
+    )
+    return pc.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(-F.sum("plogp"), 6).alias("entropy"),
+    )
+
+
+def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-score content classification (content_detector.go:156-221
+    shape): additive feature scores per class, argmax, confidence =
+    score/6."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = n_tokens(F.col("text")).cast("double")
+    wl = F.length(F.trim(F.col("text"))).cast("double") / F.greatest(
+        nt, F.lit(1.0)
+    )
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast(
+        "double"
+    )
+    score_news = (
+        F.when(nt > 60, 2.0).otherwise(0.0)
+        + F.when(wl < 5.5, 1.0).otherwise(0.0)
+        + F.when(digits > 0, 1.0).otherwise(0.0)
+    )
+    score_code = (
+        F.when(wl >= 5.5, 2.0).otherwise(0.0)
+        + F.when(nt <= 60, 1.0).otherwise(0.0)
+    )
+    score_talk = (
+        F.when((nt > 30) & (nt <= 60), 2.0).otherwise(0.0)
+        + F.when((wl >= 5.0) & (wl < 6.0), 1.0).otherwise(0.0)
+    )
+    best = F.greatest(score_news, score_code, score_talk)
+    cls = (
+        F.when(score_news == best, "news")
+        .when(score_code == best, "code")
+        .otherwise("talk")
+    )
+    return docs.select(
+        "doc_id",
+        cls.alias("detected_type"),
+        F.round(best / 6.0, 6).alias("confidence"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -464,6 +660,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "align_pairs": q_align_pairs,
         "compare_topk": q_compare_topk,
+        "normalize_zscore": q_normalize_zscore,
+        "moving_stats": q_moving_stats,
+        "silence_segments": q_silence_segments,
+        "onsets": q_onsets,
+        "distances": q_distances,
+        "linreg": q_linreg,
+        "entropy_hist": q_entropy_hist,
+        "content_type": q_content_type,
     }
 
 
@@ -596,6 +800,203 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rk::INT AS rank, neighbor_id,
                    round(sim, 6) AS cosine_sim
             FROM r WHERE rk <= 5
+        """,
+        "normalize_zscore": """
+            WITH s AS (
+              SELECT user_id,
+                     avg(value) AS m, stddev_pop(value) AS sd,
+                     quantile_cont(value, 0.5) AS med,
+                     quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+                       AS iqr
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id,
+                   round(CASE WHEN s.sd > 0 THEN (e.value - s.m) / s.sd
+                         ELSE 0.0 END, 6) AS zscore,
+                   round(CASE WHEN s.iqr > 0 THEN (e.value - s.med) / s.iqr
+                         ELSE 0.0 END, 6) AS robust
+            FROM events e JOIN s USING (user_id)
+        """,
+        "moving_stats": """
+            WITH e AS (
+              SELECT event_id, user_id, value,
+                     floor(epoch(ts))::BIGINT AS ts_sec
+              FROM events
+            )
+            SELECT event_id,
+                   round(avg(value) OVER w, 6) AS moving_avg,
+                   round(quantile_cont(value, 0.5) OVER w, 6) AS moving_med
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        """,
+        "silence_segments": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx, rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            mu AS (SELECT doc_id, avg(rms) AS m FROM fr GROUP BY 1),
+            fl AS (
+              SELECT fr.doc_id, frame_idx,
+                     CASE WHEN rms < m THEN 1 ELSE 0 END AS sil
+              FROM fr JOIN mu ON fr.doc_id = mu.doc_id
+            ),
+            seg AS (
+              SELECT doc_id, frame_idx, sil,
+                     sum(CASE WHEN prev IS NULL OR sil != prev THEN 1
+                         ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY frame_idx
+                             ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM (
+                SELECT doc_id, frame_idx, sil,
+                       lag(sil) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                         AS prev
+                FROM fl
+              )
+            )
+            SELECT doc_id, min(frame_idx) AS seg_start,
+                   max(frame_idx) AS seg_end, count(*) AS run_len
+            FROM seg WHERE sil = 1
+            GROUP BY doc_id, seg_id HAVING count(*) >= 2
+        """,
+        "onsets": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx, rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            x AS (
+              SELECT doc_id, frame_idx, rms,
+                     lag(rms) OVER dw AS prv,
+                     lead(rms) OVER dw AS nxt,
+                     1.05 * avg(rms) OVER (PARTITION BY doc_id) AS thr
+              FROM fr
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY frame_idx)
+            )
+            SELECT doc_id, frame_idx, round(rms, 6) AS rms_energy
+            FROM x
+            WHERE rms > prv AND rms >= coalesce(nxt, -1e308) AND rms > thr
+        """,
+        "distances": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 20 AND b.vec_id < 20
+            ),
+            u AS (
+              SELECT id_a, id_b, unnest(va) AS x, unnest(vb) AS y FROM p
+            ),
+            d AS (
+              SELECT id_a, id_b,
+                     sqrt(sum((x - y) * (x - y))) AS euclidean,
+                     sum(abs(x - y)) AS manhattan,
+                     max(abs(x - y)) AS chebyshev,
+                     sum(x * y) AS dot,
+                     sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                       AS cos_sim
+              FROM u GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(euclidean, 6) AS euclidean,
+                   round(manhattan, 6) AS manhattan,
+                   round(chebyshev, 6) AS chebyshev,
+                   round(dot, 6) AS dot,
+                   round(cos_sim, 6) AS cosine_sim
+            FROM d
+        """,
+        "linreg": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   round(corr(l_extendedprice, l_quantity), 6) AS pearson,
+                   round(covar_samp(l_extendedprice, l_quantity), 6) AS covar
+            FROM lineitem GROUP BY 1
+        """,
+        "entropy_hist": """
+            WITH mm AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi
+              FROM events GROUP BY 1
+            ),
+            b AS (
+              SELECT e.event_type,
+                     least(floor((e.value - mm.lo) / ((mm.hi - mm.lo) / 16)),
+                           15) AS bin
+              FROM events e JOIN mm USING (event_type)
+            ),
+            c AS (
+              SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT event_type, sum(c)::BIGINT AS n FROM c GROUP BY 1
+            )
+            SELECT c.event_type, max(t.n) AS n,
+                   round(-sum((c.c::DOUBLE / t.n) * log2(c.c::DOUBLE / t.n)),
+                         6) AS entropy
+            FROM c JOIN t USING (event_type)
+            GROUP BY 1
+        """,
+        "content_type": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+'))::DOUBLE AS nt,
+                     length(trim(text))::DOUBLE
+                       / greatest(len(string_split_regex(trim(text), '\s+')),
+                                  1) AS wl,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                       AS digits
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     (CASE WHEN nt > 60 THEN 2.0 ELSE 0.0 END
+                      + CASE WHEN wl < 5.5 THEN 1.0 ELSE 0.0 END
+                      + CASE WHEN digits > 0 THEN 1.0 ELSE 0.0 END) AS sn,
+                     (CASE WHEN wl >= 5.5 THEN 2.0 ELSE 0.0 END
+                      + CASE WHEN nt <= 60 THEN 1.0 ELSE 0.0 END) AS sc,
+                     (CASE WHEN nt > 30 AND nt <= 60 THEN 2.0 ELSE 0.0 END
+                      + CASE WHEN wl >= 5.0 AND wl < 6.0 THEN 1.0
+                        ELSE 0.0 END) AS st
+              FROM d
+            )
+            SELECT doc_id,
+                   CASE WHEN sn = greatest(sn, sc, st) THEN 'news'
+                        WHEN sc = greatest(sn, sc, st) THEN 'code'
+                        ELSE 'talk' END AS detected_type,
+                   round(greatest(sn, sc, st) / 6.0, 6) AS confidence
+            FROM s
         """,
         "ngram_jaccard": r"""
             WITH t AS (
