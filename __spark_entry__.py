@@ -641,6 +641,43 @@ def q_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with exhaustive probing (n_probe = n_centroids): must
+    equal brute-force cosine top-k — machinery correctness gate; the
+    pruned-probe recall path is property-tested in pytest."""
+    from sonar_spark.operators.ann import ivf_assign, ivf_search, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, seed=42)
+    index = ivf_assign(emb, cents)
+    qs = emb.where(F.col("vec_id") < 8)
+    out = ivf_search(index, qs, cents, k=5, n_probe=8)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns -> checksum gate -> stub decode ->
+    features (rows-only; plumbing tested in pytest)."""
+    from sonar_spark.operators.multimodal import media_features, synth_media_table
+
+    media = synth_media_table(spark, 64)
+    out = media_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "ok",
+        "n_values",
+        F.round("mean", 6).alias("mean"),
+        F.round("rms", 6).alias("rms"),
+        "n_frames",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -668,10 +705,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linreg": q_linreg,
         "entropy_hist": q_entropy_hist,
         "content_type": q_content_type,
+        "ivf_knn": q_ivf_knn,
+        "multimodal": q_multimodal,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+_KNN_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    p AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+      FROM q, embeddings e WHERE e.vec_id != query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM p
+    )
+    SELECT query_id, rk::INT AS rank, neighbor_id,
+           round(sim, 6) AS cosine_sim
+    FROM r WHERE rk <= 5
+"""
 
 _ASOF_SQL = """
 WITH e AS (
@@ -781,26 +841,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN q USING (l_returnflag)
             GROUP BY 1
         """,
-        "embedding_knn": """
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-              FROM embeddings WHERE vec_id < 8
-            ),
-            p AS (
-              SELECT query_id, e.vec_id AS neighbor_id,
-                     list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
-              FROM q, embeddings e WHERE e.vec_id != query_id
-            ),
-            r AS (
-              SELECT query_id, neighbor_id, sim,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY sim DESC, neighbor_id ASC) AS rk
-              FROM p
-            )
-            SELECT query_id, rk::INT AS rank, neighbor_id,
-                   round(sim, 6) AS cosine_sim
-            FROM r WHERE rk <= 5
-        """,
+        "embedding_knn": _KNN_SQL,
+        "ivf_knn": _KNN_SQL,
         "normalize_zscore": """
             WITH s AS (
               SELECT user_id,

@@ -1,0 +1,188 @@
+"""Approximate nearest-neighbor search over embedding columns:
+IVF (inverted-file) index — k-means coarse quantizer + bucketed
+candidate probing (SURVEY training-data-pipeline surface; the scale
+path over the knn_bruteforce baseline in operators.topk; k-means
+per reference algorithms/stats/clustering.go:156-330, seeded like its
+seed-42 default :117-120).
+
+Physical design at 10^12 rows:
+- the coarse quantizer is trained driver-side on a bounded SAMPLE
+  (deterministic takeSample analog), then broadcast — centroids are
+  tiny (n_centroids x dim floats);
+- assignment is a narrow mapInArrow pass (argmax of dot products
+  against the broadcast centroid matrix);
+- the index table is written bucketed by centroid_id, so a query
+  probing n_probe buckets scans only those partitions (partition
+  pruning);
+- search: queries x probed buckets equi-join on centroid_id then
+  in-bucket brute force + per-query top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_similarity
+from .topk import topk_per_group
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n > 0, n, 1.0)
+
+
+def train_centroids(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    sample: int = 10000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic sample (orderBy id, limit):
+    returns (n_centroids, dim) float64 unit vectors. Lloyd iterations
+    with empty-cluster re-seeding; deterministic for a fixed seed
+    (clustering.go:117-120 seed-42 precedent)."""
+    pdf = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
+    X = _normalize_rows(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(n_iter):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        newC = np.zeros_like(C)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members) == 0:
+                newC[j] = X[rng.integers(0, len(X))]
+            else:
+                newC[j] = members.mean(axis=0)
+        C = _normalize_rows(newC)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine):
+    (id, centroid_id, embedding). Narrow mapInArrow pass against the
+    broadcast centroid matrix."""
+    C = centroids.astype(np.float64)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        Cl = bc.value
+        for batch in batches:
+            vec = batch.column(batch.schema.get_field_index(vec_col))
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            X = np.array(vec.to_pylist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            Xn = _normalize_rows(X)
+            assign = (Xn @ Cl.T).argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(assign), vec],
+                names=[id_col, "centroid_id", vec_col],
+            )
+
+    vec_type = dict(emb.dtypes)[vec_col]
+    id_type = dict(emb.dtypes)[id_col]
+    return emb.select(id_col, vec_col).mapInArrow(
+        gen, schema=f"{id_col} {id_type}, centroid_id int, {vec_col} {vec_type}"
+    )
+
+
+def ivf_search(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the n_probe nearest centroids per query, brute-force
+    within probed buckets, top-k by cosine. With n_probe ==
+    n_centroids this is exhaustive and must equal knn_bruteforce.
+
+    Output: query_id, rank, neighbor_id, cosine_sim."""
+    q_assign = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col)
+    # per-query probe list: top n_probe centroids by cosine — computed
+    # in the same Arrow pass pattern, emitted as (query, centroid) rows
+    C = centroids.astype(np.float64)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def probes(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        Cl = bc.value
+        npb = min(n_probe, len(Cl))
+        for batch in batches:
+            vec = batch.column(batch.schema.get_field_index(vec_col))
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            X = np.array(vec.to_pylist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            sims = _normalize_rows(X) @ Cl.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :npb].astype(
+                np.int32
+            )
+            n = len(X)
+            idx = np.repeat(np.arange(n), npb)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(ids, pa.array(idx)),
+                    pa.array(top.ravel()),
+                ],
+                names=["query_id", "centroid_id"],
+            )
+
+    id_type = dict(queries.dtypes)[id_col]
+    probe_df = queries.select(id_col, vec_col).mapInArrow(
+        probes, schema=f"query_id {id_type}, centroid_id int"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cand = (
+        probe_df.join(
+            index.select(
+                "centroid_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+            ),
+            "centroid_id",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .join(F.broadcast(qv), "query_id")
+    )
+    scored = cand.withColumn(
+        "cosine_sim", cosine_similarity(F.col("__qv"), F.col("__cv"))
+    ).select("query_id", "neighbor_id", "cosine_sim")
+    return topk_per_group(
+        scored,
+        "query_id",
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
