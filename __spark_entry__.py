@@ -678,6 +678,156 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments through order 6, Bowley + Pearson skew, CV, L-moments
+    (stats/moments.go:150-260,473-533,537-596): explicit two-pass
+    central moments (identical arithmetic in both engines — built-in
+    skewness()/kurtosis() differ between engines in bias correction)
+    and Hosking b0/b1/b2 L-moment estimators via rank weights."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    mu = ev.groupBy("event_type").agg(F.avg("value").alias("__mu"))
+    j = ev.join(F.broadcast(mu), "event_type")
+    d = F.col("value") - F.col("__mu")
+    base = j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("__mu").alias("__m"),
+        F.avg(d * d).alias("__m2"),
+        F.avg(d * d * d).alias("__m3"),
+        F.avg(d * d * d * d).alias("__m4"),
+        F.avg(F.pow(d, 5)).alias("__m5"),
+        F.avg(F.pow(d, 6)).alias("__m6"),
+        F.percentile("value", 0.25).alias("__q1"),
+        F.percentile("value", 0.5).alias("__q2"),
+        F.percentile("value", 0.75).alias("__q3"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("value")
+    cnt = F.count("*").over(W.partitionBy("event_type"))
+    i = F.row_number().over(w)
+    lmom = (
+        ev.withColumn("__i", i)
+        .withColumn("__n", cnt)
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("__b0"),
+            F.avg(
+                F.col("value") * (F.col("__i") - 1) / (F.col("__n") - 1)
+            ).alias("__b1"),
+            F.avg(
+                F.col("value")
+                * (F.col("__i") - 1)
+                * (F.col("__i") - 2)
+                / ((F.col("__n") - 1) * (F.col("__n") - 2))
+            ).alias("__b2"),
+        )
+    )
+    out = base.join(lmom, "event_type")
+    sd = F.sqrt(F.col("__m2"))
+    l2 = 2 * F.col("__b1") - F.col("__b0")
+    l3 = 6 * F.col("__b2") - 6 * F.col("__b1") + F.col("__b0")
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("__m"), 6).alias("mean"),
+        F.round(F.col("__m2"), 6).alias("m2"),
+        F.round(F.col("__m3") / F.pow(sd, 3), 6).alias("skew"),
+        F.round(F.col("__m4") / F.pow(F.col("__m2"), 2) - 3, 6).alias(
+            "kurt_excess"
+        ),
+        F.round(F.col("__m5") / F.pow(sd, 5), 6).alias("hyperskew"),
+        F.round(F.col("__m6") / F.pow(F.col("__m2"), 3), 6).alias("m6_std"),
+        F.round(
+            (F.col("__q3") + F.col("__q1") - 2 * F.col("__q2"))
+            / (F.col("__q3") - F.col("__q1")),
+            6,
+        ).alias("bowley_skew"),
+        F.round(3 * (F.col("__m") - F.col("__q2")) / sd, 6).alias(
+            "pearson_skew"
+        ),
+        F.round(sd / F.col("__m"), 6).alias("cv"),
+        F.round(l2, 6).alias("l2"),
+        F.round(l3 / l2, 6).alias("l_skew"),
+    )
+
+
+def q_dynamic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy family over per-doc frame rms: dynamic range in dB
+    (p95/p05 of frame rms, temporal/dynamic_range.go:21-84), crest
+    factor (:87-136), loudness range (p95-p10 of per-frame dB,
+    temporal/energy.go:157-225)."""
+    rms = _doc_frame_rms(spark, sf_dir)
+    loud = F.lit(10.0) * F.log10(
+        F.col("rms_energy") * F.col("rms_energy") + F.lit(1e-12)
+    )
+    d = rms.withColumn("__loud", loud)
+    out = d.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.percentile("rms_energy", 0.95).alias("__p95"),
+        F.percentile("rms_energy", 0.05).alias("__p05"),
+        F.max("rms_energy").alias("__pk"),
+        F.avg(F.col("rms_energy") * F.col("rms_energy")).alias("__ms"),
+        F.percentile("__loud", 0.95).alias("__l95"),
+        F.percentile("__loud", 0.10).alias("__l10"),
+    )
+    return out.select(
+        "doc_id",
+        "n_frames",
+        F.round(
+            F.lit(20.0) * F.log10(F.col("__p95") / F.col("__p05")), 6
+        ).alias("dynamic_range_db"),
+        F.round(F.col("__pk") / F.sqrt(F.col("__ms")), 6).alias("crest_factor"),
+        F.round(F.col("__l95") - F.col("__l10"), 6).alias("loudness_range"),
+    )
+
+
+def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank of order totalprice within customer
+    (stats/percentiles.go:609-622)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    pr = F.percent_rank().over(
+        W.partitionBy("o_custkey").orderBy("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.round(pr, 6).alias("pct_rank")
+    )
+
+
+def q_percentile_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's default R-6 percentile method (h = (n+1)p,
+    percentiles.go:235-256) vs R-7, both via explicit rank+interp
+    expressions — identical construction in the SQL oracle."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    r = li.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(W.partitionBy("l_returnflag"))
+    )
+
+    def pick(h):
+        k = F.floor(h)
+        frac = h - k
+        lo = F.max(F.when(F.col("__rk") == k, F.col("l_extendedprice")))
+        hi = F.max(F.when(F.col("__rk") == k + 1, F.col("l_extendedprice")))
+        return lo + frac * (hi - lo)
+
+    p = 0.9
+    h6 = (F.col("__n") + 1) * p
+    h7 = (F.col("__n") - 1) * p + 1
+    g = r.groupBy("l_returnflag", "__n").agg(
+        pick(h6).alias("__r6"), pick(h7).alias("__r7")
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("__n").alias("n"),
+        F.round("__r6", 6).alias("p90_r6"),
+        F.round("__r7", 6).alias("p90_r7"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -707,6 +857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type": q_content_type,
         "ivf_knn": q_ivf_knn,
         "multimodal": q_multimodal,
+        "moments": q_moments,
+        "dynamic_range": q_dynamic_range,
+        "percentile_rank": q_percentile_rank,
+        "percentile_r6": q_percentile_r6,
     }
 
 
@@ -843,6 +997,117 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn": _KNN_SQL,
         "ivf_knn": _KNN_SQL,
+        "moments": """
+            WITH mu AS (
+              SELECT event_type, avg(value) AS m FROM events GROUP BY 1
+            ),
+            base AS (
+              SELECT e.event_type, count(*) AS n, min(mu.m) AS m,
+                     avg((value - mu.m) ^ 2) AS m2,
+                     avg((value - mu.m) ^ 3) AS m3,
+                     avg((value - mu.m) ^ 4) AS m4,
+                     avg((value - mu.m) ^ 5) AS m5,
+                     avg((value - mu.m) ^ 6) AS m6,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.5) AS q2,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events e JOIN mu USING (event_type) GROUP BY 1
+            ),
+            rk AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS i,
+                     count(*) OVER (PARTITION BY event_type) AS nn
+              FROM events
+            ),
+            lm AS (
+              SELECT event_type, avg(value) AS b0,
+                     avg(value * (i - 1) / (nn - 1)) AS b1,
+                     avg(value * (i - 1) * (i - 2)
+                         / ((nn - 1) * (nn - 2))) AS b2
+              FROM rk GROUP BY 1
+            )
+            SELECT b.event_type, b.n,
+                   round(b.m, 6) AS mean,
+                   round(b.m2, 6) AS m2,
+                   round(b.m3 / sqrt(b.m2) ^ 3, 6) AS skew,
+                   round(b.m4 / b.m2 ^ 2 - 3, 6) AS kurt_excess,
+                   round(b.m5 / sqrt(b.m2) ^ 5, 6) AS hyperskew,
+                   round(b.m6 / b.m2 ^ 3, 6) AS m6_std,
+                   round((b.q3 + b.q1 - 2 * b.q2) / (b.q3 - b.q1), 6)
+                     AS bowley_skew,
+                   round(3 * (b.m - b.q2) / sqrt(b.m2), 6) AS pearson_skew,
+                   round(sqrt(b.m2) / b.m, 6) AS cv,
+                   round(2 * lm.b1 - lm.b0, 6) AS l2,
+                   round((6 * lm.b2 - 6 * lm.b1 + lm.b0)
+                         / (2 * lm.b1 - lm.b0), 6) AS l_skew
+            FROM base b JOIN lm USING (event_type)
+        """,
+        "dynamic_range": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, rms,
+                     10.0 * log10(rms * rms + 1e-12) AS loud
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            )
+            SELECT doc_id, count(*) AS n_frames,
+                   round(20.0 * log10(quantile_cont(rms, 0.95)
+                                      / quantile_cont(rms, 0.05)), 6)
+                     AS dynamic_range_db,
+                   round(max(rms) / sqrt(avg(rms * rms)), 6) AS crest_factor,
+                   round(quantile_cont(loud, 0.95)
+                         - quantile_cont(loud, 0.10), 6) AS loudness_range
+            FROM fr GROUP BY 1
+        """,
+        "percentile_rank": """
+            SELECT o_orderkey, o_custkey,
+                   round(percent_rank() OVER (PARTITION BY o_custkey
+                                              ORDER BY o_totalprice), 6)
+                     AS pct_rank
+            FROM orders
+        """,
+        "percentile_r6": """
+            WITH r AS (
+              SELECT l_returnflag, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_extendedprice) AS rk,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem
+            ),
+            g AS (
+              SELECT l_returnflag, n,
+                     max(CASE WHEN rk = floor((n + 1) * 0.9)
+                         THEN l_extendedprice END) AS lo6,
+                     max(CASE WHEN rk = floor((n + 1) * 0.9) + 1
+                         THEN l_extendedprice END) AS hi6,
+                     max(CASE WHEN rk = floor((n - 1) * 0.9 + 1)
+                         THEN l_extendedprice END) AS lo7,
+                     max(CASE WHEN rk = floor((n - 1) * 0.9 + 1) + 1
+                         THEN l_extendedprice END) AS hi7
+              FROM r GROUP BY 1, 2
+            )
+            SELECT l_returnflag, n,
+                   round(lo6 + ((n + 1) * 0.9 - floor((n + 1) * 0.9))
+                         * (hi6 - lo6), 6) AS p90_r6,
+                   round(lo7 + ((n - 1) * 0.9 + 1 - floor((n - 1) * 0.9 + 1))
+                         * (hi7 - lo7), 6) AS p90_r7
+            FROM g
+        """,
         "normalize_zscore": """
             WITH s AS (
               SELECT user_id,
