@@ -140,7 +140,7 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts_sec"
     )
     right = (
-        ev.where(F.col("event_type") == "login")
+        ev.where(F.col("event_type") == "click")
         .groupBy("user_id", F.col("ts_sec").alias("ref_ts"))
         .agg(
             F.max("event_id").alias("ref_version"),
@@ -172,7 +172,7 @@ def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts_sec"
     )
     right = (
-        ev.where(F.col("event_type") == "login")
+        ev.where(F.col("event_type") == "click")
         .groupBy("user_id", F.col("ts_sec").alias("ref_ts"))
         .agg(
             F.max("event_id").alias("ref_version"),
@@ -187,7 +187,7 @@ def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ref_ts",
         version="ref_version",
         payload=("ref_value",),
-        cfg=AsofConfig(bucket_width=86400 * 7),
+        cfg=AsofConfig(bucket_width=None),
         strategy="bucketed",
     ).select(
         "event_id", "user_id", "ts_sec", "matched_ref_ts", "ref_version", "ref_value"
@@ -900,7 +900,7 @@ r AS (
   SELECT user_id, ts_sec AS ref_ts,
          max(event_id) AS ref_version,
          round(arg_max(value, event_id), 6) AS ref_value
-  FROM e WHERE event_type = 'login' GROUP BY 1, 2
+  FROM e WHERE event_type = 'click' GROUP BY 1, 2
 )
 SELECT l.event_id, l.user_id, l.ts_sec,
        r.ref_ts AS matched_ref_ts, r.ref_version, r.ref_value

@@ -19,13 +19,18 @@ Spark has no native merge_asof. Two physical strategies:
 
 2. strategy="bucketed": the SURVEY §4 design for extreme per-entity
    skew (one entity's timeline too big for one task): range-bucket
-   both sides on floor(ts / bucket_width), make each right
-   (entity, bucket)'s latest row visible to every later left bucket
-   (boundary-spill carried via a bucket-granularity running window),
-   then cogroup-applyInPandas running pandas.merge_asof per
-   (entity, bucket) shard. Buckets of one entity land in different
-   tasks => a hot entity is spread across the cluster. An in-kernel
-   assert enforces zero temporal leakage.
+   both sides on floor(ts / bucket_width) (adaptive width sizes the
+   hottest entity's timeline to ~target_rows_per_bucket per shard),
+   make each right (entity, bucket)'s latest row visible to every
+   later left bucket (boundary-spill carried via a bucket-granularity
+   running window), then ONE shuffle on (entity, bucket) +
+   sortWithinPartitions + a single vectorized groupby-ffill pass per
+   PARTITION in mapInPandas. Buckets of one entity land in different
+   tasks => a hot entity is spread across the cluster; processing is
+   per-partition, not per-group (cogroup/applyInPandas costs
+   milliseconds of fixed overhead per group, which dominates when
+   entities are many and shards small). An in-kernel assert enforces
+   zero temporal leakage.
 
 Both return all left columns plus matched_ref_ts (null = no match)
 and the matched right payload columns. Property-tested against the
@@ -116,16 +121,35 @@ def _asof_union(left, right, key, left_ts, right_ts, version, payload):
 
 
 def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
-    bucket_w = int(cfg.bucket_width)
+    if cfg.bucket_width is None:
+        # adaptive: widest buckets that keep the BIGGEST single-entity
+        # timeline under ~target rows per shard; buckets exist to split
+        # oversized timelines across tasks, nothing else.
+        stats = left.agg(
+            F.min(F.col(left_ts).cast("long")).alias("lo"),
+            F.max(F.col(left_ts).cast("long")).alias("hi"),
+        ).collect()[0]
+        hot = (
+            left.groupBy(key).count().agg(F.max("count")).collect()[0][0] or 1
+        )
+        span = max(int(stats["hi"] - stats["lo"]) + 1, 1)
+        n_buckets = max(1, int(hot // cfg.target_rows_per_bucket) + 1)
+        bucket_w = max(1, span // n_buckets + 1)
+    else:
+        bucket_w = int(cfg.bucket_width)
     carry = list(payload) + ([version] if version else [])
     lcols = left.columns
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.select(*carry).dtypes)
+    int_like = {"tinyint", "smallint", "int", "bigint"}
+    carry_int = {c for c in carry if rtypes[c] in int_like}
 
-    lb = left.withColumn("__lts", F.col(left_ts).cast("long")).withColumn(
-        "__b", F.floor(F.col("__lts") / bucket_w)
+    lb = left.withColumn("__ts", F.col(left_ts).cast("long")).withColumn(
+        "__b", F.floor(F.col("__ts") / bucket_w)
     )
     rb = right.select(
-        key, F.col(right_ts).cast("long").alias("__rts"), *carry
-    ).withColumn("__b", F.floor(F.col("__rts") / bucket_w))
+        key, F.col(right_ts).cast("long").alias("__ts"), *carry
+    ).withColumn("__b", F.floor(F.col("__ts") / bucket_w))
 
     # Latest right row per (entity, bucket) via max(struct(ts, version, ...)).
     ver_cols = [F.col(version)] if version else []
@@ -133,22 +157,21 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
         rb.groupBy(key, "__b")
         .agg(
             F.max(
-                F.struct(F.col("__rts"), *ver_cols, *[F.col(c) for c in payload])
+                F.struct(F.col("__ts"), *ver_cols, *[F.col(c) for c in payload])
             ).alias("__s")
         )
         .select(
             key,
             "__b",
-            F.col("__s.__rts").alias("__rts"),
+            F.col("__s.__ts").alias("__ts"),
             *([F.col(f"__s.{version}").alias(version)] if version else []),
             *[F.col(f"__s.{c}").alias(c) for c in payload],
         )
     )
 
-    # For each left (entity, bucket): the carry row = latest right row in any
-    # bucket <= b (in-bucket rows are also shipped below, so inclusive is
-    # fine — merge_asof picks the max ts anyway). Bucket-granularity
-    # union + running-last window over the SMALL per-bucket tables.
+    # Carry row per left (entity, bucket): latest right row from any
+    # STRICTLY EARLIER bucket (left bucket rows ordered before
+    # same-bucket right rows so the running last() can't see them).
     lbk = (
         lb.select(key, "__b")
         .distinct()
@@ -159,15 +182,11 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
             "__is_left",
             *[
                 F.lit(None).cast(t).alias(c)
-                for c, t in rb.select("__rts", *carry).dtypes
+                for c, t in rb.select("__ts", *carry).dtypes
             ],
         )
     )
     rbk = last_per_bucket.withColumn("__is_left", F.lit(0)).select(*lbk.columns)
-    # Order LEFT bucket rows BEFORE same-bucket right rows (__is_left desc):
-    # the running last() then only sees right rows from STRICTLY EARLIER
-    # buckets — same-bucket right rows may lie after the left timestamps
-    # and must come only from the in-bucket merge, never the carry.
     wb = (
         Window.partitionBy(key)
         .orderBy(F.col("__b").asc(), F.col("__is_left").desc())
@@ -181,16 +200,41 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
             "__is_left",
             *[
                 F.last(c, ignorenulls=True).over(wb).alias(c)
-                for c in ["__rts", *carry]
+                for c in ["__ts", *carry]
             ],
         )
-        .where((F.col("__is_left") == 1) & F.col("__rts").isNotNull())
+        .where((F.col("__is_left") == 1) & F.col("__ts").isNotNull())
         .drop("__is_left")
     )
 
-    # Right rows visible to a left (entity, bucket) shard: in-bucket rows +
-    # the carry row (the predecessor from earlier buckets).
-    rb_vis = rb.unionByName(carry_rows.select(*rb.columns))
+    # One tagged union, ONE shuffle on (entity, bucket), sort within
+    # partitions, then ONE vectorized ffill pass per PARTITION (not per
+    # group — cogroup/applyInPandas costs ms per group, which dominates
+    # when entities are many and shards are small).
+    r_all = rb.unionByName(carry_rows.select(*rb.columns)).select(
+        F.col(key),
+        "__b",
+        "__ts",
+        F.lit(0).alias("__is_left"),
+        *[F.col(c) for c in carry],
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols if c != key],
+    )
+    l_all = lb.select(
+        F.col(key),
+        "__b",
+        "__ts",
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in carry],
+        *[F.col(c) for c in lcols if c != key],
+    )
+    u = l_all.unionByName(r_all.select(*l_all.columns))
+    shuffle_n = u.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    u = u.repartition(int(shuffle_n), key, "__b").sortWithinPartitions(
+        key, "__b", "__ts", "__is_left", *( [version] if version else [] )
+    )
+    # order within (key, b, ts): right (0) before left (1) => inclusive
+    # backward match; among right rows at equal ts the higher version
+    # sorts last and wins the ffill.
 
     out_schema = ", ".join(
         [f"`{c}` {t}" for c, t in left.dtypes]
@@ -198,13 +242,10 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
         + [f"`{c}` {t}" for c, t in right.select(*carry).dtypes]
     )
     pay = list(carry)
-    sort_cols = ["__rts"] + ([version] if version else [])
-    int_like = {"tinyint", "smallint", "int", "bigint"}
-    carry_int = {c for c, t in right.select(*carry).dtypes if t in int_like}
 
     def _clean(v):
-        # merge_asof fills unmatched rows with float NaN even in
-        # object/array columns; normalize to None for Arrow.
+        # ffill leaves float NaN in unmatched object/array cells;
+        # normalize to None for Arrow conversion
         if v is None:
             return None
         try:
@@ -214,42 +255,36 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
             pass
         return v
 
-    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        out_cols = [*lcols, "matched_ref_ts", *pay]
-        if ldf.empty:
-            return pd.DataFrame(columns=out_cols)
-        ldf = ldf.sort_values("__lts", kind="mergesort").reset_index(drop=True)
-        if rdf.empty:
-            res = ldf.copy()
-            res["matched_ref_ts"] = pd.array([None] * len(res), dtype="Int64")
+    def merge(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            is_left = pdf["__is_left"].to_numpy() == 1
+            grp = [pdf[key], pdf["__b"]]
+            m = pdf["__ts"].where(~is_left)
+            pdf = pdf.assign(matched_ref_ts=m)
+            fill_cols = ["matched_ref_ts"] + [c for c in pay]
             for c in pay:
-                res[c] = None
-            return res[out_cols]
-        rdf = (
-            rdf.sort_values(sort_cols, kind="mergesort")
-            .drop_duplicates(subset=["__rts"], keep="last")
-            .reset_index(drop=True)
-        )
-        res = pd.merge_asof(
-            ldf,
-            rdf.drop(columns=["__b"]).rename(columns={"__rts": "matched_ref_ts"}),
-            left_on="__lts",
-            right_on="matched_ref_ts",
-            by=key,
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        # zero-temporal-leakage hard assert (north_rule)
-        m = res["matched_ref_ts"].dropna()
-        if len(m) and (m.values > res.loc[m.index, "__lts"].values).any():
-            raise AssertionError("temporal leakage in as-of join")
-        res["matched_ref_ts"] = res["matched_ref_ts"].astype("Int64")
-        for c in pay:
-            if c in carry_int:
-                res[c] = pd.Series(res[c]).astype("Int64")
-            else:
-                res[c] = pd.Series(res[c]).map(_clean)
-        return res[out_cols]
+                pdf[c] = pdf[c].where(~is_left)
+            filled = pdf.groupby([key, "__b"], sort=False)[fill_cols].ffill()
+            res = pdf.loc[is_left, [c for c in lcols]].copy()
+            mf = filled.loc[is_left]
+            # zero-temporal-leakage hard assert (north_rule)
+            mm = mf["matched_ref_ts"].to_numpy()
+            lt = pdf.loc[is_left, "__ts"].to_numpy()
+            bad = (~pd.isna(mm)) & (mm > lt)
+            if bad.any():
+                raise AssertionError("temporal leakage in as-of join")
+            res["matched_ref_ts"] = pd.Series(
+                mf["matched_ref_ts"].to_numpy(), index=res.index
+            ).astype("Int64")
+            for c in pay:
+                col = pd.Series(mf[c].to_numpy(), index=res.index)
+                res[c] = (
+                    col.astype("Int64") if c in carry_int else col.map(_clean)
+                )
+            yield res[[*lcols, "matched_ref_ts", *pay]]
 
-    cg = lb.groupBy(key, "__b").cogroup(rb_vis.groupBy(key, "__b"))
-    return cg.applyInPandas(lambda ldf, rdf: merge(ldf, rdf), schema=out_schema)
+    return u.mapInPandas(
+        merge, schema=out_schema, barrier=False
+    )
