@@ -89,8 +89,10 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # headline 1: flagship featurize+asof throughput on the
-    # pre-materialized token table (datagen excluded from timing)
+    # pre-materialized token table (datagen excluded from timing;
+    # one warm-up run spawns python workers + sizes scratch pools)
     tokens_path = materialize_tokens(spark, N_DOCS)
+    flagship_pipeline(spark, N_DOCS, tokens_path).collect()
     t0 = time.time()
     row = flagship_pipeline(spark, N_DOCS, tokens_path).collect()[0]
     t_flag = time.time() - t0
