@@ -828,6 +828,76 @@ def q_percentile_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tempo/IOI estimation over detected onsets (SURVEY §2.9,
+    tempo_estimation.go:22-232): dominant inter-onset interval per
+    doc + onset density."""
+    from sonar_spark.operators.sessionize import detect_onsets
+    from sonar_spark.operators.temporal import tempo_estimate
+
+    rms = _doc_frame_rms(spark, sf_dir)
+    on = detect_onsets(
+        rms,
+        key="doc_id",
+        order="frame_idx",
+        signal="rms_energy",
+        threshold_scale=1.05,
+        min_interval=1,
+    )
+    t = tempo_estimate(on)
+    return t.where(F.col("n_onsets") >= 2).select(
+        "doc_id",
+        "n_onsets",
+        "dominant_ioi",
+        F.round("tempo", 6).alias("tempo"),
+        F.round("onset_density", 6).alias("onset_density"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram-marker heuristic per doc + per-source
+    distribution (text-analysis surface)."""
+    from sonar_spark.functions.text import detect_language, lang_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = lang_scores(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        detect_language(F.col("text")).alias("lang_detected"),
+        *[F.round(sc[lang], 6).alias(f"score_{lang}") for lang in sorted(sc)],
+    )
+    return d
+
+
+def q_divergences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-divergence + remaining Lp distance family over
+    embedding pairs (distance.go:219-369): KL, Jensen-Shannon,
+    Hellinger, Bhattacharyya, 1-D EMD, Canberra, Bray-Curtis,
+    Minkowski(p=3)."""
+    from sonar_spark.functions import arrays as A
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 12)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pr = a.join(b, F.col("id_a") < F.col("id_b"))
+    p = A.to_distribution(F.col("va"))
+    q = A.to_distribution(F.col("vb"))
+    return pr.select(
+        "id_a",
+        "id_b",
+        F.round(A.kl_divergence(p, q), 6).alias("kl"),
+        F.round(A.js_divergence(p, q), 6).alias("js"),
+        F.round(A.hellinger(p, q), 6).alias("hellinger"),
+        F.round(A.bhattacharyya(p, q), 6).alias("bhattacharyya"),
+        F.round(A.emd_1d(p, q), 6).alias("emd"),
+        F.round(A.canberra(F.col("va"), F.col("vb")), 6).alias("canberra"),
+        F.round(A.bray_curtis(F.col("va"), F.col("vb")), 6).alias("bray_curtis"),
+        F.round(A.minkowski(F.col("va"), F.col("vb"), 3.0), 6).alias(
+            "minkowski3"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -861,6 +931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_range": q_dynamic_range,
         "percentile_rank": q_percentile_rank,
         "percentile_r6": q_percentile_r6,
+        "langid": q_langid,
+        "divergences": q_divergences,
+        "tempo": q_tempo,
     }
 
 
@@ -997,6 +1070,157 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn": _KNN_SQL,
         "ivf_knn": _KNN_SQL,
+        "tempo": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx, rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            x AS (
+              SELECT doc_id, frame_idx, rms,
+                     lag(rms) OVER dw AS prv, lead(rms) OVER dw AS nxt,
+                     1.05 * avg(rms) OVER (PARTITION BY doc_id) AS thr
+              FROM fr
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY frame_idx)
+            ),
+            onsets AS (
+              SELECT doc_id, frame_idx FROM x
+              WHERE rms > prv AND rms >= coalesce(nxt, -1e308) AND rms > thr
+            ),
+            ioi AS (
+              SELECT doc_id,
+                     frame_idx - lag(frame_idx) OVER
+                       (PARTITION BY doc_id ORDER BY frame_idx) AS ioi
+              FROM onsets
+            ),
+            hist AS (
+              SELECT doc_id, ioi, count(*) AS c FROM ioi
+              WHERE ioi IS NOT NULL GROUP BY 1, 2
+            ),
+            dom AS (
+              SELECT doc_id, ioi AS dominant_ioi,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, ioi ASC) AS rk
+              FROM hist
+            ),
+            span AS (
+              SELECT doc_id, count(*) AS n_onsets,
+                     max(frame_idx) - min(frame_idx) AS spn
+              FROM onsets GROUP BY 1
+            )
+            SELECT s.doc_id, s.n_onsets, d.dominant_ioi,
+                   round(1.0 / d.dominant_ioi, 6) AS tempo,
+                   round(s.n_onsets::DOUBLE / s.spn, 6) AS onset_density
+            FROM span s JOIN dom d ON s.doc_id = d.doc_id AND d.rk = 1
+            WHERE s.n_onsets >= 2
+        """,
+        "langid": """
+            WITH s AS (
+              SELECT doc_id,
+                ((length(lower(text)) - length(replace(lower(text), 'the', '')))
+                   / 3.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' and ', ''))) / 5.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' of ', ''))) / 4.0)
+                  * 1000.0 / greatest(length(text), 1) AS s_en,
+                ((length(lower(text)) - length(replace(lower(text), ' der ', '')))
+                   / 5.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' und ', ''))) / 5.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), 'sch', ''))) / 3.0)
+                  * 1000.0 / greatest(length(text), 1) AS s_de,
+                ((length(lower(text)) - length(replace(lower(text), ' le ', '')))
+                   / 4.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' et ', ''))) / 4.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' des ', ''))) / 5.0)
+                  * 1000.0 / greatest(length(text), 1) AS s_fr,
+                ((length(lower(text)) - length(replace(lower(text), ' el ', '')))
+                   / 4.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' que ', ''))) / 5.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), 'ción', ''))) / 4.0)
+                  * 1000.0 / greatest(length(text), 1) AS s_es
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                        ELSE 'fr' END AS lang_detected,
+                   round(s_de, 6) AS score_de,
+                   round(s_en, 6) AS score_en,
+                   round(s_es, 6) AS score_es,
+                   round(s_fr, 6) AS score_fr
+            FROM s
+        """,
+        "divergences": """
+            WITH pr AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 12 AND b.vec_id < 12
+            ),
+            u AS (
+              SELECT id_a, id_b,
+                     generate_subscripts(va, 1) AS pos,
+                     unnest(va) AS x, unnest(vb) AS y
+              FROM pr
+            ),
+            n AS (
+              SELECT id_a, id_b, pos, x, y,
+                     abs(x) / sum(abs(x)) OVER (PARTITION BY id_a, id_b) AS p,
+                     abs(y) / sum(abs(y)) OVER (PARTITION BY id_a, id_b) AS q
+              FROM u
+            ),
+            c AS (
+              SELECT *,
+                     sum(p) OVER (PARTITION BY id_a, id_b ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS cp,
+                     sum(q) OVER (PARTITION BY id_a, id_b ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS cq
+              FROM n
+            )
+            SELECT id_a, id_b,
+                   round(sum(CASE WHEN p > 0 THEN p * ln(p / (q + 1e-10))
+                             ELSE 0 END), 6) AS kl,
+                   round(0.5 * sum(CASE WHEN p > 0
+                                   THEN p * ln(p / ((p + q) / 2 + 1e-10))
+                                   ELSE 0 END)
+                         + 0.5 * sum(CASE WHEN q > 0
+                                     THEN q * ln(q / ((p + q) / 2 + 1e-10))
+                                     ELSE 0 END), 6) AS js,
+                   round(sqrt(0.5 * sum((sqrt(p) - sqrt(q)) ^ 2)), 6)
+                     AS hellinger,
+                   round(-ln(sum(sqrt(p * q)) + 1e-10), 6) AS bhattacharyya,
+                   round(sum(abs(cp - cq)), 6) AS emd,
+                   round(sum(CASE WHEN abs(x) + abs(y) > 0
+                             THEN abs(x - y) / (abs(x) + abs(y))
+                             ELSE 0 END), 6) AS canberra,
+                   round(sum(abs(x - y)) / sum(abs(x + y)), 6) AS bray_curtis,
+                   round(pow(sum(pow(abs(x - y), 3)), 1.0 / 3), 6)
+                     AS minkowski3
+            FROM c GROUP BY 1, 2
+        """,
         "moments": """
             WITH mu AS (
               SELECT event_type, avg(value) AS m FROM events GROUP BY 1

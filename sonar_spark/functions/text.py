@@ -55,6 +55,49 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# distinctive-marker profiles for the n-gram language-ID heuristic;
+# scores are occurrence counts of language-distinctive character
+# sequences (tiny stand-in for a trigram profile table — same shape,
+# SQL-replicable via length-difference counting)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " and ", " of "),
+    "de": (" der ", " und ", "sch"),
+    "fr": (" le ", " et ", " des "),
+    "es": (" el ", " que ", "ción"),
+}
+
+
+def _count_occurrences(text: Column, marker: str) -> Column:
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
+    ) / len(marker)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-occurrence scores, normalized by text
+    length (n-gram-profile language-ID heuristic)."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = _count_occurrences(F.lower(text), m)
+            s = c if s is None else s + c
+        out[lang] = s * 1000.0 / F.greatest(F.length(text), F.lit(1))
+    return out
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over lang_scores with deterministic tie-break (language
+    name order); returns the language code column."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang in sorted(scores):
+        cond = scores[lang] == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise("und")
+
+
 def doc_fingerprint(text: Column) -> Column:
     """64-bit content fingerprint (xxhash64 of normalized text) —
     exact-dup key (the sha256-derived fingerprint ID role,

@@ -124,6 +124,10 @@ def align_pairs(
         F.col(b).alias("series_b"),
     )
     p1 = inp.mapInPandas(phase1, schema=_ALIGN_SCHEMA)
+    return _hybrid_phase2(inp, p1, phase2, cfg)
+
+
+def _hybrid_phase2(inp, p1, phase2, cfg):
     # selective recompute: join the low-confidence subset back to its
     # input series, run DTW, union with the confident subset
     low = p1.where(F.col("confidence") <= cfg.hybrid_conf_threshold)
@@ -131,3 +135,53 @@ def align_pairs(
     low_inp = low.join(inp, "pair_id")
     p2 = low_inp.mapInPandas(phase2, schema=_ALIGN_SCHEMA)
     return high.unionByName(p2)
+
+
+def consistency_trials(
+    pairs: DataFrame,
+    cfg: AlignmentConfig = AlignmentConfig(),
+    *,
+    n_trials: int = 3,
+    perturb: float = 0.01,
+) -> DataFrame:
+    """Alignment consistency check (reference stats/alignment.go:
+    710-801): re-align each pair n_trials times with a deterministic
+    sin-based ~1% perturbation of series_b (:737-749), then aggregate
+    offset statistics. Embarrassingly parallel: rows replicated with a
+    trial_id column, one align_pairs pass, one groupBy.
+
+    Output: pair_id, n_trials, offset_mean, offset_std, offset_range,
+    consistency (1 - range/max_lag, clamped to [0,1])."""
+    t = pairs.withColumn(
+        "__trial", F.explode(F.sequence(F.lit(0), F.lit(n_trials - 1)))
+    )
+    perturbed = t.withColumn(
+        "series_b",
+        F.zip_with(
+            "series_b",
+            F.sequence(F.lit(0), F.size("series_b") - 1),
+            lambda v, i: v
+            * (
+                1.0
+                + perturb
+                * F.sin(F.col("__trial") * F.lit(7.0) + i.cast("double"))
+            ),
+        ),
+    ).withColumn(
+        "pair_id", F.concat(F.col("pair_id"), F.lit("#"), F.col("__trial"))
+    )
+    aligned = align_pairs(perturbed, cfg)
+    base = F.split(F.col("pair_id"), "#").getItem(0)
+    agg = aligned.groupBy(base.alias("pair_id")).agg(
+        F.count("*").alias("n_trials"),
+        F.avg("offset").alias("offset_mean"),
+        F.coalesce(F.stddev_pop("offset"), F.lit(0.0)).alias("offset_std"),
+        (F.max("offset") - F.min("offset")).alias("offset_range"),
+    )
+    return agg.withColumn(
+        "consistency",
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.col("offset_range") / F.lit(float(cfg.max_lag)),
+        ),
+    )

@@ -1,0 +1,127 @@
+"""Temporal long-tail operators (SURVEY §2.9): tempo estimation via
+inter-onset-interval histogram (reference
+algorithms/temporal/tempo_estimation.go:22-232), attack/decay times
+around detected peaks (temporal/attack_decay.go:21-189), and the
+smoothed envelope (temporal/envelope.go:18-136).
+
+All window functions + groupBy — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .normalize import moving_average
+
+
+def tempo_estimate(
+    onsets: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    frames_per_unit: float = 1.0,
+) -> DataFrame:
+    """Dominant inter-onset interval per key (tempo_estimation.go:
+    51-76 histogram method): IOI = diff of consecutive onset
+    positions; dominant = most frequent IOI (ties -> smallest IOI).
+
+    Output: key, n_onsets, dominant_ioi, tempo (events per unit =
+    frames_per_unit / dominant_ioi), onset_density."""
+    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+    ioi = (F.col(order) - F.lag(order).over(w)).alias("ioi")
+    i = onsets.select(key, order).withColumn("ioi", ioi).where(
+        F.col("ioi").isNotNull()
+    )
+    hist = i.groupBy(key, "ioi").agg(F.count("*").alias("c"))
+    dom = hist.groupBy(key).agg(
+        F.max(F.struct(F.col("c"), (-F.col("ioi")).alias("nioi"))).alias("__s")
+    ).select(key, (-F.col("__s.nioi")).alias("dominant_ioi"))
+    span = onsets.groupBy(key).agg(
+        F.count("*").alias("n_onsets"),
+        (F.max(order) - F.min(order)).alias("__span"),
+    )
+    out = span.join(dom, key, "left")
+    return out.select(
+        key,
+        "n_onsets",
+        "dominant_ioi",
+        F.when(
+            F.col("dominant_ioi") > 0,
+            F.lit(frames_per_unit) / F.col("dominant_ioi"),
+        ).alias("tempo"),
+        F.when(
+            F.col("__span") > 0, F.col("n_onsets") / F.col("__span")
+        ).alias("onset_density"),
+    )
+
+
+def attack_decay(
+    features: DataFrame,
+    peaks: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    signal: str = "rms_energy",
+    lookback: int = 10,
+    level: float = 0.5,
+) -> DataFrame:
+    """Attack/decay times around detected peaks (attack_decay.go:
+    21-189; the 10-frame lookback cap mirrors extractors/speech.go:
+    734-739): attack = frames from the last sub-level frame before the
+    peak (within lookback); decay = frames to the first sub-level
+    frame after (within lookback). Null when the signal never crosses
+    the level inside the capped window.
+
+    Implemented with collect_list over a bounded row window + array
+    higher-order functions — one shuffle, no Python."""
+    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+    ctx = features.select(key, order, signal).withColumn(
+        "__back",
+        F.collect_list(F.struct(F.col(order).alias("o"), F.col(signal).alias("v"))).over(
+            w.rowsBetween(-lookback, -1)
+        ),
+    ).withColumn(
+        "__fwd",
+        F.collect_list(F.struct(F.col(order).alias("o"), F.col(signal).alias("v"))).over(
+            w.rowsBetween(1, lookback)
+        ),
+    )
+    p = peaks.select(
+        F.col(key), F.col(order), F.col(signal).alias("__peak_v")
+    )
+    j = p.join(ctx, [key, order])
+    thr = F.col("__peak_v") * level
+    below_back = F.filter(F.col("__back"), lambda s: s["v"] <= thr)
+    below_fwd = F.filter(F.col("__fwd"), lambda s: s["v"] <= thr)
+    attack = F.when(
+        F.size(below_back) > 0,
+        F.col(order) - F.element_at(below_back, -1)["o"],
+    )
+    decay = F.when(
+        F.size(below_fwd) > 0,
+        F.element_at(below_fwd, 1)["o"] - F.col(order),
+    )
+    return j.select(
+        key,
+        order,
+        F.col("__peak_v").alias("peak_value"),
+        attack.alias("attack_frames"),
+        decay.alias("decay_frames"),
+    )
+
+
+def envelope(
+    features: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    signal: str = "rms_energy",
+    smooth_k: int = 2,
+) -> DataFrame:
+    """Smoothed per-frame envelope (envelope.go:18-136: framewise rms
+    + moving-average smoothing)."""
+    return moving_average(
+        features, signal, k=smooth_k, group=key, order=order,
+        out_col="envelope",
+    )

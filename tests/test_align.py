@@ -93,3 +93,24 @@ def test_build_doc_series(spark):
     )
     got = {r["doc_id"]: r["series"] for r in build_doc_series(feats).collect()}
     assert got == {"d1": [1.0, 2.0, 3.0], "d2": [9.0]}
+
+
+def test_consistency_trials(spark):
+    """Clean planted-lag pairs stay consistent across perturbed
+    re-alignments (alignment.go:710-801 semantics)."""
+    from sonar_spark.operators.align import consistency_trials
+
+    rng = np.random.default_rng(13)
+    a = rng.standard_normal(300)
+    b = np.roll(a, 9)
+    df = spark.createDataFrame(
+        [("p0", a.tolist(), b.tolist())],
+        "pair_id string, series_a array<double>, series_b array<double>",
+    )
+    out = consistency_trials(df, AlignmentConfig(max_lag=32), n_trials=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_trials"] == 3
+    assert abs(r["offset_mean"] - 9.0) < 1.0
+    assert r["offset_range"] <= 1.0
+    assert r["consistency"] > 0.9
