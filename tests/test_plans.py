@@ -1,0 +1,105 @@
+"""Physical-plan regression tests: the plans we designed are the
+plans Catalyst actually picks (shuffle counts, broadcasts, pushdown,
+whole-stage codegen). Failures here mean a rewrite silently
+introduced an extra shuffle or lost a broadcast — the 100x-scale
+regressions correctness tests can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sonar_spark import datagen
+from sonar_spark.config import AsofConfig, FrameConfig
+from sonar_spark.operators.asof import asof_join
+from sonar_spark.operators.features import frame_features_arrow
+from sonar_spark.operators.topk import knn_bruteforce
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_featurize_is_narrow(spark):
+    """Featurize must be shuffle-free: scan -> mapInArrow, nothing
+    else (SURVEY: frame fan-out is a narrow transformation)."""
+    toks = datagen.token_table(spark, n_docs=50)
+    plan = _plan(frame_features_arrow(toks, FrameConfig()))
+    assert "Exchange" not in plan, plan
+
+
+def test_asof_union_single_shuffle(spark):
+    """The union as-of strategy costs exactly ONE shuffle (the window
+    sort-merge on the entity key)."""
+    left = datagen.token_table(spark, n_docs=20).select(
+        F.col("doc_id").alias("entity"), F.col("n_tok").cast("long").alias("ts")
+    )
+    right = datagen.catalog_table(spark, n_entities=4)
+    plan = _plan(asof_join(left, right, strategy="union"))
+    shuffles = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+    ]
+    assert len(shuffles) == 1, plan
+
+
+def test_knn_broadcasts_catalog(spark):
+    """kNN must broadcast the catalog side — no shuffle for the join
+    itself (only the per-query top-k window shuffles)."""
+    emb = datagen.token_table(spark, n_docs=30).select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> cast(n_tok * i as double))").alias(
+            "embedding"
+        ),
+    )
+    plan = _plan(knn_bruteforce(emb.limit(5), emb, k=3))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_filter_pushdown_to_scan(spark, sf_dir):
+    """A filtered parquet read must push the predicate into the scan
+    (PushedFilters) and prune columns (ReadSchema)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.where(F.col("event_type") == "purchase").select("event_id", "value")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "event_type" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema, read_schema
+
+
+def test_agg_has_mapside_partial(spark, sf_dir):
+    """groupBy aggregations must do map-side partial aggregation
+    (combine before the shuffle), and the scan must be vectorized."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("event_type").agg(F.avg("value"))
+    plan = _plan(agg)
+    assert "partial_avg" in plan, plan
+    assert "Batched: true" in plan, plan
+
+
+def test_asof_bucketed_spreads_hot_entity(spark):
+    """Skew design property: one hot entity's rows land in multiple
+    partitions (bucket splitting), unlike the union strategy where a
+    window partition is one task."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [("hot", int(t), 0.0) for t in rng.integers(0, 1 << 16, size=2000)]
+    left = spark.createDataFrame(rows, "entity string, ts long, val double")
+    right = spark.createDataFrame(
+        [("hot", 10, 0, [1.0])],
+        "entity string, ref_ts long, ref_version int, ref_features array<double>",
+    )
+    out = asof_join(
+        left, right, cfg=AsofConfig(bucket_width=4096), strategy="bucketed"
+    )
+    # count distinct partitions that carry rows of the hot entity
+    n_parts = (
+        out.select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1, "hot entity not spread across partitions"
