@@ -227,10 +227,26 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
         *[F.lit(None).cast(rtypes[c]).alias(c) for c in carry],
         *[F.col(c) for c in lcols if c != key],
     )
+    # salted skew splitting: when one (entity, bucket) shard is still
+    # too hot (burst of left rows in a narrow ts range), split LEFT
+    # rows across S salts and replicate the (small) right/carry rows
+    # into every salt so each salt shard sees the full right timeline.
+    S = max(int(cfg.salt), 1)
+    if S > 1:
+        l_all = l_all.withColumn(
+            "__salt", F.pmod(F.xxhash64("__ts", lcols[0]), F.lit(S)).cast("int")
+        )
+        r_all = r_all.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+        )
+    else:
+        l_all = l_all.withColumn("__salt", F.lit(0))
+        r_all = r_all.withColumn("__salt", F.lit(0))
     u = l_all.unionByName(r_all.select(*l_all.columns))
     shuffle_n = u.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    u = u.repartition(int(shuffle_n), key, "__b").sortWithinPartitions(
-        key, "__b", "__ts", "__is_left", *( [version] if version else [] )
+    u = u.repartition(int(shuffle_n), key, "__b", "__salt").sortWithinPartitions(
+        key, "__b", "__salt", "__ts", "__is_left",
+        *([version] if version else []),
     )
     # order within (key, b, ts): right (0) before left (1) => inclusive
     # backward match; among right rows at equal ts the higher version
@@ -260,13 +276,16 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
             if pdf.empty:
                 continue
             is_left = pdf["__is_left"].to_numpy() == 1
-            grp = [pdf[key], pdf["__b"]]
             m = pdf["__ts"].where(~is_left)
             pdf = pdf.assign(matched_ref_ts=m)
             fill_cols = ["matched_ref_ts"] + [c for c in pay]
             for c in pay:
                 pdf[c] = pdf[c].where(~is_left)
-            filled = pdf.groupby([key, "__b"], sort=False)[fill_cols].ffill()
+            # group by salt too: ffill across salt boundaries would
+            # leak a later right row into the next salt's left rows
+            filled = pdf.groupby([key, "__b", "__salt"], sort=False)[
+                fill_cols
+            ].ffill()
             res = pdf.loc[is_left, [c for c in lcols]].copy()
             mf = filled.loc[is_left]
             # zero-temporal-leakage hard assert (north_rule)

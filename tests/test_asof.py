@@ -127,3 +127,18 @@ def test_asof_bucketed_skew_spread(spark):
             assert g["matched_ref_ts"] is None
         else:
             assert (g["matched_ref_ts"], g["ref_version"]) == exp
+
+
+def test_asof_bucketed_salted(spark):
+    """cfg.salt > 1 splits left rows across salts with right-side
+    replication — results identical to the brute force (north-star
+    'salted skew splitting')."""
+    left = _left_df(spark, n_entities=4, rows_per_entity=60)
+    right = datagen.catalog_table(spark, n_entities=4, rows_per_entity=10)
+    got = asof_join(
+        left,
+        right,
+        cfg=AsofConfig(bucket_width=2048, salt=4),
+        strategy="bucketed",
+    ).collect()
+    _check_vs_bruteforce(left.collect(), right.collect(), got)
