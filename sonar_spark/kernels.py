@@ -95,8 +95,9 @@ def frame_features_flat(
     entropy_bins: int = 16,
     scratch: _Scratch | None = None,
     chunk: int = 4096,
+    keys: tuple[str, ...] | None = None,
 ) -> tuple[dict[str, np.ndarray], np.ndarray]:
-    """All per-frame features for a batch given the concatenated token
+    """Per-frame features for a batch given the concatenated token
     values and per-doc lengths (the mapInArrow hot path).
 
     Frames are gathered and processed in fixed-size chunks so the
@@ -104,18 +105,26 @@ def frame_features_flat(
     of Arrow batch size — with N parallel workers this bounds total
     first-touch page-fault traffic (which is kernel-serialized and
     wrecks scaling if each worker allocates batch-sized scratch).
+
+    keys selects which features to compute (the Enable* config
+    pruning of reference fingerprint/config/config.go:22-27): the
+    percentile sort and the entropy histogram are skipped entirely
+    when their keys are absent.
     """
     s = scratch or _scratch
     W = window
+    want = set(keys if keys is not None else _FEATURE_KEYS)
     starts, doc_nf = flat_frame_starts(doc_lens, window, hop)
     nf = len(starts)
     if nf == 0:
-        return {k: np.empty(0) for k in _FEATURE_KEYS}, doc_nf
+        return {k: np.empty(0) for k in _FEATURE_KEYS if k in want}, doc_nf
 
     fv = np.asarray(flat, dtype=np.float64)
     sw = np.lib.stride_tricks.sliding_window_view(fv, W)
-    out = {k: np.empty(nf) for k in _FEATURE_KEYS}
+    out = {k: np.empty(nf) for k in _FEATURE_KEYS if k in want}
 
+    need_minmax = want & {"min", "max", "crest", "entropy"}
+    need_m34 = want & {"skew", "kurt"}
     for a in range(0, nf, chunk):
         b = min(a + chunk, nf)
         # NOTE: plain fancy indexing; np.take(..., out=) on an
@@ -126,80 +135,100 @@ def frame_features_flat(
         c = np.subtract(f, mean[:, None], out=s.get("c", (n, W)))
         c2 = np.multiply(c, c, out=s.get("c2", (n, W)))
         m2 = c2.mean(axis=1)
-        t = np.multiply(c2, c, out=s.get("t", (n, W)))
-        m3 = t.mean(axis=1)
-        np.multiply(c2, c2, out=t)
-        m4 = t.mean(axis=1)
-        std = np.sqrt(m2)
+        if need_m34:
+            t = np.multiply(c2, c, out=s.get("t", (n, W)))
+            m3 = t.mean(axis=1)
+            np.multiply(c2, c2, out=t)
+            m4 = t.mean(axis=1)
         safe = np.where(m2 > 0, m2, 1.0)
-        out["mean"][a:b] = mean
-        out["var"][a:b] = m2
-        out["std"][a:b] = std
-        out["skew"][a:b] = np.where(m2 > 0, m3 / safe**1.5, 0.0)
-        out["kurt"][a:b] = np.where(m2 > 0, m4 / safe**2 - 3.0, 0.0)
+        if "mean" in want:
+            out["mean"][a:b] = mean
+        if "var" in want:
+            out["var"][a:b] = m2
+        if "std" in want:
+            out["std"][a:b] = np.sqrt(m2)
+        if "skew" in want:
+            out["skew"][a:b] = np.where(m2 > 0, m3 / safe**1.5, 0.0)
+        if "kurt" in want:
+            out["kurt"][a:b] = np.where(m2 > 0, m4 / safe**2 - 3.0, 0.0)
         # fused: E[x^2] = var + mean^2 (no extra pass over f)
         rms = np.sqrt(m2 + mean * mean)
-        out["rms_energy"][a:b] = rms
-        fmin = f.min(axis=1)
-        fmax = f.max(axis=1)
-        out["min"][a:b] = fmin
-        out["max"][a:b] = fmax
-        # fused: max|x| = max(|min|, |max|) (no abs pass)
-        absmax = np.maximum(np.abs(fmin), np.abs(fmax))
-        out["crest"][a:b] = np.where(
-            rms > 0, absmax / np.where(rms > 0, rms, 1.0), 0.0
-        )
-        # ZCR: sign changes of centered values
-        sg = np.sign(c, out=t)
-        neq = np.not_equal(
-            sg[:, 1:], sg[:, :-1], out=s.get("neq", (n, W - 1), dtype=bool)
-        )
-        out["zcr"][a:b] = neq.sum(axis=1) / (W - 1)
-        # flux: positive-diff L2 vs previous frame (chunk boundary uses
-        # the last frame of the previous chunk; doc starts zeroed below)
-        d = s.get("d", (n, W))
-        if a == 0:
-            if n > 1:
-                np.subtract(f[1:], f[:-1], out=d[1:])
-            d[0] = 0.0
-        else:
-            prev = sw[starts[a - 1 : b - 1]]
-            np.subtract(f, prev, out=d)
-        np.maximum(d, 0.0, out=d)
-        np.multiply(d, d, out=d)
-        out["flux"][a:b] = np.sqrt(d.sum(axis=1))
-        # percentiles (R-7) via one in-buffer sort
-        srt = s.get("srt", (n, W))
-        srt[:] = f
-        srt.sort(axis=1)
-        for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
-            h = (W - 1) * p
-            k = int(np.floor(h))
-            frac = h - k
-            if frac == 0.0:
-                out[name][a:b] = srt[:, k]
+        if "rms_energy" in want:
+            out["rms_energy"][a:b] = rms
+        if need_minmax:
+            fmin = f.min(axis=1)
+            fmax = f.max(axis=1)
+            if "min" in want:
+                out["min"][a:b] = fmin
+            if "max" in want:
+                out["max"][a:b] = fmax
+            if "crest" in want:
+                # fused: max|x| = max(|min|, |max|) (no abs pass)
+                absmax = np.maximum(np.abs(fmin), np.abs(fmax))
+                out["crest"][a:b] = np.where(
+                    rms > 0, absmax / np.where(rms > 0, rms, 1.0), 0.0
+                )
+        if "zcr" in want:
+            # ZCR: sign changes of centered values
+            sg = np.sign(c, out=s.get("t", (n, W)))
+            neq = np.not_equal(
+                sg[:, 1:], sg[:, :-1], out=s.get("neq", (n, W - 1), dtype=bool)
+            )
+            out["zcr"][a:b] = neq.sum(axis=1) / (W - 1)
+        if "flux" in want:
+            # flux: positive-diff L2 vs previous frame (chunk boundary
+            # uses the previous chunk's last frame; doc starts zeroed
+            # below)
+            d = s.get("d", (n, W))
+            if a == 0:
+                if n > 1:
+                    np.subtract(f[1:], f[:-1], out=d[1:])
+                d[0] = 0.0
             else:
-                out[name][a:b] = srt[:, k] + frac * (srt[:, k + 1] - srt[:, k])
-        # Shannon entropy over fixed-width histogram per frame
-        lo, hi = fmin, np.where(fmax > fmin, fmax, fmin + 1.0)
-        sc = np.subtract(f, lo[:, None], out=s.get("sc", (n, W)))
-        np.divide(sc, (hi - lo)[:, None], out=sc)
-        np.multiply(sc, entropy_bins, out=sc)
-        bins = s.get("bins", (n, W), dtype=np.int64)
-        np.copyto(bins, sc, casting="unsafe")  # trunc toward zero
-        np.clip(bins, 0, entropy_bins - 1, out=bins)
-        bins += (np.arange(n, dtype=np.int64) * entropy_bins)[:, None]
-        counts = np.bincount(bins.ravel(), minlength=n * entropy_bins).reshape(
-            n, entropy_bins
-        )
-        # H = log2(W) - (1/W) * sum(n_b * log2(n_b))
-        cl = counts * np.log2(np.where(counts > 0, counts, 1))
-        out["entropy"][a:b] = np.log2(W) - cl.sum(axis=1) / W
+                prev = sw[starts[a - 1 : b - 1]]
+                np.subtract(f, prev, out=d)
+            np.maximum(d, 0.0, out=d)
+            np.multiply(d, d, out=d)
+            out["flux"][a:b] = np.sqrt(d.sum(axis=1))
+        if want & {"p25", "p50", "p75"}:
+            # percentiles (R-7) via one in-buffer sort
+            srt = s.get("srt", (n, W))
+            srt[:] = f
+            srt.sort(axis=1)
+            for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+                if name not in want:
+                    continue
+                h = (W - 1) * p
+                k = int(np.floor(h))
+                frac = h - k
+                if frac == 0.0:
+                    out[name][a:b] = srt[:, k]
+                else:
+                    out[name][a:b] = srt[:, k] + frac * (
+                        srt[:, k + 1] - srt[:, k]
+                    )
+        if "entropy" in want:
+            # Shannon entropy over fixed-width histogram per frame
+            lo, hi = fmin, np.where(fmax > fmin, fmax, fmin + 1.0)
+            sc = np.subtract(f, lo[:, None], out=s.get("sc", (n, W)))
+            np.divide(sc, (hi - lo)[:, None], out=sc)
+            np.multiply(sc, entropy_bins, out=sc)
+            bins = s.get("bins", (n, W), dtype=np.int64)
+            np.copyto(bins, sc, casting="unsafe")  # trunc toward zero
+            np.clip(bins, 0, entropy_bins - 1, out=bins)
+            bins += (np.arange(n, dtype=np.int64) * entropy_bins)[:, None]
+            counts = np.bincount(
+                bins.ravel(), minlength=n * entropy_bins
+            ).reshape(n, entropy_bins)
+            # H = log2(W) - (1/W) * sum(n_b * log2(n_b))
+            cl = counts * np.log2(np.where(counts > 0, counts, 1))
+            out["entropy"][a:b] = np.log2(W) - cl.sum(axis=1) / W
 
-    # zero flux at every doc's first frame (no cross-doc leakage)
-    nz = doc_nf[doc_nf > 0]
-    fstarts = np.concatenate(([0], np.cumsum(nz)[:-1]))
-    out["flux"][fstarts] = 0.0
+    if "flux" in want:
+        # zero flux at every doc's first frame (no cross-doc leakage)
+        nz = doc_nf[doc_nf > 0]
+        fstarts = np.concatenate(([0], np.cumsum(nz)[:-1]))
+        out["flux"][fstarts] = 0.0
     return out, doc_nf
 
 

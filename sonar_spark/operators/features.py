@@ -33,10 +33,32 @@ FEATURE_COLS = [
     "crest", "zcr", "flux", "p25", "p50", "p75", "entropy",
 ]
 
-_ARROW_SCHEMA = (
-    "doc_id string, source string, n_tok int, frame_idx long, frame_ts long, "
-    + ", ".join(f"{c} double" for c in FEATURE_COLS)
-)
+# Enable* flag -> feature columns (config-driven pruning, the
+# reference's FeatureConfig semantics, fingerprint/config/config.go:22-27)
+_FLAG_GROUPS = {
+    "enable_energy": ["rms_energy", "crest"],
+    "enable_moments": ["mean", "var", "std", "skew", "kurt", "min", "max"],
+    "enable_percentiles": ["p25", "p50", "p75"],
+    "enable_entropy": ["entropy"],
+    "enable_zcr": ["zcr"],
+    "enable_flux": ["flux"],
+}
+
+
+def feature_cols(feat_cfg: FeatureConfig) -> list[str]:
+    """Ordered feature subset selected by the Enable* flags."""
+    enabled: set[str] = set()
+    for flag, cols in _FLAG_GROUPS.items():
+        if getattr(feat_cfg, flag):
+            enabled.update(cols)
+    return [c for c in FEATURE_COLS if c in enabled]
+
+
+def _arrow_schema(cols: list[str]) -> str:
+    return (
+        "doc_id string, source string, n_tok int, frame_idx long, "
+        "frame_ts long, " + ", ".join(f"{c} double" for c in cols)
+    )
 
 
 def frame_features_arrow(
@@ -53,6 +75,8 @@ def frame_features_arrow(
     key columns is an Arrow take() (SURVEY §4.3 vectorization
     discipline)."""
     W, H, bins = frame_cfg.window, frame_cfg.hop, feat_cfg.entropy_bins
+    cols = feature_cols(feat_cfg)
+    keys = tuple(cols)
 
     def gen(batches):
         import pyarrow as pa
@@ -66,7 +90,7 @@ def frame_features_arrow(
             flat = scratch.get("flat_tok", (len(vals),))
             np.copyto(flat, vals)
             feats, doc_nf = kernels.frame_features_flat(
-                flat, lens, W, H, bins, scratch=scratch
+                flat, lens, W, H, bins, scratch=scratch, keys=keys
             )
             total = int(doc_nf.sum())
             if total == 0:
@@ -76,7 +100,7 @@ def frame_features_arrow(
             frame_idx = np.arange(total, dtype=np.int64) - np.repeat(
                 starts, doc_nf
             )
-            cols = {
+            out = {
                 "doc_id": pc.take(
                     batch.column(batch.schema.get_field_index("doc_id")), take_idx
                 ),
@@ -89,15 +113,15 @@ def frame_features_arrow(
                 "frame_idx": pa.array(frame_idx),
                 "frame_ts": pa.array(frame_idx * H),
             }
-            for c in FEATURE_COLS:
-                cols[c] = pa.array(feats[c], type=pa.float64())
-            names = list(cols)
-            yield pa.RecordBatch.from_arrays([cols[n] for n in names], names=names)
+            for c in cols:
+                out[c] = pa.array(feats[c], type=pa.float64())
+            names = list(out)
+            yield pa.RecordBatch.from_arrays([out[n] for n in names], names=names)
 
-    out_cols = ["doc_id", "source", "n_tok", "frame_idx", "frame_ts"] + FEATURE_COLS
+    out_cols = ["doc_id", "source", "n_tok", "frame_idx", "frame_ts"] + cols
     return (
         df.select("doc_id", "tokens", "n_tok", "source")
-        .mapInArrow(gen, schema=_ARROW_SCHEMA)
+        .mapInArrow(gen, schema=_arrow_schema(cols))
         .select(*out_cols)
     )
 

@@ -96,3 +96,25 @@ def test_determinism_across_partitionings(spark):
     for k in pa:
         for c in FEATURE_COLS:
             assert pa[k][c] == pb[k][c], (k, c)
+
+
+def test_feature_flag_pruning(spark):
+    """Enable* flags prune computed+emitted columns (the reference's
+    FeatureConfig semantics, config/config.go:22-27); values of the
+    remaining columns are unchanged."""
+    from sonar_spark.config import FeatureConfig
+
+    df = datagen.token_table(spark, n_docs=6)
+    pruned_cfg = FeatureConfig(
+        enable_percentiles=False, enable_entropy=False, enable_moments=False
+    )
+    pruned = frame_features_arrow(df, CFG, pruned_cfg)
+    assert "p50" not in pruned.columns and "entropy" not in pruned.columns
+    assert "mean" not in pruned.columns
+    full = frame_features_arrow(df, CFG)
+    a = {(r["doc_id"], r["frame_idx"]): r for r in pruned.collect()}
+    b = {(r["doc_id"], r["frame_idx"]): r for r in full.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for c in ("rms_energy", "crest", "zcr", "flux"):
+            assert a[k][c] == b[k][c]

@@ -75,6 +75,8 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(result, f, indent=2)
+    with open("BENCH/scaling_runs.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
