@@ -854,6 +854,23 @@ def q_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetSimilarityStatistics over the compare_topk results
+    (comparison.go:1154-1205; rows-only)."""
+    from sonar_spark.operators.compare import similarity_statistics
+
+    out = similarity_statistics(q_compare_topk(spark, sf_dir))
+    return out.select(
+        "query_id",
+        "n",
+        F.round("mean_sim", 6).alias("mean_sim"),
+        F.round("min_sim", 6).alias("min_sim"),
+        F.round("max_sim", 6).alias("max_sim"),
+        F.round("median_sim", 6).alias("median_sim"),
+        F.round("std_sim", 6).alias("std_sim"),
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID n-gram-marker heuristic per doc + per-source
     distribution (text-analysis surface)."""
@@ -934,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "divergences": q_divergences,
         "tempo": q_tempo,
+        "similarity_stats": q_similarity_stats,
     }
 
 

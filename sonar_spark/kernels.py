@@ -560,6 +560,7 @@ def dtw_align(a: np.ndarray, b: np.ndarray, band: int = 50) -> dict[str, float]:
     i, j = q, r
     disp = []
     steps = 0
+    di = dj = 0
     while i > 0 and j > 0:
         disp.append(j - i)
         steps += 1
@@ -567,12 +568,19 @@ def dtw_align(a: np.ndarray, b: np.ndarray, band: int = 50) -> dict[str, float]:
         k = int(np.argmin(choices))
         if k == 0:
             i, j = i - 1, j - 1
+            di += 1
+            dj += 1
         elif k == 1:
             i -= 1
+            di += 1
         else:
             j -= 1
+            dj += 1
     dist = float(D[q, r] / (q + r))
     offset = float(np.mean(disp)) if disp else 0.0
     conf = float(np.exp(-dist))
+    # mean path slope dj/di — the DTW component of the time-stretch
+    # estimate (extractors/alignment.go:448-476)
+    slope = float(dj / di) if di > 0 else 1.0
     return {"dist": dist, "offset": offset, "confidence": conf,
-            "path_len": float(steps)}
+            "path_len": float(steps), "slope": slope}

@@ -31,8 +31,13 @@ from ..config import AlignmentConfig
 _ALIGN_SCHEMA = (
     "pair_id string, lag double, peak double, sharpness double, "
     "sidelobe double, snr double, second_peak double, confidence double, "
-    "method string, dtw_dist double, dtw_offset double, offset double"
+    "method string, dtw_dist double, dtw_offset double, offset double, "
+    "time_stretch double"
 )
+
+_ALIGN_COLS = ["pair_id", "lag", "peak", "sharpness", "sidelobe", "snr",
+               "second_peak", "confidence", "method", "dtw_dist",
+               "dtw_offset", "offset", "time_stretch"]
 
 
 def build_doc_series(
@@ -85,17 +90,15 @@ def align_pairs(
                 conf = kernels.xcorr_confidence(
                     m, (cfg.w_peak, cfg.w_sharpness, cfg.w_sidelobe, cfg.w_snr)
                 )
+                # time-stretch estimate: length ratio only in the
+                # xcorr phase (extractors/alignment.go:448-476)
+                ratio = len(sb) / len(sa) if len(sa) else 1.0
                 rows.append(
                     (pid, m["lag"], m["peak"], m["sharpness"], m["sidelobe"],
                      m["snr"], m["second_peak"], conf, "xcorr", None, None,
-                     m["lag"])
+                     m["lag"], ratio)
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=["pair_id", "lag", "peak", "sharpness", "sidelobe",
-                         "snr", "second_peak", "confidence", "method",
-                         "dtw_dist", "dtw_offset", "offset"],
-            )
+            yield pd.DataFrame(rows, columns=_ALIGN_COLS)
 
     def phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,17 +109,16 @@ def align_pairs(
                 d = kernels.dtw_align(sa, sb, cfg.dtw_band)
                 conf = 0.6 * r["confidence"] + 0.4 * d["confidence"]
                 off = 0.6 * r["lag"] + 0.4 * d["offset"]
+                ratio = len(sb) / len(sa) if len(sa) else 1.0
+                # 0.7 length-ratio + 0.3 DTW path slope blend
+                # (extractors/alignment.go:448-476)
+                stretch = 0.7 * ratio + 0.3 * d["slope"]
                 rows.append(
                     (r["pair_id"], r["lag"], r["peak"], r["sharpness"],
                      r["sidelobe"], r["snr"], r["second_peak"], conf,
-                     "hybrid", d["dist"], d["offset"], off)
+                     "hybrid", d["dist"], d["offset"], off, stretch)
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=["pair_id", "lag", "peak", "sharpness", "sidelobe",
-                         "snr", "second_peak", "confidence", "method",
-                         "dtw_dist", "dtw_offset", "offset"],
-            )
+            yield pd.DataFrame(rows, columns=_ALIGN_COLS)
 
     inp = pairs.select(
         F.col(pair_id).alias("pair_id"),

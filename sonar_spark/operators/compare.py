@@ -137,3 +137,17 @@ def compare_topk(
     return ranked.withColumn(
         "match_class", match_class(F.col("similarity"), cfg)
     )
+
+
+def similarity_statistics(results: DataFrame, sim: str = "similarity") -> DataFrame:
+    """Summary statistics over comparison results per query
+    (GetSimilarityStatistics, comparison.go:1154-1205): mean, min,
+    max, median, std."""
+    return results.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.avg(sim).alias("mean_sim"),
+        F.min(sim).alias("min_sim"),
+        F.max(sim).alias("max_sim"),
+        F.percentile(sim, 0.5).alias("median_sim"),
+        F.coalesce(F.stddev_pop(sim), F.lit(0.0)).alias("std_sim"),
+    )

@@ -116,6 +116,54 @@ def detect_silence(
     return segs.where(F.col("is_silent") == 1).drop("is_silent")
 
 
+def detect_voice_activity(
+    features: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    energy: str = "rms_energy",
+    zcr: str = "zcr",
+    energy_thr: Column | float = 0.0,
+    zcr_low: float = 0.0,
+    zcr_high: float = 1.0,
+    min_run: int = 3,
+) -> DataFrame:
+    """Voice-activity segments: energy >= threshold AND
+    zcr_low <= zcr <= zcr_high, grouped into runs >= min_run
+    (DetectVoiceActivity, reference silence_detection.go:78-135 —
+    compound predicate + the same run-length machinery as silence).
+
+    Output: key, seg_start, seg_end, run_len (active segments only)."""
+    thr = energy_thr if isinstance(energy_thr, Column) else F.lit(float(energy_thr))
+    flagged = features.withColumn(
+        "is_active",
+        (
+            (F.col(energy) >= thr)
+            & (F.col(zcr) >= zcr_low)
+            & (F.col(zcr) <= zcr_high)
+        ).cast("int"),
+    )
+    segs = segment_runs(
+        flagged, key=key, order=order, flag="is_active", min_run=min_run
+    )
+    return segs.where(F.col("is_active") == 1).drop("is_active")
+
+
+def silence_ratio(
+    features: DataFrame,
+    *,
+    key: str = "doc_id",
+    energy: str = "rms_energy",
+    threshold: Column | float = 0.0,
+) -> DataFrame:
+    """Fraction of silent frames per key (ComputeSilenceRatio,
+    silence_detection.go:171-193)."""
+    thr = threshold if isinstance(threshold, Column) else F.lit(float(threshold))
+    return features.groupBy(key).agg(
+        F.avg((F.col(energy) < thr).cast("double")).alias("silence_ratio")
+    )
+
+
 def detect_onsets(
     features: DataFrame,
     *,

@@ -66,3 +66,40 @@ def test_envelope_smooths(spark):
     env = envelope(feats, smooth_k=2).collect()
     mid = [r["envelope"] for r in env if 2 <= r["frame_idx"] <= 7]
     assert all(0.3 < v < 0.7 for v in mid)
+
+
+def test_vad_and_silence_ratio(spark):
+    from sonar_spark.operators.sessionize import (
+        detect_voice_activity,
+        silence_ratio,
+    )
+
+    vals = [0.1, 0.1, 0.9, 0.9, 0.9, 0.1, 0.9, 0.9, 0.9, 0.9]
+    feats = spark.createDataFrame(
+        [("d", i, v, 0.5) for i, v in enumerate(vals)],
+        "doc_id string, frame_idx long, rms_energy double, zcr double",
+    )
+    segs = detect_voice_activity(
+        feats, energy_thr=0.5, zcr_low=0.0, zcr_high=1.0, min_run=3
+    ).collect()
+    got = {(r["seg_start"], r["seg_end"], r["run_len"]) for r in segs}
+    assert got == {(2, 4, 3), (6, 9, 4)}
+    sr = silence_ratio(feats, threshold=0.5).collect()[0]
+    assert abs(sr["silence_ratio"] - 0.3) < 1e-12
+
+
+def test_time_stretch_estimate(spark):
+    import numpy as np
+    from sonar_spark.config import AlignmentConfig
+    from sonar_spark.operators.align import align_pairs
+
+    rng = np.random.default_rng(17)
+    a = rng.standard_normal(200)
+    rows = [("same", a.tolist(), a.tolist()),
+            ("short", a.tolist(), a[:100].tolist())]
+    df = spark.createDataFrame(
+        rows, "pair_id string, series_a array<double>, series_b array<double>"
+    )
+    out = {r["pair_id"]: r for r in align_pairs(df, AlignmentConfig(max_lag=32)).collect()}
+    assert abs(out["same"]["time_stretch"] - 1.0) < 1e-9
+    assert out["short"]["time_stretch"] < 0.9
