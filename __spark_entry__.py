@@ -854,6 +854,17 @@ def q_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep first doc per content fingerprint; kept rows
+    per source (hash-groupBy dedup, the actual dedup operator rather
+    than just the counts of dedup_exact)."""
+    from sonar_spark.operators.fingerprint import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, doc_fingerprint(F.col("text")))
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
 def q_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetSimilarityStatistics over the compare_topk results
     (comparison.go:1154-1205; rows-only)."""
@@ -952,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divergences": q_divergences,
         "tempo": q_tempo,
         "similarity_stats": q_similarity_stats,
+        "exact_dedup": q_exact_dedup,
     }
 
 
@@ -1088,6 +1100,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn": _KNN_SQL,
         "ivf_knn": _KNN_SQL,
+        "exact_dedup": r"""
+            WITH n AS (
+              SELECT doc_id, source,
+                     lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+              FROM documents
+            ),
+            k AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY nt)
+            SELECT n.source, count(*) AS n_kept
+            FROM n JOIN k USING (doc_id) GROUP BY 1
+        """,
         "tempo": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

@@ -31,6 +31,28 @@ _SIG_SCHEMA = (
 )
 
 
+def exact_dedup(
+    df: DataFrame,
+    fingerprint_col,
+    *,
+    keep_order: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Exact deduplication by content fingerprint (hash-groupBy): keep
+    the first row per fingerprint by keep_order (deterministic), drop
+    the rest. One shuffle on the fingerprint.
+
+    fingerprint_col: a Column expression (e.g.
+    functions.text.doc_fingerprint(F.col('text')))."""
+    w = Window.partitionBy(fingerprint_col).orderBy(
+        *[F.col(c).asc() for c in keep_order]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def minhash_fingerprints(
     df: DataFrame, cfg: MinHashConfig = MinHashConfig()
 ) -> DataFrame:
