@@ -854,6 +854,21 @@ def q_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the BPE-ish regex pre-tokenizer per source
+    (vs whitespace counting in token_stats)."""
+    from sonar_spark.functions.text import n_tokens_bpe_ish
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", n_tokens_bpe_ish(F.col("text")).alias("nt"))
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("long").alias("sum_tokens"),
+        F.round(F.avg("nt"), 6).alias("avg_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep first doc per content fingerprint; kept rows
     per source (hash-groupBy dedup, the actual dedup operator rather
@@ -964,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tempo": q_tempo,
         "similarity_stats": q_similarity_stats,
         "exact_dedup": q_exact_dedup,
+        "bpe_token_stats": q_bpe_token_stats,
     }
 
 
@@ -1100,6 +1116,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn": _KNN_SQL,
         "ivf_knn": _KNN_SQL,
+        "bpe_token_stats": r"""
+            WITH t AS (
+              SELECT source,
+                     len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\nA-Za-z0-9]+'))
+                       AS nt
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(nt)::BIGINT AS sum_tokens,
+                   round(avg(nt), 6) AS avg_tokens,
+                   max(nt)::BIGINT AS max_tokens
+            FROM t GROUP BY 1
+        """,
         "exact_dedup": r"""
             WITH n AS (
               SELECT doc_id, source,

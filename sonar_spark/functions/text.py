@@ -55,6 +55,22 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern (BPE-ish): contractions, letter
+# runs, digit runs, punctuation runs — each optionally preceded by a
+# space (public pattern shape; Java/RE2-compatible subset)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def tokenize_bpe_ish(text: Column) -> Column:
+    """BPE-ish regex pre-tokenization (array<string>) — the token
+    counting unit a BPE tokenizer would see before merges."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def n_tokens_bpe_ish(text: Column) -> Column:
+    return F.size(tokenize_bpe_ish(text))
+
+
 # distinctive-marker profiles for the n-gram language-ID heuristic;
 # scores are occurrence counts of language-distinctive character
 # sequences (tiny stand-in for a trigram profile table — same shape,

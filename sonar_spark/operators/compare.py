@@ -120,6 +120,22 @@ def compare_topk(
         w_energy * sim_energy + w_moments * sim_moments + w_minhash * sim_minhash
     ) / wsum
 
+    # quality metrics (comparison.go:892-1037): noise = dispersion of
+    # the per-group similarities; confidence = similarity damped by
+    # noise (all groups are always available in this engine, so the
+    # availability term is 1)
+    mean3 = (sim_energy + sim_moments + sim_minhash) / 3.0
+    noise = F.sqrt(
+        (
+            F.pow(sim_energy - mean3, 2)
+            + F.pow(sim_moments - mean3, 2)
+            + F.pow(sim_minhash - mean3, 2)
+        )
+        / 3.0
+    )
+    confidence = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), sim * (1.0 - noise))
+    )
     scored = j.select(
         "query_id",
         "match_id",
@@ -127,6 +143,8 @@ def compare_topk(
         sim_moments.alias("sim_moments"),
         sim_minhash.alias("sim_minhash"),
         sim.alias("similarity"),
+        noise.alias("sim_noise"),
+        confidence.alias("confidence"),
     ).where(F.col("similarity") >= cfg.similarity_threshold)
     ranked = topk_per_group(
         scored,
