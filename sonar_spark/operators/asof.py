@@ -23,14 +23,13 @@ Spark has no native merge_asof. Two physical strategies:
    hottest entity's timeline to ~target_rows_per_bucket per shard),
    make each right (entity, bucket)'s latest row visible to every
    later left bucket (boundary-spill carried via a bucket-granularity
-   running window), then ONE shuffle on (entity, bucket) +
-   sortWithinPartitions + a single vectorized groupby-ffill pass per
-   PARTITION in mapInPandas. Buckets of one entity land in different
-   tasks => a hot entity is spread across the cluster; processing is
-   per-partition, not per-group (cogroup/applyInPandas costs
-   milliseconds of fixed overhead per group, which dominates when
-   entities are many and shards small). An in-kernel assert enforces
-   zero temporal leakage.
+   running window), optionally salt-split still-hot shards (left rows
+   hashed across S salts, right/carry rows replicated per salt), then
+   the SAME running-last window as the union strategy but partitioned
+   by (entity, bucket, salt) — a hot entity's timeline is split
+   across many tasks while everything stays in whole-stage-codegen
+   window exec (no Python in the hot path). A JVM assert_true guard
+   enforces zero temporal leakage at runtime.
 
 Both return all left columns plus matched_ref_ts (null = no match)
 and the matched right payload columns. Property-tested against the
@@ -39,7 +38,6 @@ quadratic brute-force oracle (sonar_spark.oracle.asof_brute_force).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -141,9 +139,6 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
     lcols = left.columns
     ltypes = dict(left.dtypes)
     rtypes = dict(right.select(*carry).dtypes)
-    int_like = {"tinyint", "smallint", "int", "bigint"}
-    carry_int = {c for c in carry if rtypes[c] in int_like}
-
     lb = left.withColumn("__ts", F.col(left_ts).cast("long")).withColumn(
         "__b", F.floor(F.col("__ts") / bucket_w)
     )
@@ -207,10 +202,12 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
         .drop("__is_left")
     )
 
-    # One tagged union, ONE shuffle on (entity, bucket), sort within
-    # partitions, then ONE vectorized ffill pass per PARTITION (not per
-    # group — cogroup/applyInPandas costs ms per group, which dominates
-    # when entities are many and shards are small).
+    # One tagged union; the running last-right fill is a JVM window
+    # over (entity, bucket, salt) — the SAME sort-merge as the union
+    # strategy but with the range bucket (and salt) in the partition
+    # key, so a hot entity's timeline is split across many tasks.
+    # Cross-bucket correctness comes from the carry rows; everything
+    # stays in whole-stage codegen (no Python in the hot path).
     r_all = rb.unionByName(carry_rows.select(*rb.columns)).select(
         F.col(key),
         "__b",
@@ -243,67 +240,38 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
         l_all = l_all.withColumn("__salt", F.lit(0))
         r_all = r_all.withColumn("__salt", F.lit(0))
     u = l_all.unionByName(r_all.select(*l_all.columns))
-    shuffle_n = u.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    u = u.repartition(int(shuffle_n), key, "__b", "__salt").sortWithinPartitions(
-        key, "__b", "__salt", "__ts", "__is_left",
-        *([version] if version else []),
+
+    # order within a shard: ts asc; at equal ts right (0) before left
+    # (1) => inclusive backward match; among right rows at equal ts the
+    # higher version sorts last and wins the running last().
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    if version:
+        order.append(F.col(version).asc_nulls_first())
+    w = (
+        Window.partitionBy(key, "__b", "__salt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # order within (key, b, ts): right (0) before left (1) => inclusive
-    # backward match; among right rows at equal ts the higher version
-    # sorts last and wins the ffill.
-
-    out_schema = ", ".join(
-        [f"`{c}` {t}" for c, t in left.dtypes]
-        + ["matched_ref_ts bigint"]
-        + [f"`{c}` {t}" for c, t in right.select(*carry).dtypes]
+    matched_src = F.when(F.col("__is_left") == 0, F.col("__ts"))
+    filled = u.select(
+        *lcols,
+        "__is_left",
+        "__ts",
+        F.last(matched_src, ignorenulls=True).over(w).alias("matched_ref_ts"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
     )
-    pay = list(carry)
-
-    def _clean(v):
-        # ffill leaves float NaN in unmatched object/array cells;
-        # normalize to None for Arrow conversion
-        if v is None:
-            return None
-        try:
-            if pd.api.types.is_scalar(v) and pd.isna(v):
-                return None
-        except (TypeError, ValueError):
-            pass
-        return v
-
-    def merge(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            is_left = pdf["__is_left"].to_numpy() == 1
-            m = pdf["__ts"].where(~is_left)
-            pdf = pdf.assign(matched_ref_ts=m)
-            fill_cols = ["matched_ref_ts"] + [c for c in pay]
-            for c in pay:
-                pdf[c] = pdf[c].where(~is_left)
-            # group by salt too: ffill across salt boundaries would
-            # leak a later right row into the next salt's left rows
-            filled = pdf.groupby([key, "__b", "__salt"], sort=False)[
-                fill_cols
-            ].ffill()
-            res = pdf.loc[is_left, [c for c in lcols]].copy()
-            mf = filled.loc[is_left]
-            # zero-temporal-leakage hard assert (north_rule)
-            mm = mf["matched_ref_ts"].to_numpy()
-            lt = pdf.loc[is_left, "__ts"].to_numpy()
-            bad = (~pd.isna(mm)) & (mm > lt)
-            if bad.any():
-                raise AssertionError("temporal leakage in as-of join")
-            res["matched_ref_ts"] = pd.Series(
-                mf["matched_ref_ts"].to_numpy(), index=res.index
-            ).astype("Int64")
-            for c in pay:
-                col = pd.Series(mf[c].to_numpy(), index=res.index)
-                res[c] = (
-                    col.astype("Int64") if c in carry_int else col.map(_clean)
-                )
-            yield res[[*lcols, "matched_ref_ts", *pay]]
-
-    return u.mapInPandas(
-        merge, schema=out_schema, barrier=False
+    out = filled.where(F.col("__is_left") == 1)
+    # zero-temporal-leakage runtime guard (north_rule): by construction
+    # matched_ref_ts <= __ts; assert_true raises if any row violates.
+    leak_ok = F.col("matched_ref_ts").isNull() | (
+        F.col("matched_ref_ts") <= F.col("__ts")
+    )
+    guarded = F.when(
+        F.assert_true(leak_ok, F.lit("temporal leakage in as-of join")).isNull(),
+        F.col("matched_ref_ts"),
+    )
+    return out.select(
+        *lcols,
+        guarded.alias("matched_ref_ts"),
+        *[F.col(c) for c in carry],
     )

@@ -142,3 +142,36 @@ def test_asof_bucketed_salted(spark):
         strategy="bucketed",
     ).collect()
     _check_vs_bruteforce(left.collect(), right.collect(), got)
+
+
+def test_asof_bucketed_shard_larger_than_arrow_batch(spark):
+    """Regression: a shard bigger than spark.sql.execution.arrow.
+    maxRecordsPerBatch (10k) spans multiple Arrow batches inside one
+    partition — the merge must carry its running last-right state
+    across batch boundaries."""
+    n = 60_000
+    left = (
+        spark.range(n)
+        .selectExpr(
+            "'hot' as entity",
+            "cast(id * 7 % 100000 as long) as ts",
+            "cast(0.0 as double) as val",
+        )
+    )
+    rts = sorted(int(x) for x in np.random.default_rng(1).integers(0, 100000, 25))
+    rrows = [("hot", t, i, [float(i)]) for i, t in enumerate(rts)]
+    right = spark.createDataFrame(
+        rrows, "entity string, ref_ts long, ref_version int, ref_features array<double>"
+    )
+    # ONE bucket => one 60k-row shard (forces multi-batch processing)
+    got = asof_join(
+        left, right, cfg=AsofConfig(bucket_width=1 << 40), strategy="bucketed"
+    )
+    # spot-check against the union strategy (exact same semantics)
+    want = asof_join(left, right, strategy="union")
+    g = got.groupBy("matched_ref_ts").count().collect()
+    w = want.groupBy("matched_ref_ts").count().collect()
+    gm = {r["matched_ref_ts"]: r["count"] for r in g}
+    wm = {r["matched_ref_ts"]: r["count"] for r in w}
+    assert gm == wm
+    assert sum(v for k, v in gm.items() if k is not None) > n // 2
