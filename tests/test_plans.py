@@ -103,3 +103,20 @@ def test_asof_bucketed_spreads_hot_entity(spark):
         .count()
     )
     assert n_parts > 1, "hot entity not spread across partitions"
+
+
+def test_asof_bucketed_is_jvm_only(spark):
+    """The bucketed strategy's hot path must contain no Python
+    evaluation (mapInPandas/ArrowEval) — it is a pure window plan."""
+    left = spark.createDataFrame(
+        [("e", i, 0.0) for i in range(50)], "entity string, ts long, val double"
+    )
+    right = spark.createDataFrame(
+        [("e", 10, 0, [1.0])],
+        "entity string, ref_ts long, ref_version int, ref_features array<double>",
+    )
+    plan = _plan(
+        asof_join(left, right, cfg=AsofConfig(bucket_width=1024),
+                  strategy="bucketed")
+    )
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
