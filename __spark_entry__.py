@@ -854,6 +854,61 @@ def q_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chroma_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-analog pivot (ChromaSTFT mapping-table join + groupBy
+    pitch-class sum, reference chroma/chroma_stft.go:91-140): each
+    token position maps to class = len(token) % 12; per (doc, frame)
+    the class-summed values form a 12-bin profile. Output: per
+    (doc, frame_idx, class) summed value + frame-normalized share."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = to_token_length_table(docs).where(F.col("n_tok") >= 16)
+    from sonar_spark.operators.frames import expand_frames
+
+    frames = expand_frames(toks, FrameConfig(window=16, hop=4))
+    ex = frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        F.explode("window").alias("v"),
+    )
+    g = ex.groupBy(
+        "doc_id", "frame_idx", F.pmod(F.col("v"), F.lit(12)).alias("cls")
+    ).agg(F.sum("v").alias("cls_sum"))
+    from pyspark.sql import Window as W
+
+    tot = F.sum("cls_sum").over(W.partitionBy("doc_id", "frame_idx"))
+    out = g.select(
+        "doc_id",
+        "frame_idx",
+        F.col("cls").cast("int").alias("cls"),
+        F.col("cls_sum").cast("long").alias("cls_sum"),
+        F.round(F.col("cls_sum") / tot, 6).alias("share"),
+    )
+    # keep output bounded: first 4 frames per doc
+    return out.where(F.col("frame_idx") < 4)
+
+
+def q_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy family over frame energies (temporal/energy.go:69-154):
+    entropy over normalized per-frame energies, first-diff, pairwise
+    ratio — lag window + normalized-distribution entropy per doc."""
+    from pyspark.sql import Window as W
+
+    rms = _doc_frame_rms(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    d = rms.withColumn("prev", F.lag("rms_energy").over(w))
+    diff = F.col("rms_energy") - F.col("prev")
+    ratio = F.when(F.col("prev") > 0, F.col("rms_energy") / F.col("prev"))
+    per_doc_sum = F.sum(F.col("rms_energy")).over(W.partitionBy("doc_id"))
+    p = F.col("rms_energy") / per_doc_sum
+    e = d.withColumn("p", p).withColumn("dif", diff).withColumn("rat", ratio)
+    return e.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("energy_entropy"),
+        F.round(F.avg(F.abs(F.col("dif"))), 6).alias("mean_abs_diff"),
+        F.round(F.avg("rat"), 6).alias("mean_ratio"),
+    )
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with the BPE-ish regex pre-tokenizer per source
     (vs whitespace counting in token_stats)."""
@@ -980,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_stats": q_similarity_stats,
         "exact_dedup": q_exact_dedup,
         "bpe_token_stats": q_bpe_token_stats,
+        "chroma_pivot": q_chroma_pivot,
+        "energy_profile": q_energy_profile,
     }
 
 
@@ -1116,6 +1173,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn": _KNN_SQL,
         "ivf_knn": _KNN_SQL,
+        "chroma_pivot": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl)) AS val
+              FROM toks
+            ),
+            nn AS (SELECT doc_id, count(*) AS n FROM v GROUP BY 1),
+            cov AS (
+              SELECT doc_id, val,
+                     greatest(0, ceil((pos - 16) / 4.0))::BIGINT AS lo,
+                     least((n - 16) // 4, (pos - 1) // 4)::BIGINT AS hi
+              FROM v JOIN nn USING (doc_id)
+              WHERE n >= 16
+            ),
+            ex AS (
+              SELECT doc_id, val,
+                     unnest(generate_series(lo, hi)) AS frame_idx
+              FROM cov WHERE lo <= hi
+            ),
+            g AS (
+              SELECT doc_id, frame_idx, (val % 12)::INT AS cls,
+                     sum(val)::BIGINT AS cls_sum
+              FROM ex GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, frame_idx, cls, cls_sum,
+                   round(cls_sum / (sum(cls_sum) OVER
+                     (PARTITION BY doc_id, frame_idx))::DOUBLE, 6) AS share
+            FROM g WHERE frame_idx < 4
+        """,
+        "energy_profile": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx, rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            e AS (
+              SELECT doc_id, frame_idx, rms,
+                     lag(rms) OVER (PARTITION BY doc_id
+                                    ORDER BY frame_idx) AS prev,
+                     rms / sum(rms) OVER (PARTITION BY doc_id) AS p
+              FROM fr
+            )
+            SELECT doc_id, count(*) AS n_frames,
+                   round(-sum(p * log2(p)), 6) AS energy_entropy,
+                   round(avg(abs(rms - prev)), 6) AS mean_abs_diff,
+                   round(avg(CASE WHEN prev > 0 THEN rms / prev END), 6)
+                     AS mean_ratio
+            FROM e GROUP BY 1
+        """,
         "bpe_token_stats": r"""
             WITH t AS (
               SELECT source,
