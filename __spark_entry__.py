@@ -304,12 +304,21 @@ def _shingles4(toks):
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard nearest neighbor per doc (within source):
     the exact form of the MinHash estimand (distance.go:198-216)."""
-    docs = _t(spark, sf_dir, "documents")
+    # exact pairwise Jaccard is quadratic by construction — it is the
+    # BASELINE the LSH pass (minhash_dedup) approximates; bound it to
+    # a deterministic 1000-doc slice so the exact check stays cheap at
+    # any sf (the scale path for full corpora is LSH candidates +
+    # exact verification on survivors)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     t = docs.select(
         "doc_id",
         "source",
         _shingles4(F.split(F.trim(F.col("text")), r"\s+")).alias("sh"),
     )
+    # materialize the shingle arrays BEFORE the self-join: Catalyst
+    # would otherwise inline the expression into the join and
+    # recompute it once per PAIR row (n^2 evaluations instead of n)
+    t = t.repartition(F.col("source"))
     a = t.select(
         F.col("doc_id").alias("doc_a"), "source", F.col("sh").alias("sh_a")
     )
@@ -1733,7 +1742,7 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(
                          string_split_regex(trim(text), '\s+')[i:i+3], ' ')
                      )) AS sh
-              FROM documents
+              FROM documents WHERE doc_id < 1000
             ),
             p AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

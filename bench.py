@@ -112,6 +112,9 @@ def main() -> None:
         "percentiles_lineitem",
         "minhash_dedup",
         "align_pairs",
+        "ngram_jaccard",
+        "ivf_knn",
+        "chroma_pivot",
     ):
         if name not in qs:
             continue
