@@ -387,7 +387,10 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token table + deterministic near-dup copies of ~10% of docs
     (tokens minus the last 3) — planted dedup workload."""
     base = to_token_table(_t(spark, sf_dir, "documents"))
-    dups = base.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+    # n_tok > 3 guard: F.slice needs a non-negative length
+    dups = base.where(
+        (F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0) & (F.col("n_tok") > 3)
+    ).select(
         F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"),
         F.slice(F.col("tokens"), 1, F.col("n_tok") - 3).alias("tokens"),
         (F.col("n_tok") - 3).alias("n_tok"),
@@ -912,7 +915,11 @@ def q_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = d.withColumn("p", p).withColumn("dif", diff).withColumn("rat", ratio)
     return e.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
-        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("energy_entropy"),
+        # `+ 0.0` normalizes IEEE -0.0 (single-frame docs: p=1 -> sum=0
+        # -> negate gives -0.0) so Spark and DuckDB hash identically.
+        F.round(-F.sum(F.col("p") * F.log2("p")) + F.lit(0.0), 6).alias(
+            "energy_entropy"
+        ),
         F.round(F.avg(F.abs(F.col("dif"))), 6).alias("mean_abs_diff"),
         F.round(F.avg("rat"), 6).alias("mean_ratio"),
     )
@@ -1244,7 +1251,7 @@ def oracle_sql() -> dict[str, str]:
               FROM fr
             )
             SELECT doc_id, count(*) AS n_frames,
-                   round(-sum(p * log2(p)), 6) AS energy_entropy,
+                   round(-sum(p * log2(p)) + 0.0, 6) AS energy_entropy,
                    round(avg(abs(rms - prev)), 6) AS mean_abs_diff,
                    round(avg(CASE WHEN prev > 0 THEN rms / prev END), 6)
                      AS mean_ratio
@@ -1254,7 +1261,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT source,
                      len(regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\nA-Za-z0-9]+'))
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r\f\x0BA-Za-z0-9]+'))
                        AS nt
               FROM documents
             )

@@ -57,8 +57,13 @@ def quality_score(text: Column) -> Column:
 
 # GPT-2-style pre-tokenizer pattern (BPE-ish): contractions, letter
 # runs, digit runs, punctuation runs — each optionally preceded by a
-# space (public pattern shape; Java/RE2-compatible subset)
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# space (public pattern shape; Java/RE2-compatible subset).
+# Whitespace class is spelled out ([ \t\n\r\f\x0B]) so the Spark and
+# DuckDB oracles agree on every input — \s shorthand differs subtly
+# across engines.
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r\f\x0BA-Za-z0-9]+"
+)
 
 
 def tokenize_bpe_ish(text: Column) -> Column:

@@ -275,8 +275,13 @@ def frame_features(
 
 
 def percentile_r6(x: np.ndarray, p: float) -> float:
-    """Reference default percentile (Excel / Hyndman-Fan R-6,
-    stats/percentiles.go:235-256): h = (n+1)p, linear interp, clamped."""
+    """Textbook Hyndman-Fan R-6 percentile: h = (n+1)p, linear interp,
+    clamped. NOTE: this is the method the reference's comment CLAIMS
+    to implement (percentiles.go:233 says "R-6, Excel default") but its
+    code actually computes h=(n-1)q+1, i.e. R-7 — see
+    kernels.percentile_method("linear") for the faithful reproduction
+    of the reference arithmetic. Kept as the textbook form the name
+    promises."""
     s = np.sort(np.asarray(x, dtype=np.float64))
     n = len(s)
     h = (n + 1) * p
@@ -286,6 +291,70 @@ def percentile_r6(x: np.ndarray, p: float) -> float:
         return float(s[-1])
     k = int(np.floor(h))
     return float(s[k - 1] + (h - k) * (s[k] - s[k - 1]))
+
+
+# Reference percentile-method family (stats/percentiles.go:198-404).
+# Each entry maps (n, q) -> h, the 1-based fractional order statistic;
+# the value is then data[floor(h)-1] + frac * (data[ceil(h)-1] - ...).
+# NOTE the reference's own labels vs textbook Hyndman-Fan numbers:
+# "linear" (its default, percentiles.go:233-256) computes h=(n-1)q+1
+# which is textbook R-7 despite the comment claiming R-6; "weighted"
+# (:313-338) is h=nq (R-4-like); "median_unbiased" (:360-380) is
+# h=(n+1)/3 + (n-1)q/3 (NOT textbook R-8); "normal_unbiased"
+# (:383-404) is h=n/4 + 0.25 + q(n+0.5) (NOT textbook R-9). We
+# reproduce the reference arithmetic exactly, deviations included.
+_PCT_H = {
+    "linear": lambda n, q: (n - 1) * q + 1.0,
+    "weighted": lambda n, q: n * q,
+    "r_default": lambda n, q: (n - 1) * q + 1.0,
+    "median_unbiased": lambda n, q: (n + 1) / 3.0 + (n - 1) / 3.0 * q,
+    "normal_unbiased": lambda n, q: n / 4.0 + 0.25 + q * (n + 0.5),
+}
+
+PERCENTILE_METHODS = (
+    "linear", "lower", "higher", "midpoint", "weighted", "r_default",
+    "median_unbiased", "normal_unbiased",
+)
+
+
+def percentile_method(x: np.ndarray, q: float, method: str = "linear") -> float:
+    """The reference's 8 percentile methods (percentiles.go:198-404),
+    arithmetic reproduced exactly (see _PCT_H note on label vs
+    textbook-R-number mismatches). q in [0,1]; data sorted here."""
+    s = np.sort(np.asarray(x, dtype=np.float64))
+    n = len(s)
+    if n == 0:
+        raise ValueError("empty data")
+    if n == 1:
+        return float(s[0])
+    if method == "lower":  # percentiles.go:258-273 (R-1-like)
+        h = n * q
+        if h <= 1.0:
+            return float(s[0])
+        return float(s[min(int(np.ceil(h)) - 1, n - 1)])
+    if method == "higher":  # percentiles.go:275-290 (R-3-like)
+        h = n * q
+        if h < 1.0:
+            return float(s[0])
+        return float(s[min(int(np.floor(h)), n - 1)])
+    if method == "midpoint":  # percentiles.go:292-311 (R-2-like)
+        h = n * q
+        if h <= 1.0:
+            return float(s[0])
+        if h >= n:
+            return float(s[-1])
+        lo, hi = int(np.floor(h)) - 1, int(np.ceil(h)) - 1
+        return float(s[lo] if lo == hi else (s[lo] + s[hi]) / 2.0)
+    h = _PCT_H[method](n, q)
+    if h <= 1.0:
+        return float(s[0])
+    if h >= n:
+        return float(s[-1])
+    lo, hi = int(np.floor(h)) - 1, int(np.ceil(h)) - 1
+    if lo == hi:
+        return float(s[lo])
+    frac = h - np.floor(h)
+    return float(s[lo] + frac * (s[hi] - s[lo]))
 
 
 # ---------------------------------------------------------------- minhash
@@ -464,28 +533,23 @@ def xcorr_normalized(a: np.ndarray, b: np.ndarray, max_lag: int,
     L = max(L, 0)
     lags = np.arange(-L, L + 1)
     za, zb = _znorm(a), _znorm(b)
+    # overlap length per lag (vectorized; no per-lag Python)
+    ov = np.minimum(len(a), len(b) - lags) - np.maximum(0, -lags)
     if max(len(a), len(b)) > fft_threshold:
         n = len(za) + len(zb) - 1
         nfft = 1 << int(np.ceil(np.log2(max(n, 1))))
         fa = np.fft.rfft(za, nfft)
         fb = np.fft.rfft(zb, nfft)
         full = np.fft.irfft(fa * np.conj(fb), nfft)
-        # full[k] = sum za[t] * zb[t-k] (k>=0); negative k wraps
-        corr = np.empty(len(lags))
-        for i, lag in enumerate(lags):
-            # sum za[t] zb[t+lag] = full[-lag mod nfft]
-            s = full[(-lag) % nfft]
-            ov = min(len(a), len(b) - lag) - max(0, -lag)
-            corr[i] = s / ov if ov > 0 else 0.0
+        # full[k] = sum za[t] * zb[t-k] (k>=0; negative k wraps), so
+        # sum za[t] zb[t+lag] = full[-lag mod nfft] — one fancy index
+        s = full[(-lags) % nfft]
     else:
-        corr = np.empty(len(lags))
-        for i, lag in enumerate(lags):
-            if lag >= 0:
-                x, y = za[: len(za) - 0], zb[lag:]
-            else:
-                x, y = za[-lag:], zb[: len(zb)]
-            m = min(len(x), len(y))
-            corr[i] = (x[:m] * y[:m]).mean() if m > 0 else 0.0
+        # all lag sums in one C call: c[k] = sum za[j] zb[j-d] with
+        # d = k-(len(zb)-1), and we want d = -lag
+        c = np.correlate(za, zb, mode="full")
+        s = c[len(zb) - 1 - lags]
+    corr = np.where(ov > 0, s / np.where(ov > 0, ov, 1), 0.0)
     return lags, corr
 
 
@@ -530,54 +594,73 @@ def xcorr_confidence(m: dict[str, float], w=(0.55, 0.22, 0.12, 0.06)) -> float:
 
 
 def dtw_align(a: np.ndarray, b: np.ndarray, band: int = 50) -> dict[str, float]:
-    """Band-constrained DTW, symmetric2 steps (stats/dtw.go:55-233).
+    """Band-constrained DTW reproducing the reference arithmetic
+    exactly (stats/dtw.go:55-233):
 
-    Returns path-normalized distance, mean path displacement (offset,
-    stats/alignment.go:530-541) and an exp-decay confidence
-    (stats/alignment.go:420-452 simplified)."""
+    - step: D[i,j] = |a_i - b_j| + min(D[i-1,j], D[i,j-1], D[i-1,j-1])
+      (dtw.go:140-144 — the reference labels this "symmetric2" but it
+      is a plain min; no diagonal double-weighting);
+    - distance normalized by PATH LENGTH (dtw.go:88-91);
+    - backtrack tie-break prefers vertical, then horizontal, then
+      diagonal (strict < scan in dtw.go:199-215), path walks edges to
+      the origin (dtw.go:169);
+    - offset = mean over path of (RefIndex - QueryIndex)
+      (alignment.go:530-541; the reference truncates to int frames,
+      we keep the float mean).
+    Confidence is an exp-decay simplification of the reference's
+    4-factor blend (alignment.go:419-452).
+
+    Vectorized as an anti-diagonal wavefront: every cell on i+j=k
+    depends only on diagonals k-1 and k-2, so each diagonal is one
+    fancy-indexed numpy op — no per-cell Python."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     q, r = len(a), len(b)
     if q == 0 or r == 0:
-        return {"dist": np.inf, "offset": 0.0, "confidence": 0.0, "path_len": 0.0}
+        return {"dist": np.inf, "offset": 0.0, "confidence": 0.0,
+                "path_len": 0.0, "slope": 1.0}
     band = max(band, abs(q - r) + 1)
-    INF = np.inf
-    D = np.full((q + 1, r + 1), INF)
+    D = np.full((q + 1, r + 1), np.inf)
     D[0, 0] = 0.0
-    for i in range(1, q + 1):
-        jlo = max(1, i - band)
-        jhi = min(r, i + band)
-        ai = a[i - 1]
-        cost = np.abs(ai - b[jlo - 1 : jhi])
-        row_prev = D[i - 1]
-        row = D[i]
-        for idx, j in enumerate(range(jlo, jhi + 1)):
-            c = cost[idx]
-            # symmetric2: diagonal counts double
-            best = min(row_prev[j] + c, row[j - 1] + c, row_prev[j - 1] + 2 * c)
-            row[j] = best
-    # backtrack
+    for k in range(2, q + r + 1):
+        ilo = max(1, k - r, -((band - k) // 2))  # ceil((k-band)/2)
+        ihi = min(q, k - 1, (k + band) // 2)
+        if ilo > ihi:
+            continue
+        ii = np.arange(ilo, ihi + 1)
+        jj = k - ii
+        c = np.abs(a[ii - 1] - b[jj - 1])
+        D[ii, jj] = c + np.minimum(
+            np.minimum(D[ii - 1, jj], D[ii, jj - 1]), D[ii - 1, jj - 1]
+        )
+    # backtrack (dtw.go:164-216): O(path) scalar steps
     i, j = q, r
-    disp = []
+    disp_sum = 0.0
     steps = 0
     di = dj = 0
-    while i > 0 and j > 0:
-        disp.append(j - i)
+    while i > 0 or j > 0:
+        disp_sum += j - i
         steps += 1
-        choices = (D[i - 1, j - 1], D[i - 1, j], D[i, j - 1])
-        k = int(np.argmin(choices))
-        if k == 0:
-            i, j = i - 1, j - 1
-            di += 1
+        if i == 0:
+            j -= 1
             dj += 1
-        elif k == 1:
+        elif j == 0:
             i -= 1
             di += 1
         else:
-            j -= 1
-            dj += 1
-    dist = float(D[q, r] / (q + r))
-    offset = float(np.mean(disp)) if disp else 0.0
+            v, h, d = D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+            if h < v and h <= d:
+                j -= 1
+                dj += 1
+            elif d < v and d < h:
+                i, j = i - 1, j - 1
+                di += 1
+                dj += 1
+            else:  # vertical wins ties (first in the reference's scan)
+                i -= 1
+                di += 1
+    dist = float(D[q, r] / steps) if steps else float(D[q, r])
+    offset = disp_sum / steps if steps else 0.0
     conf = float(np.exp(-dist))
     # mean path slope dj/di — the DTW component of the time-stretch
     # estimate (extractors/alignment.go:448-476)

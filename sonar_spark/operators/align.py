@@ -103,19 +103,22 @@ def align_pairs(
     def phase2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                sa = np.asarray(r["series_a"], dtype=np.float64)
-                sb = np.asarray(r["series_b"], dtype=np.float64)
+            for pid, lag, peak, sharp, side, snr, second, p1conf, sa, sb in zip(
+                pdf["pair_id"], pdf["lag"], pdf["peak"], pdf["sharpness"],
+                pdf["sidelobe"], pdf["snr"], pdf["second_peak"],
+                pdf["confidence"], pdf["series_a"], pdf["series_b"],
+            ):
+                sa = np.asarray(sa, dtype=np.float64)
+                sb = np.asarray(sb, dtype=np.float64)
                 d = kernels.dtw_align(sa, sb, cfg.dtw_band)
-                conf = 0.6 * r["confidence"] + 0.4 * d["confidence"]
-                off = 0.6 * r["lag"] + 0.4 * d["offset"]
+                conf = 0.6 * p1conf + 0.4 * d["confidence"]
+                off = 0.6 * lag + 0.4 * d["offset"]
                 ratio = len(sb) / len(sa) if len(sa) else 1.0
                 # 0.7 length-ratio + 0.3 DTW path slope blend
                 # (extractors/alignment.go:448-476)
                 stretch = 0.7 * ratio + 0.3 * d["slope"]
                 rows.append(
-                    (r["pair_id"], r["lag"], r["peak"], r["sharpness"],
-                     r["sidelobe"], r["snr"], r["second_peak"], conf,
+                    (pid, lag, peak, sharp, side, snr, second, conf,
                      "hybrid", d["dist"], d["offset"], off, stretch)
                 )
             yield pd.DataFrame(rows, columns=_ALIGN_COLS)

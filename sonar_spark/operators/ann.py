@@ -33,6 +33,25 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.where(n > 0, n, 1.0)
 
 
+def _vectors_to_matrix(vec) -> np.ndarray:
+    """Arrow list-of-float column -> (n, dim) float64 matrix via the
+    contiguous values buffer (zero-copy flatten + reshape) — never
+    to_pylist(), which builds a Python object per element."""
+    import pyarrow.compute as pc
+
+    n = len(vec)
+    if n == 0:
+        return np.empty((0, 0))
+    lens = pc.list_value_length(vec).to_numpy()
+    dim = int(lens[0])
+    if not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    flat = vec.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    return flat.reshape(n, dim)
+
+
 def train_centroids(
     emb: DataFrame,
     *,
@@ -92,9 +111,9 @@ def ivf_assign(
         for batch in batches:
             vec = batch.column(batch.schema.get_field_index(vec_col))
             ids = batch.column(batch.schema.get_field_index(id_col))
-            X = np.array(vec.to_pylist(), dtype=np.float64)
-            if len(X) == 0:
+            if len(vec) == 0:
                 continue
+            X = _vectors_to_matrix(vec)
             Xn = _normalize_rows(X)
             assign = (Xn @ Cl.T).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
@@ -140,9 +159,9 @@ def ivf_search(
         for batch in batches:
             vec = batch.column(batch.schema.get_field_index(vec_col))
             ids = batch.column(batch.schema.get_field_index(id_col))
-            X = np.array(vec.to_pylist(), dtype=np.float64)
-            if len(X) == 0:
+            if len(vec) == 0:
                 continue
+            X = _vectors_to_matrix(vec)
             sims = _normalize_rows(X) @ Cl.T
             top = np.argsort(-sims, axis=1, kind="stable")[:, :npb].astype(
                 np.int32

@@ -130,7 +130,10 @@ def _asof_bucketed(left, right, key, left_ts, right_ts, version, payload, cfg):
         hot = (
             left.groupBy(key).count().agg(F.max("count")).collect()[0][0] or 1
         )
-        span = max(int(stats["hi"] - stats["lo"]) + 1, 1)
+        if stats["hi"] is None:  # empty left: any width works
+            span = 1
+        else:
+            span = max(int(stats["hi"] - stats["lo"]) + 1, 1)
         n_buckets = max(1, int(hot // cfg.target_rows_per_bucket) + 1)
         bucket_w = max(1, span // n_buckets + 1)
     else:

@@ -155,7 +155,13 @@ def xcorr_naive(a, b, max_lag):
 
 
 def dtw_naive(a, b):
-    """Full (unbanded) DTW symmetric2, plain loops."""
+    """Full (unbanded) DTW, plain loops, reproducing the reference
+    arithmetic (dtw.go:106-233): plain-min step ("symmetric2" label),
+    distance normalized by backtracked path length, backtrack ties
+    prefer vertical then horizontal then diagonal.
+
+    Returns (dist, path) where path is the list of (i-1, j-1) cells
+    from the end-cell down to (0,0)-adjacent, reference order."""
     q, r = len(a), len(b)
     INF = float("inf")
     D = [[INF] * (r + 1) for _ in range(q + 1)]
@@ -163,5 +169,23 @@ def dtw_naive(a, b):
     for i in range(1, q + 1):
         for j in range(1, r + 1):
             c = abs(float(a[i - 1]) - float(b[j - 1]))
-            D[i][j] = min(D[i - 1][j] + c, D[i][j - 1] + c, D[i - 1][j - 1] + 2 * c)
-    return D[q][r] / (q + r)
+            D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+    # backtrack (dtw.go:164-216)
+    path = []
+    i, j = q, r
+    while i > 0 or j > 0:
+        path.append((i - 1, j - 1))
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            cand = [(D[i - 1][j], i - 1, j), (D[i][j - 1], i, j - 1),
+                    (D[i - 1][j - 1], i - 1, j - 1)]
+            best = 0
+            for k in (1, 2):
+                if cand[k][0] < cand[best][0]:
+                    best = k
+            _, i, j = cand[best]
+    path.reverse()
+    return D[q][r] / len(path), path

@@ -50,8 +50,11 @@ def test_dtw_matches_naive():
     a = rng.standard_normal(40)
     b = rng.standard_normal(55)
     got = kernels.dtw_align(a, b, band=100)  # band >= |q-r|+1 => unbanded
-    want = oracle.dtw_naive(a, b)
+    want, path = oracle.dtw_naive(a, b)
     assert np.isclose(got["dist"], want, rtol=1e-9)
+    assert got["path_len"] == len(path)
+    disp = [j - i for i, j in path]
+    assert np.isclose(got["offset"], sum(disp) / len(disp), rtol=1e-12)
 
 
 def test_dtw_identical_zero():
