@@ -1012,6 +1012,39 @@ def q_divergences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPECTRAL_OUT = [
+    "centroid", "rolloff", "bandwidth", "flatness", "flatness_db",
+    "slope", "contrast", "power", "log_power",
+]
+
+
+def q_frame_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain-analog per-frame family over the per-frame
+    histogram-as-spectrum (bin index = frequency axis, count =
+    magnitude): centroid, rolloff(0.85), bandwidth, flatness(+dB),
+    log-log slope, band contrast, total/log power — formulas from
+    spectral_centroid.go:18-41, spectral_rolloff.go:19-55,
+    spectral_bandwidth.go:22-47, spectral_flatness.go:31-103,
+    spectral_slope.go:24-66, spectral_contrast.go:26-137,
+    power_spectrum.go:18-79 (SURVEY §2.3). W=32, H=8, 16 bins;
+    vectorized in the same single mapInArrow pass as the time-domain
+    family."""
+    from sonar_spark.config import FeatureConfig
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = to_token_length_table(docs)
+    cfg = FeatureConfig(
+        enable_energy=False, enable_moments=False, enable_percentiles=False,
+        enable_entropy=False, enable_zcr=False, enable_flux=False,
+    )
+    feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8), cfg)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        *[F.round(F.col(c) + F.lit(0.0), 6).alias(c) for c in _SPECTRAL_OUT],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -1053,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "chroma_pivot": q_chroma_pivot,
         "energy_profile": q_energy_profile,
+        "frame_spectral": q_frame_spectral,
     }
 
 
@@ -1251,7 +1285,7 @@ def oracle_sql() -> dict[str, str]:
               FROM fr
             )
             SELECT doc_id, count(*) AS n_frames,
-                   round(-sum(p * log2(p)) + 0.0, 6) AS energy_entropy,
+                   round(-sum(p * log2(p)), 6) + 0.0 AS energy_entropy,
                    round(avg(abs(rms - prev)), 6) AS mean_abs_diff,
                    round(avg(CASE WHEN prev > 0 THEN rms / prev END), 6)
                      AS mean_ratio
@@ -1828,5 +1862,134 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(vp), 6) AS std,
                    round(med, 6) AS p50
             FROM f WHERE strt % 8 = 0 AND cnt = 32
+        """,
+        # independent SQL implementation of the histogram-as-spectrum
+        # family (W=32, H=8, B=16; contrast band edges [1,2,3,7,15]
+        # from kernels.contrast_band_edges, valley/peak count 1 per
+        # band at these sizes => min/max power per band)
+        "frame_spectral": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END AS hi
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     least(greatest(floor((v.val - fr.lo) / (fr.hi - fr.lo)
+                       * 16), 0), 15)::INT AS bin
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            ),
+            cnts AS (
+              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+              FROM el GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT fr.doc_id, fr.frame_idx, ks.k::DOUBLE AS k,
+                     coalesce(c.c, 0.0) AS m
+              FROM fr
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+            ),
+            s1 AS (
+              SELECT doc_id, frame_idx,
+                     sum(k * m) / 32.0 AS centroid,
+                     sum(m * m) AS power,
+                     avg(10.0 * log10(greatest(m * m, 1e-10))) AS log_power,
+                     -- greatest() guards: DuckDB evaluates aggregate
+                     -- arguments before FILTER and ln(0) is a hard
+                     -- error; guarded rows are filtered out anyway
+                     least(exp(sum(ln(greatest(m, 1e-300)))
+                                 FILTER (WHERE m > 1e-10)
+                               / count(*) FILTER (WHERE m > 1e-10))
+                           / 2.0, 1.0) AS flatness,
+                     count(*) FILTER (WHERE k >= 1 AND m > 1e-10) AS sn,
+                     sum(log10(greatest(k, 1.0)))
+                       FILTER (WHERE k >= 1 AND m > 1e-10) AS sx,
+                     sum(log10(greatest(m, 1e-300)))
+                       FILTER (WHERE k >= 1 AND m > 1e-10) AS sy,
+                     sum(log10(greatest(k, 1.0)) * log10(greatest(m, 1e-300)))
+                       FILTER (WHERE k >= 1 AND m > 1e-10) AS sxy,
+                     sum(log10(greatest(k, 1.0)) * log10(greatest(k, 1.0)))
+                       FILTER (WHERE k >= 1 AND m > 1e-10) AS sxx
+              FROM grid GROUP BY 1, 2
+            ),
+            rg AS (
+              -- sequential ascending-k cumulative power; total = the
+              -- k=15 running value (max of a nondecreasing series) so
+              -- both engines sum in the identical order bit-for-bit
+              SELECT doc_id, frame_idx, k,
+                     sum(m * m) OVER (PARTITION BY doc_id, frame_idx
+                                      ORDER BY k) AS cum
+              FROM grid
+            ),
+            rg2 AS (
+              SELECT doc_id, frame_idx, k, cum,
+                     max(cum) OVER (PARTITION BY doc_id, frame_idx) AS tot
+              FROM rg
+            ),
+            roll AS (
+              SELECT doc_id, frame_idx, min(k)::DOUBLE AS rolloff
+              FROM rg2 WHERE cum >= 0.85 * tot GROUP BY 1, 2
+            ),
+            bw AS (
+              SELECT g.doc_id, g.frame_idx,
+                     sqrt(sum((g.k - s1.centroid) * (g.k - s1.centroid)
+                              * g.m) / 32.0) AS bandwidth
+              FROM grid g JOIN s1 USING (doc_id, frame_idx)
+              GROUP BY 1, 2, s1.centroid
+            ),
+            conb AS (
+              SELECT doc_id, frame_idx,
+                     CASE WHEN k < 2 THEN 0 WHEN k < 3 THEN 1
+                          WHEN k < 7 THEN 2 ELSE 3 END AS band,
+                     CASE WHEN max(m * m) > 0
+                          THEN 10.0 * log10(max(m * m)
+                               / greatest(min(m * m), 1e-10))
+                          ELSE 0.0 END AS cb
+              FROM grid WHERE k >= 1 AND k < 15
+              GROUP BY 1, 2, 3
+            ),
+            conf AS (
+              SELECT doc_id, frame_idx, sum(cb) / 4.0 AS contrast
+              FROM conb GROUP BY 1, 2
+            )
+            SELECT s1.doc_id, s1.frame_idx,
+                   round(s1.centroid, 6) + 0.0 AS centroid,
+                   round(roll.rolloff, 6) + 0.0 AS rolloff,
+                   round(bw.bandwidth, 6) + 0.0 AS bandwidth,
+                   round(s1.flatness, 6) + 0.0 AS flatness,
+                   round(CASE WHEN s1.flatness > 1e-10
+                              THEN 10.0 * log10(greatest(s1.flatness, 1e-300))
+                              ELSE -100.0 END, 6) + 0.0 AS flatness_db,
+                   round(CASE WHEN s1.sn >= 2
+                              AND s1.sn * s1.sxx - s1.sx * s1.sx != 0
+                              THEN (s1.sn * s1.sxy - s1.sx * s1.sy)
+                                   / (s1.sn * s1.sxx - s1.sx * s1.sx)
+                              ELSE 0.0 END, 6) + 0.0 AS slope,
+                   round(conf.contrast, 6) + 0.0 AS contrast,
+                   round(s1.power, 6) + 0.0 AS power,
+                   round(s1.log_power, 6) + 0.0 AS log_power
+            FROM s1
+            JOIN roll USING (doc_id, frame_idx)
+            JOIN bw USING (doc_id, frame_idx)
+            JOIN conf USING (doc_id, frame_idx)
         """,
     }

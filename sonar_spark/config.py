@@ -38,6 +38,9 @@ class FeatureConfig:
     enable_entropy: bool = True
     enable_zcr: bool = True
     enable_flux: bool = True
+    # frequency-domain analog family over the per-frame histogram
+    # (centroid/rolloff/bandwidth/flatness/slope/contrast/power)
+    enable_spectral: bool = True
     entropy_bins: int = 16  # fixed-width histogram bins (Scott-rule analog)
 
 

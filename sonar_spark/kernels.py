@@ -36,10 +36,40 @@ def frame_view(x: np.ndarray, window: int, hop: int) -> np.ndarray:
     return np.lib.stride_tricks.sliding_window_view(x, window)[::hop][:nf]
 
 
+_SPECTRAL_KEYS = (
+    "centroid rolloff bandwidth flatness flatness_db slope contrast "
+    "power log_power"
+).split()
+
 _FEATURE_KEYS = (
     "rms_energy mean var std skew kurt min max crest zcr flux "
     "p25 p50 p75 entropy"
-).split()
+).split() + _SPECTRAL_KEYS
+
+ROLLOFF_THRESHOLD = 0.85  # spectral_rolloff.go default
+CONTRAST_BANDS = 4  # scaled from the reference numBands for 16 bins
+
+
+def contrast_band_edges(num_bins: int, num_bands: int = CONTRAST_BANDS):
+    """Log-spaced contrast band edges, reproducing
+    spectral_contrast.go:140-188 initializeBands on the token-analog
+    frequency axis f_k = k (bin index), nyquist = num_bins - 1,
+    min "frequency" = 1 (the 200 Hz floor maps to the first nonzero
+    bin). Returns (num_bands+1,) int edges; band b covers bins
+    [edges[b], edges[b+1]) — Go half-open slice semantics, so bin 0
+    and the top bin fall outside every band exactly as upstream."""
+    nyq = float(num_bins - 1)
+    lo, hi = np.log10(1.0), np.log10(nyq)
+    step = (hi - lo) / num_bands
+    edges = []
+    for i in range(num_bands + 1):
+        freq = 10.0 ** (lo + i * step)
+        b = int(freq * (num_bins - 1) / nyq)
+        edges.append(min(max(b, 0), num_bins - 1))
+    for i in range(1, num_bands + 1):  # force monotonic (:179-184)
+        if edges[i] <= edges[i - 1]:
+            edges[i] = edges[i - 1] + 1
+    return edges
 
 
 class _Scratch:
@@ -123,8 +153,19 @@ def frame_features_flat(
     sw = np.lib.stride_tricks.sliding_window_view(fv, W)
     out = {k: np.empty(nf) for k in _FEATURE_KEYS if k in want}
 
-    need_minmax = want & {"min", "max", "crest", "entropy"}
+    need_hist = want & ({"entropy"} | set(_SPECTRAL_KEYS))
+    need_minmax = (want & {"min", "max", "crest"}) | need_hist
     need_m34 = want & {"skew", "kurt"}
+    B = entropy_bins
+    if need_hist & set(_SPECTRAL_KEYS):
+        karr = np.arange(B, dtype=np.float64)  # analog frequency axis
+        edges = contrast_band_edges(B)
+        # per-band bottom/top-20% counts (plan-time constants,
+        # spectral_contrast.go:203-214)
+        band_vc = [max(1, int(0.2 * (edges[b + 1] - edges[b])))
+                   for b in range(len(edges) - 1)]
+        with np.errstate(divide="ignore"):
+            logk = np.where(karr > 0, np.log10(np.where(karr > 0, karr, 1)), 0.0)
     for a in range(0, nf, chunk):
         b = min(a + chunk, nf)
         # NOTE: plain fancy indexing; np.take(..., out=) on an
@@ -207,22 +248,109 @@ def frame_features_flat(
                     out[name][a:b] = srt[:, k] + frac * (
                         srt[:, k + 1] - srt[:, k]
                     )
-        if "entropy" in want:
-            # Shannon entropy over fixed-width histogram per frame
+        if need_hist:
+            # fixed-width histogram per frame — doubles as the
+            # token-analog "magnitude spectrum": bin index k is the
+            # frequency axis, count m_k the magnitude
             lo, hi = fmin, np.where(fmax > fmin, fmax, fmin + 1.0)
             sc = np.subtract(f, lo[:, None], out=s.get("sc", (n, W)))
             np.divide(sc, (hi - lo)[:, None], out=sc)
-            np.multiply(sc, entropy_bins, out=sc)
+            np.multiply(sc, B, out=sc)
             bins = s.get("bins", (n, W), dtype=np.int64)
             np.copyto(bins, sc, casting="unsafe")  # trunc toward zero
-            np.clip(bins, 0, entropy_bins - 1, out=bins)
-            bins += (np.arange(n, dtype=np.int64) * entropy_bins)[:, None]
-            counts = np.bincount(
-                bins.ravel(), minlength=n * entropy_bins
-            ).reshape(n, entropy_bins)
+            np.clip(bins, 0, B - 1, out=bins)
+            bins += (np.arange(n, dtype=np.int64) * B)[:, None]
+            counts = np.bincount(bins.ravel(), minlength=n * B).reshape(n, B)
+        if "entropy" in want:
             # H = log2(W) - (1/W) * sum(n_b * log2(n_b))
             cl = counts * np.log2(np.where(counts > 0, counts, 1))
             out["entropy"][a:b] = np.log2(W) - cl.sum(axis=1) / W
+        if need_hist & set(_SPECTRAL_KEYS):
+            m = counts.astype(np.float64)  # magnitude analog, sums to W
+            pw = m * m  # power analog (power_spectrum.go:18-29)
+            if want & {"centroid", "bandwidth"}:
+                # sum(f_k m_k) / sum(m_k) (spectral_centroid.go:18-41)
+                cen = (m @ karr) / W
+                if "centroid" in want:
+                    out["centroid"][a:b] = cen
+                if "bandwidth" in want:
+                    # sqrt(sum((f_k-c)^2 m_k)/sum(m_k))
+                    # (spectral_bandwidth.go:22-47)
+                    dev = karr[None, :] - cen[:, None]
+                    out["bandwidth"][a:b] = np.sqrt(
+                        (dev * dev * m).sum(axis=1) / W
+                    )
+            if "rolloff" in want:
+                # first bin where cumulative power >= 0.85 * total
+                # (spectral_rolloff.go:19-55)
+                cum = np.cumsum(pw, axis=1)
+                tgt = ROLLOFF_THRESHOLD * cum[:, -1]
+                out["rolloff"][a:b] = np.argmax(
+                    cum >= tgt[:, None], axis=1
+                ).astype(np.float64)
+            if want & {"flatness", "flatness_db"}:
+                # geometric/arithmetic mean of magnitudes above the
+                # 1e-10 floor, clamped to 1 (spectral_flatness.go:31-73)
+                nzm = m > 1e-10
+                nnz = nzm.sum(axis=1)
+                lsum = np.where(nzm, np.log(np.where(nzm, m, 1.0)), 0.0).sum(
+                    axis=1
+                )
+                geo = np.exp(lsum / np.maximum(nnz, 1))
+                flat = np.minimum(geo / (W / B), 1.0)
+                if "flatness" in want:
+                    out["flatness"][a:b] = flat
+                if "flatness_db" in want:
+                    # ComputeInDB (spectral_flatness.go:96-103)
+                    out["flatness_db"][a:b] = np.where(
+                        flat > 1e-10,
+                        10.0 * np.log10(np.where(flat > 0, flat, 1.0)),
+                        -100.0,
+                    )
+            if "slope" in want:
+                # log-log linear-regression slope over bins with
+                # m_k > 1e-10 and f_k > 0 (spectral_slope.go:24-66)
+                msk = (m > 1e-10) & (karr > 0)[None, :]
+                nn = msk.sum(axis=1).astype(np.float64)
+                ly = np.where(msk, np.log10(np.where(msk, m, 1.0)), 0.0)
+                sx = (logk[None, :] * msk).sum(axis=1)
+                sy = ly.sum(axis=1)
+                sxy = (ly * logk[None, :]).sum(axis=1)
+                sxx = ((logk * logk)[None, :] * msk).sum(axis=1)
+                den = nn * sxx - sx * sx
+                ok = (nn >= 2) & (den != 0)
+                out["slope"][a:b] = np.where(
+                    ok, (nn * sxy - sx * sy) / np.where(den != 0, den, 1.0), 0.0
+                )
+            if "contrast" in want:
+                # mean over log-spaced bands of the 10*log10(peak/
+                # valley) power contrast (spectral_contrast.go:26-137);
+                # scalar = band mean (the reference returns the vector)
+                acc = np.zeros(n)
+                for bi in range(len(edges) - 1):
+                    sub = np.sort(pw[:, edges[bi] : edges[bi + 1]], axis=1)
+                    vc = band_vc[bi]
+                    valley = sub[:, :vc].mean(axis=1)
+                    peak = sub[:, sub.shape[1] - vc :].mean(axis=1)
+                    acc += np.where(
+                        peak > 0,
+                        10.0
+                        * np.log10(
+                            np.where(peak > 0, peak, 1.0)
+                            / np.maximum(valley, 1e-10)
+                        ),
+                        0.0,
+                    )
+                out["contrast"][a:b] = acc / (len(edges) - 1)
+            if "power" in want:
+                # total power (scalar reduction of power_spectrum.go)
+                out["power"][a:b] = pw.sum(axis=1)
+            if "log_power" in want:
+                # mean per-bin log power with -100 dB floor
+                # (power_spectrum.go:61-79 ComputeLog, floorDB=-100)
+                out["log_power"][a:b] = (
+                    10.0 * np.log10(np.maximum(pw, 1e-10))
+                ).mean(axis=1)
 
     if "flux" in want:
         # zero flux at every doc's first frame (no cross-doc leakage)

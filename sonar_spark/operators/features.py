@@ -28,10 +28,15 @@ from ..config import FeatureConfig, FrameConfig
 from .. import kernels
 from .frames import expand_frames
 
+SPECTRAL_COLS = [
+    "centroid", "rolloff", "bandwidth", "flatness", "flatness_db",
+    "slope", "contrast", "power", "log_power",
+]
+
 FEATURE_COLS = [
     "rms_energy", "mean", "var", "std", "skew", "kurt", "min", "max",
     "crest", "zcr", "flux", "p25", "p50", "p75", "entropy",
-]
+] + SPECTRAL_COLS
 
 # Enable* flag -> feature columns (config-driven pruning, the
 # reference's FeatureConfig semantics, fingerprint/config/config.go:22-27)
@@ -42,6 +47,7 @@ _FLAG_GROUPS = {
     "enable_entropy": ["entropy"],
     "enable_zcr": ["zcr"],
     "enable_flux": ["flux"],
+    "enable_spectral": SPECTRAL_COLS,
 }
 
 
@@ -223,8 +229,13 @@ def frame_features_builtin(
         )
     )
     frames = frames.withColumn("flux", flux)
+    # the builtin cross-check covers the time-domain family; the
+    # histogram-spectrum features live in the Arrow kernel (their
+    # independent implementations are oracle.spectral_golden and the
+    # frame_spectral DuckDB oracle)
     keep = ["doc_id", "source", "n_tok", "frame_idx", "frame_ts"] + [
-        col for col in FEATURE_COLS if col != "entropy"
+        col for col in FEATURE_COLS
+        if col != "entropy" and col not in SPECTRAL_COLS
     ]
     return frames.select(*keep)
 

@@ -70,10 +70,93 @@ def frame_features_golden(tokens, window: int, hop: int, entropy_bins: int = 16)
                 p50=q50,
                 p75=q75,
                 entropy=ent,
+                **spectral_golden(_histogram(f, entropy_bins)),
             )
         )
         prev = f
     return rows
+
+
+def _histogram(vals, bins):
+    """Fixed-width per-frame histogram counts (the magnitude-spectrum
+    analog: bin index = frequency, count = magnitude)."""
+    lo, hi = min(vals), max(vals)
+    if hi <= lo:
+        hi = lo + 1.0
+    counts = [0] * bins
+    for v in vals:
+        b = int((v - lo) / (hi - lo) * bins)
+        counts[min(b, bins - 1)] += 1
+    return counts
+
+
+def spectral_golden(counts):
+    """Loop implementations of the spectral-analog per-frame family
+    over histogram counts, formulas from the reference:
+    spectral_centroid.go:18-41, spectral_rolloff.go:19-55,
+    spectral_bandwidth.go:22-47, spectral_flatness.go:31-103,
+    spectral_slope.go:24-66, spectral_contrast.go:26-137,
+    power_spectrum.go:18-79."""
+    B = len(counts)
+    m = [float(c) for c in counts]
+    w = sum(m)
+    power = [x * x for x in m]
+
+    centroid = sum(k * m[k] for k in range(B)) / w
+    bandwidth = math.sqrt(sum((k - centroid) ** 2 * m[k] for k in range(B)) / w)
+
+    total = sum(power)
+    target = 0.85 * total
+    cum = 0.0
+    rolloff = float(B - 1)
+    for k in range(B):
+        cum += power[k]
+        if cum >= target:
+            rolloff = float(k)
+            break
+
+    nz = [x for x in m if x > 1e-10]
+    geo = math.exp(sum(math.log(x) for x in nz) / len(nz)) if nz else 0.0
+    arith = w / B
+    flatness = min(geo / arith, 1.0) if arith > 1e-10 else 0.0
+    flatness_db = 10.0 * math.log10(flatness) if flatness > 1e-10 else -100.0
+
+    pts = [(math.log10(k), math.log10(m[k]))
+           for k in range(1, B) if m[k] > 1e-10]
+    if len(pts) >= 2:
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den if den != 0 else 0.0
+    else:
+        slope = 0.0
+
+    from sonar_spark.kernels import contrast_band_edges
+
+    edges = contrast_band_edges(B)
+    cons = []
+    for bi in range(len(edges) - 1):
+        band = sorted(power[edges[bi]: edges[bi + 1]])
+        vc = max(1, int(0.2 * len(band)))
+        valley = sum(band[:vc]) / vc
+        peak = sum(band[len(band) - vc:]) / vc
+        if peak <= 0:
+            cons.append(0.0)
+        else:
+            cons.append(10.0 * math.log10(peak / max(valley, 1e-10)))
+    contrast = sum(cons) / len(cons)
+
+    tot_power = sum(power)
+    log_power = sum(10.0 * math.log10(max(p, 1e-10)) for p in power) / B
+
+    return dict(
+        centroid=centroid, rolloff=rolloff, bandwidth=bandwidth,
+        flatness=flatness, flatness_db=flatness_db, slope=slope,
+        contrast=contrast, power=tot_power, log_power=log_power,
+    )
 
 
 def _quantile_r7(vals, p):

@@ -60,7 +60,11 @@ def test_builtin_features_match_arrow(spark):
     """Two independent in-Spark implementations agree (entropy is
     arrow-only by design)."""
     df = datagen.token_table(spark, n_docs=8)
-    cols = ["doc_id", "frame_idx"] + [c for c in FEATURE_COLS if c != "entropy"]
+    from sonar_spark.operators.features import SPECTRAL_COLS
+
+    cols = ["doc_id", "frame_idx"] + [
+        c for c in FEATURE_COLS if c != "entropy" and c not in SPECTRAL_COLS
+    ]
     a = {
         (r["doc_id"], r["frame_idx"]): r
         for r in frame_features_arrow(df, CFG).select(*cols).collect()
@@ -118,3 +122,35 @@ def test_feature_flag_pruning(spark):
     for k in a:
         for c in ("rms_energy", "crest", "zcr", "flux"):
             assert a[k][c] == b[k][c]
+
+
+def test_spectral_kernel_matches_golden_loop():
+    """Histogram-as-spectrum family (centroid/rolloff/bandwidth/
+    flatness/slope/contrast/power) vs the independent loop oracle,
+    random + constant + short docs (SURVEY §2.3 frequency-domain)."""
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        n = int(rng.integers(CFG.window, 400))
+        toks = rng.integers(0, 40, size=n).astype(np.int64)
+        if trial % 4 == 0:
+            toks[:] = 9  # constant doc: everything lands in bin 0
+        got = kernels.frame_features(toks, CFG.window, CFG.hop, 16)
+        want = oracle.frame_features_golden(toks, CFG.window, CFG.hop, 16)
+        for i, row in enumerate(want):
+            for k in kernels._SPECTRAL_KEYS:
+                assert np.isclose(got[k][i], row[k], rtol=1e-10, atol=1e-12), (
+                    trial, i, k, got[k][i], row[k],
+                )
+
+
+def test_spectral_pruning_skips_histogram():
+    """Disabling the spectral + entropy groups must not compute them
+    (config-driven pruning, fingerprint/config/config.go:22-27)."""
+    toks = np.arange(100, dtype=np.int64)
+    feats, _ = kernels.frame_features_batch([toks], CFG.window, CFG.hop)
+    keys_only, _ = kernels.frame_features_flat(
+        toks.astype(np.float64), np.array([100]), CFG.window, CFG.hop,
+        keys=("rms_energy", "mean"),
+    )
+    assert set(keys_only) == {"rms_energy", "mean"}
+    assert set(kernels._SPECTRAL_KEYS) <= set(feats)
