@@ -952,11 +952,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GetSimilarityStatistics over the compare_topk results
-    (comparison.go:1154-1205; rows-only)."""
+    """GetSimilarityStatistics (comparison.go:1154-1205) applied to a
+    deterministic similarity set (brute-force cosine top-10 per query)
+    so the operator itself is DuckDB-oracle-checkable; compare_topk
+    remains the rows-only end-to-end exercise of the same operator
+    over the weighted-fingerprint path."""
     from sonar_spark.operators.compare import similarity_statistics
 
-    out = similarity_statistics(q_compare_topk(spark, sf_dir))
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 32)
+    knn = knn_bruteforce(qs, emb, k=10)
+    out = similarity_statistics(knn, sim="cosine_sim")
     return out.select(
         "query_id",
         "n",
@@ -1045,6 +1051,120 @@ def q_frame_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mfcc_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC analog per frame: mel filter bank over the histogram-as-
+    power-spectrum -> ln (1e-10 floor) -> orthonormal DCT-II ->
+    sinusoidal liftering, 6 coefficients over 8 filters (mfcc.go:
+    44-245 defaults scaled to 16 bins; SURVEY §2.3 golden-vector
+    target #1). The filter-bank and DCT matrices are plan-time
+    constants, so the DuckDB oracle embeds the identical weights."""
+    from sonar_spark.config import FeatureConfig
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = to_token_length_table(docs)
+    cfg = FeatureConfig(
+        enable_energy=False, enable_moments=False, enable_percentiles=False,
+        enable_entropy=False, enable_zcr=False, enable_flux=False,
+        enable_spectral=False,
+    )
+    feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8), cfg)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        *[F.round(F.col(f"mfcc{i}"), 6).alias(f"mfcc{i}") for i in range(6)],
+    )
+
+
+def _mfcc_oracle_sql() -> str:
+    """DuckDB re-implementation of q_mfcc_frames with the same
+    constant matrices rendered as VALUES rows (17-significant-digit
+    reprs round-trip float64 exactly)."""
+    from sonar_spark import kernels
+
+    FB, DCT, LIFT = kernels.mfcc_matrices(16)
+    fb_rows = ", ".join(
+        f"({f}, {k}, {float(FB[f, k])!r})"
+        for f in range(FB.shape[0])
+        for k in range(FB.shape[1])
+        if FB[f, k] != 0.0
+    )
+    dct_rows = ", ".join(
+        f"({c}, {f}, {float(DCT[c, f])!r}, {float(LIFT[c])!r})"
+        for c in range(DCT.shape[0])
+        for f in range(DCT.shape[1])
+    )
+    coeff_cols = ",\n                   ".join(
+        f"round(max(CASE WHEN coeff = {i} THEN val END), 6) + 0.0 AS mfcc{i}"
+        for i in range(6)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                 length(unnest(tl))::DOUBLE AS val
+          FROM toks
+        ),
+        f AS (
+          SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                 min(val) OVER w AS lo, max(val) OVER w AS rawhi
+          FROM v
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+        ),
+        fr AS (
+          SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                 CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END AS hi
+          FROM f WHERE strt % 8 = 0 AND cnt = 32
+        ),
+        el AS (
+          SELECT fr.doc_id, fr.frame_idx,
+                 least(greatest(floor((v.val - fr.lo) / (fr.hi - fr.lo)
+                   * 16), 0), 15)::INT AS bin
+          FROM fr JOIN v ON v.doc_id = fr.doc_id
+            AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+        ),
+        cnts AS (
+          SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+          FROM el GROUP BY 1, 2, 3
+        ),
+        grid AS (
+          SELECT fr.doc_id, fr.frame_idx, ks.k, coalesce(c.c, 0.0) AS m
+          FROM fr
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+          LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+            AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+        ),
+        fb(fi, k, w) AS (VALUES {fb_rows}),
+        dct(coeff, fi, w, lift) AS (VALUES {dct_rows}),
+        mel AS (
+          SELECT g.doc_id, g.frame_idx, allf.fi,
+                 coalesce(sum(g.m * g.m * fb.w), 0.0) AS mv
+          FROM grid g
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS fi) allf
+          LEFT JOIN fb ON fb.k = g.k AND fb.fi = allf.fi
+          GROUP BY 1, 2, 3
+        ),
+        lm AS (
+          SELECT doc_id, frame_idx, fi,
+                 CASE WHEN mv > 0 THEN ln(greatest(mv, 1e-300))
+                      ELSE ln(1e-10) END AS lmv
+          FROM mel
+        ),
+        co AS (
+          SELECT l.doc_id, l.frame_idx, d.coeff,
+                 sum(l.lmv * d.w) * max(d.lift) AS val
+          FROM lm l JOIN dct d ON d.fi = l.fi
+          GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, frame_idx,
+               {coeff_cols}
+        FROM co GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -1087,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chroma_pivot": q_chroma_pivot,
         "energy_profile": q_energy_profile,
         "frame_spectral": q_frame_spectral,
+        "mfcc_frames": q_mfcc_frames,
     }
 
 
@@ -1137,6 +1258,32 @@ FROM l ASOF LEFT JOIN r
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mfcc_frames": _mfcc_oracle_sql(),
+        "similarity_stats": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 32
+            ),
+            p AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+              FROM q, embeddings e WHERE e.vec_id != query_id
+            ),
+            r AS (
+              SELECT query_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rk
+              FROM p
+            ),
+            t AS (SELECT query_id, sim FROM r WHERE rk <= 10)
+            SELECT query_id, count(*) AS n,
+                   round(avg(sim), 6) AS mean_sim,
+                   round(min(sim), 6) AS min_sim,
+                   round(max(sim), 6) AS max_sim,
+                   round(quantile_cont(sim, 0.5), 6) AS median_sim,
+                   round(coalesce(stddev_pop(sim), 0.0), 6) AS std_sim
+            FROM t GROUP BY 1
+        """,
         "windowed_stats": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
                    event_type,

@@ -41,6 +41,9 @@ class FeatureConfig:
     # frequency-domain analog family over the per-frame histogram
     # (centroid/rolloff/bandwidth/flatness/slope/contrast/power)
     enable_spectral: bool = True
+    # MFCC analog: mel filterbank -> log -> DCT-II -> liftering over
+    # the histogram-as-spectrum (mfcc.go defaults scaled to 16 bins)
+    enable_mfcc: bool = True
     entropy_bins: int = 16  # fixed-width histogram bins (Scott-rule analog)
 
 
@@ -96,12 +99,14 @@ class ComparisonConfig:
     max_candidates: int = 50
     # match-class thresholds (comparison.go:1040-1052)
     thresholds: tuple[float, ...] = (0.95, 0.85, 0.75, 0.6)
-    # per-content weight tables (comparison.go:1055-1104), token-domain groups
+    # per-content weight tables (comparison.go:1055-1104), token-domain
+    # groups; "mfcc" participates when fingerprints carry the MFCC
+    # stats (the reference's speech path weights MFCC highest)
     weights: dict = field(
         default_factory=lambda: {
-            "web": {"energy": 0.3, "moments": 0.3, "minhash": 0.4},
-            "books": {"energy": 0.2, "moments": 0.3, "minhash": 0.5},
-            "code": {"energy": 0.4, "moments": 0.2, "minhash": 0.4},
-            "news": {"energy": 0.3, "moments": 0.4, "minhash": 0.3},
+            "web": {"energy": 0.2, "moments": 0.2, "minhash": 0.3, "mfcc": 0.3},
+            "books": {"energy": 0.1, "moments": 0.2, "minhash": 0.4, "mfcc": 0.3},
+            "code": {"energy": 0.3, "moments": 0.2, "minhash": 0.3, "mfcc": 0.2},
+            "news": {"energy": 0.2, "moments": 0.3, "minhash": 0.2, "mfcc": 0.3},
         }
     )

@@ -41,10 +41,14 @@ _SPECTRAL_KEYS = (
     "power log_power"
 ).split()
 
+MFCC_COEFFS = 6  # scaled from the reference's 13 for the 16-bin analog
+MFCC_FILTERS = 8  # scaled from the reference's 26 mel filters
+_MFCC_KEYS = [f"mfcc{i}" for i in range(MFCC_COEFFS)]
+
 _FEATURE_KEYS = (
     "rms_energy mean var std skew kurt min max crest zcr flux "
     "p25 p50 p75 entropy"
-).split() + _SPECTRAL_KEYS
+).split() + _SPECTRAL_KEYS + _MFCC_KEYS
 
 ROLLOFF_THRESHOLD = 0.85  # spectral_rolloff.go default
 CONTRAST_BANDS = 4  # scaled from the reference numBands for 16 bins
@@ -153,7 +157,8 @@ def frame_features_flat(
     sw = np.lib.stride_tricks.sliding_window_view(fv, W)
     out = {k: np.empty(nf) for k in _FEATURE_KEYS if k in want}
 
-    need_hist = want & ({"entropy"} | set(_SPECTRAL_KEYS))
+    need_hist = want & ({"entropy"} | set(_SPECTRAL_KEYS) | set(_MFCC_KEYS))
+    need_spectrum = want & (set(_SPECTRAL_KEYS) | set(_MFCC_KEYS))
     need_minmax = (want & {"min", "max", "crest"}) | need_hist
     need_m34 = want & {"skew", "kurt"}
     B = entropy_bins
@@ -265,7 +270,7 @@ def frame_features_flat(
             # H = log2(W) - (1/W) * sum(n_b * log2(n_b))
             cl = counts * np.log2(np.where(counts > 0, counts, 1))
             out["entropy"][a:b] = np.log2(W) - cl.sum(axis=1) / W
-        if need_hist & set(_SPECTRAL_KEYS):
+        if need_spectrum:
             m = counts.astype(np.float64)  # magnitude analog, sums to W
             pw = m * m  # power analog (power_spectrum.go:18-29)
             if want & {"centroid", "bandwidth"}:
@@ -351,6 +356,30 @@ def frame_features_flat(
                 out["log_power"][a:b] = (
                     10.0 * np.log10(np.maximum(pw, 1e-10))
                 ).mean(axis=1)
+            if want & set(_MFCC_KEYS):
+                # MFCC analog (mfcc.go:113-164): mel filter bank over
+                # the power spectrum -> ln with 1e-10 floor -> DCT-II
+                # -> sinusoidal liftering; broadcast-constant matrices
+                FB, DCTM, LIFT = _mfcc_mats(B)
+                # fixed-order accumulation instead of BLAS gemm: gemm
+                # summation order varies with batch size, which would
+                # break bit-identical results across partitionings
+                mel = np.zeros((n, FB.shape[0]))
+                for kk in range(B):
+                    col = FB[:, kk]
+                    if col.any():
+                        mel += pw[:, kk][:, None] * col[None, :]
+                logmel = np.where(
+                    mel > 0, np.log(np.where(mel > 0, mel, 1.0)),
+                    np.log(1e-10),
+                )
+                co = np.zeros((n, DCTM.shape[0]))
+                for fi in range(FB.shape[0]):
+                    co += logmel[:, fi][:, None] * DCTM[:, fi][None, :]
+                co *= LIFT
+                for ci, key in enumerate(_MFCC_KEYS):
+                    if key in want:
+                        out[key][a:b] = co[:, ci]
 
     if "flux" in want:
         # zero flux at every doc's first frame (no cross-doc leakage)
@@ -419,6 +448,87 @@ def percentile_r6(x: np.ndarray, p: float) -> float:
         return float(s[-1])
     k = int(np.floor(h))
     return float(s[k - 1] + (h - k) * (s[k] - s[k - 1]))
+
+
+def hz_to_mel(hz):
+    """2595 log10(1 + hz/700) (mel_scale.go:18-21)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(mel):
+    """700 (10^(mel/2595) - 1) (mel_scale.go:23-26)."""
+    return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filter_bank(
+    num_filters: int, fft_size: int, sample_rate: int,
+    low_freq: float, high_freq: float,
+) -> np.ndarray:
+    """Triangular mel filter bank, (num_filters, fft_size//2+1),
+    reproducing mel_scale.go:28-87 exactly: equally-spaced mel points,
+    bin index floor((fftSize+1) hz / sampleRate + 0.5) clamped to
+    fftSize/2, rising edge [left,center), falling edge [center,right)."""
+    lo, hi = hz_to_mel(low_freq), hz_to_mel(high_freq)
+    mel_pts = lo + np.arange(num_filters + 2) * (hi - lo) / (num_filters + 1)
+    hz_pts = mel_to_hz(mel_pts)
+    bins = np.minimum(
+        np.floor((fft_size + 1.0) * hz_pts / sample_rate + 0.5).astype(int),
+        fft_size // 2,
+    )
+    n_bins = fft_size // 2 + 1
+    fb = np.zeros((num_filters, n_bins))
+    for m in range(1, num_filters + 1):
+        left, center, right = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(left, min(center, n_bins)):
+            if center != left:
+                fb[m - 1, k] = (k - left) / (center - left)
+        for k in range(center, min(right, n_bins)):
+            if right != center:
+                fb[m - 1, k] = (right - k) / (right - center)
+    return fb
+
+
+def dct_matrix(num_coeffs: int, num_filters: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (num_coeffs, num_filters)
+    (mfcc.go:194-227): cos(pi k (n+0.5)/M) * sqrt((1 if k==0 else 2)/M)."""
+    k = np.arange(num_coeffs)[:, None]
+    n = np.arange(num_filters)[None, :]
+    d = np.cos(np.pi * k * (n + 0.5) / num_filters)
+    d[0] *= np.sqrt(1.0 / num_filters)
+    d[1:] *= np.sqrt(2.0 / num_filters)
+    return d
+
+
+def lifter_weights(num_coeffs: int, lifter_coeff: float = 22.0) -> np.ndarray:
+    """Sinusoidal liftering weights, C0 unliftered (mfcc.go:230-245):
+    w_i = 1 + (L/2) sin(pi i / L) for i >= 1."""
+    w = 1.0 + (lifter_coeff / 2.0) * np.sin(
+        np.pi * np.arange(num_coeffs) / lifter_coeff
+    )
+    w[0] = 1.0
+    return w
+
+
+def mfcc_matrices(num_bins: int = 16, num_filters: int = MFCC_FILTERS,
+                  num_coeffs: int = MFCC_COEFFS):
+    """(filter_bank, dct, lifter) for the histogram-as-spectrum MFCC
+    analog: the B-bin histogram plays the magnitude spectrum of an
+    fftSize = 2(B-1) transform at analog sampleRate 2(B-1), so the
+    frequency axis is the bin index and highFreq = nyquist = B-1 —
+    the NewMFCC defaults (mfcc.go:44-54) scaled to 16 bins
+    (26 filters -> 8, 13 coeffs -> 6, lifter 22 kept)."""
+    fft_size = 2 * (num_bins - 1)
+    fb = mel_filter_bank(num_filters, fft_size, fft_size, 0.0, num_bins - 1.0)
+    return fb, dct_matrix(num_coeffs, num_filters), lifter_weights(num_coeffs)
+
+
+_MFCC_CACHE: dict[int, tuple] = {}
+
+
+def _mfcc_mats(num_bins: int):
+    if num_bins not in _MFCC_CACHE:
+        _MFCC_CACHE[num_bins] = mfcc_matrices(num_bins)
+    return _MFCC_CACHE[num_bins]
 
 
 # Reference percentile-method family (stats/percentiles.go:198-404).

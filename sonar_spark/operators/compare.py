@@ -33,6 +33,10 @@ MOMENT_STATS = [
     "mean_mean", "mean_std", "std_mean", "std_std",
     "skew_mean", "skew_std", "kurt_mean", "kurt_std",
 ]
+# per-coefficient (mean, std) of the MFCC-analog frame features — the
+# extractMFCCStatistics comparison role (comparison.go:774-800 +
+# compareSequenceStats :827-842); used when present in the input
+MFCC_STATS = [f"mfcc{i}_{s}" for i in range(6) for s in ("mean", "std")]
 
 
 def _stats_vec(prefix: str, cols: list[str]) -> Column:
@@ -66,14 +70,19 @@ def compare_topk(
     Output: query_id, match_id, rank, similarity, match_class,
     sim_energy, sim_moments, sim_minhash."""
     k = k or cfg.max_candidates
+    # MFCC group participates when the fingerprints carry the
+    # per-coefficient stats (availability semantics of
+    # comparison.go:168-196: only present feature groups are scored)
+    has_mfcc = all(c in query.columns for c in MFCC_STATS)
+    stat_cols = ENERGY_STATS + MOMENT_STATS + (MFCC_STATS if has_mfcc else [])
     qcols = (
         [F.col("doc_id").alias("query_id"), F.col("source").alias("q_source")]
-        + [F.col(c).alias(f"q_{c}") for c in ENERGY_STATS + MOMENT_STATS]
+        + [F.col(c).alias(f"q_{c}") for c in stat_cols]
         + [F.col("minhash").alias("q_minhash")]
     )
     ccols = (
         [F.col("doc_id").alias("match_id"), F.col("source").alias("c_source")]
-        + [F.col(c).alias(f"c_{c}") for c in ENERGY_STATS + MOMENT_STATS]
+        + [F.col(c).alias(f"c_{c}") for c in stat_cols]
         + [F.col("minhash").alias("c_minhash")]
     )
     q = query.select(*qcols)
@@ -86,52 +95,51 @@ def compare_topk(
         cond = cond & (F.col("q_source") == F.col("c_source"))
     j = q.join(c, cond)
 
-    sim_energy = cosine_similarity(
-        _stats_vec("q_", ENERGY_STATS), _stats_vec("c_", ENERGY_STATS)
-    )
-    sim_moments = cosine_similarity(
-        _stats_vec("q_", MOMENT_STATS), _stats_vec("c_", MOMENT_STATS)
-    )
     sim_minhash = F.aggregate(
         F.zip_with("q_minhash", "c_minhash", lambda x, y: (x == y).cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     ) / F.size("q_minhash")
+    groups = [
+        ("energy", cosine_similarity(
+            _stats_vec("q_", ENERGY_STATS), _stats_vec("c_", ENERGY_STATS))),
+        ("moments", cosine_similarity(
+            _stats_vec("q_", MOMENT_STATS), _stats_vec("c_", MOMENT_STATS))),
+        ("minhash", sim_minhash),
+    ]
+    if has_mfcc:
+        groups.append(("mfcc", cosine_similarity(
+            _stats_vec("q_", MFCC_STATS), _stats_vec("c_", MFCC_STATS))))
+    ng = len(groups)
 
     # per-content weight table (comparison.go:1055-1104) as a literal
     # map resolved at plan build; weighted mean over present groups
-    entries = []
-    for src, w in cfg.weights.items():
-        entries.append((src, (w["energy"], w["moments"], w["minhash"])))
-    w_energy = F.coalesce(
-        *[F.when(F.col("q_source") == s, F.lit(w[0])) for s, w in entries],
-        F.lit(1 / 3),
-    )
-    w_moments = F.coalesce(
-        *[F.when(F.col("q_source") == s, F.lit(w[1])) for s, w in entries],
-        F.lit(1 / 3),
-    )
-    w_minhash = F.coalesce(
-        *[F.when(F.col("q_source") == s, F.lit(w[2])) for s, w in entries],
-        F.lit(1 / 3),
-    )
-    wsum = w_energy + w_moments + w_minhash
-    sim = (
-        w_energy * sim_energy + w_moments * sim_moments + w_minhash * sim_minhash
+    def group_weight(name: str):
+        cases = [
+            F.when(F.col("q_source") == src, F.lit(float(w.get(name, 1 / ng))))
+            for src, w in cfg.weights.items()
+        ]
+        return F.coalesce(*cases, F.lit(1 / ng))
+
+    weights = [group_weight(name) for name, _ in groups]
+    wsum = weights[0]
+    for w in weights[1:]:
+        wsum = wsum + w
+    sim = sum(
+        (w * s for w, (_, s) in zip(weights[1:], groups[1:])),
+        weights[0] * groups[0][1],
     ) / wsum
 
     # quality metrics (comparison.go:892-1037): noise = dispersion of
     # the per-group similarities; confidence = similarity damped by
-    # noise (all groups are always available in this engine, so the
-    # availability term is 1)
-    mean3 = (sim_energy + sim_moments + sim_minhash) / 3.0
+    # noise (only present groups participate)
+    mean_g = sum((s for _, s in groups[1:]), groups[0][1]) / float(ng)
     noise = F.sqrt(
-        (
-            F.pow(sim_energy - mean3, 2)
-            + F.pow(sim_moments - mean3, 2)
-            + F.pow(sim_minhash - mean3, 2)
+        sum(
+            (F.pow(s - mean_g, 2) for _, s in groups[1:]),
+            F.pow(groups[0][1] - mean_g, 2),
         )
-        / 3.0
+        / float(ng)
     )
     confidence = F.greatest(
         F.lit(0.0), F.least(F.lit(1.0), sim * (1.0 - noise))
@@ -139,9 +147,7 @@ def compare_topk(
     scored = j.select(
         "query_id",
         "match_id",
-        sim_energy.alias("sim_energy"),
-        sim_moments.alias("sim_moments"),
-        sim_minhash.alias("sim_minhash"),
+        *[s.alias(f"sim_{name}") for name, s in groups],
         sim.alias("similarity"),
         noise.alias("sim_noise"),
         confidence.alias("confidence"),

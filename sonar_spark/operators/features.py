@@ -33,10 +33,12 @@ SPECTRAL_COLS = [
     "slope", "contrast", "power", "log_power",
 ]
 
+MFCC_COLS = list(kernels._MFCC_KEYS)
+
 FEATURE_COLS = [
     "rms_energy", "mean", "var", "std", "skew", "kurt", "min", "max",
     "crest", "zcr", "flux", "p25", "p50", "p75", "entropy",
-] + SPECTRAL_COLS
+] + SPECTRAL_COLS + MFCC_COLS
 
 # Enable* flag -> feature columns (config-driven pruning, the
 # reference's FeatureConfig semantics, fingerprint/config/config.go:22-27)
@@ -48,6 +50,7 @@ _FLAG_GROUPS = {
     "enable_zcr": ["zcr"],
     "enable_flux": ["flux"],
     "enable_spectral": SPECTRAL_COLS,
+    "enable_mfcc": MFCC_COLS,
 }
 
 
@@ -235,7 +238,9 @@ def frame_features_builtin(
     # frame_spectral DuckDB oracle)
     keep = ["doc_id", "source", "n_tok", "frame_idx", "frame_ts"] + [
         col for col in FEATURE_COLS
-        if col != "entropy" and col not in SPECTRAL_COLS
+        if col != "entropy"
+        and col not in SPECTRAL_COLS
+        and col not in MFCC_COLS
     ]
     return frames.select(*keep)
 

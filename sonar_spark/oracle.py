@@ -71,6 +71,12 @@ def frame_features_golden(tokens, window: int, hop: int, entropy_bins: int = 16)
                 p75=q75,
                 entropy=ent,
                 **spectral_golden(_histogram(f, entropy_bins)),
+                **{
+                    f"mfcc{i}": v
+                    for i, v in enumerate(
+                        mfcc_golden(_histogram(f, entropy_bins))
+                    )
+                },
             )
         )
         prev = f
@@ -185,6 +191,54 @@ def _entropy(vals, bins):
             p = cnt / n
             ent -= p * math.log2(p)
     return ent
+
+
+def mfcc_golden(counts, num_filters=8, num_coeffs=6, lifter=22.0):
+    """Loop MFCC over histogram counts (mfcc.go:113-164 + mel_scale.go:
+    28-106 + dct mfcc.go:194-227 + lifter mfcc.go:230-245), fully
+    independent of kernels (own mel/dct/lifter loops)."""
+    B = len(counts)
+    power = [float(c) * float(c) for c in counts]
+    fft_size = 2 * (B - 1)
+    sample_rate = fft_size
+    low, high = 0.0, float(B - 1)
+
+    def h2m(hz):
+        return 2595.0 * math.log10(1.0 + hz / 700.0)
+
+    def m2h(mel):
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+
+    lo, hi = h2m(low), h2m(high)
+    step = (hi - lo) / (num_filters + 1)
+    bins = []
+    for i in range(num_filters + 2):
+        hz = m2h(lo + i * step)
+        b = int(math.floor((fft_size + 1.0) * hz / sample_rate + 0.5))
+        bins.append(min(b, fft_size // 2))
+    mel_spec = []
+    for m in range(1, num_filters + 1):
+        left, center, right = bins[m - 1], bins[m], bins[m + 1]
+        acc = 0.0
+        for k in range(left, min(center, B)):
+            if center != left:
+                acc += power[k] * (k - left) / (center - left)
+        for k in range(center, min(right, B)):
+            if right != center:
+                acc += power[k] * (right - k) / (right - center)
+        mel_spec.append(acc)
+    logmel = [math.log(v) if v > 0 else math.log(1e-10) for v in mel_spec]
+    coeffs = []
+    for k in range(num_coeffs):
+        acc = 0.0
+        for n in range(num_filters):
+            w = math.cos(math.pi * k * (n + 0.5) / num_filters)
+            w *= math.sqrt((1.0 if k == 0 else 2.0) / num_filters)
+            acc += logmel[n] * w
+        if k > 0:
+            acc *= 1.0 + (lifter / 2.0) * math.sin(math.pi * k / lifter)
+        coeffs.append(acc)
+    return coeffs
 
 
 def asof_brute_force(left_rows, right_rows):

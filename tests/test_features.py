@@ -60,10 +60,11 @@ def test_builtin_features_match_arrow(spark):
     """Two independent in-Spark implementations agree (entropy is
     arrow-only by design)."""
     df = datagen.token_table(spark, n_docs=8)
-    from sonar_spark.operators.features import SPECTRAL_COLS
+    from sonar_spark.operators.features import MFCC_COLS, SPECTRAL_COLS
 
     cols = ["doc_id", "frame_idx"] + [
-        c for c in FEATURE_COLS if c != "entropy" and c not in SPECTRAL_COLS
+        c for c in FEATURE_COLS
+        if c != "entropy" and c not in SPECTRAL_COLS and c not in MFCC_COLS
     ]
     a = {
         (r["doc_id"], r["frame_idx"]): r
@@ -154,3 +155,31 @@ def test_spectral_pruning_skips_histogram():
     )
     assert set(keys_only) == {"rms_energy", "mean"}
     assert set(kernels._SPECTRAL_KEYS) <= set(feats)
+
+
+def test_mfcc_kernel_matches_golden_loop():
+    """MFCC analog (mel filterbank -> log -> DCT-II -> lifter) vs the
+    independent loop oracle (mfcc.go:113-164 golden-vector target)."""
+    rng = np.random.default_rng(23)
+    for trial in range(10):
+        n = int(rng.integers(CFG.window, 300))
+        toks = rng.integers(0, 40, size=n).astype(np.int64)
+        if trial % 5 == 0:
+            toks[:] = 3  # constant doc: single-bin spectrum
+        got = kernels.frame_features(toks, CFG.window, CFG.hop, 16)
+        want = oracle.frame_features_golden(toks, CFG.window, CFG.hop, 16)
+        for i, row in enumerate(want):
+            for k in kernels._MFCC_KEYS:
+                assert np.isclose(got[k][i], row[k], rtol=1e-9, atol=1e-12), (
+                    trial, i, k,
+                )
+
+
+def test_mfcc_matrix_shapes_and_orthonormality():
+    FB, DCT, LIFT = kernels.mfcc_matrices(16)
+    assert FB.shape == (8, 16) and DCT.shape == (6, 8) and LIFT.shape == (6,)
+    # DCT-II rows are orthonormal under the sqrt normalization
+    assert np.allclose(DCT @ DCT.T, np.eye(6), atol=1e-12)
+    assert LIFT[0] == 1.0 and (LIFT[1:] > 1.0).all()
+    # every filter is nonnegative and at least one bin is active
+    assert (FB >= 0).all() and (FB.sum(axis=1) > 0).all()
