@@ -1165,6 +1165,68 @@ def _mfcc_oracle_sql() -> str:
     """
 
 
+def q_window_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 9 window coefficient functions (windowing.go:205-372) as
+    pure Catalyst array expressions + the property bundle
+    (windowing.go:395-425): energy, power gain, noise gain, ENBW,
+    scallop loss, coherent-averaging flag. Size 32, symmetric;
+    Kaiser beta 8 (series Bessel I0 as an aggregate expression),
+    Tukey alpha 0.5. Deterministic: reads no tables."""
+    from sonar_spark.functions.windows import (
+        WINDOW_TYPES,
+        window_coefficients_expr,
+    )
+
+    parts = []
+    for t in WINDOW_TYPES:
+        parts.append(
+            spark.range(1).select(
+                F.lit(t).alias("window_type"),
+                window_coefficients_expr(t, 32).alias("c"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    add = lambda acc, x: acc + x  # noqa: E731
+    energy = F.aggregate(
+        F.transform("c", lambda x: x * x), F.lit(0.0), add
+    )
+    csum = F.aggregate(F.col("c"), F.lit(0.0), add)
+    d = df.withColumn("energy", energy).withColumn("csum", csum)
+    ng = F.col("csum") / 32.0
+    return d.select(
+        "window_type",
+        F.round("energy", 6).alias("energy"),
+        F.round(F.col("energy") / 32.0, 6).alias("power_gain"),
+        F.round(ng, 6).alias("noise_gain"),
+        F.round(
+            32.0 * F.col("energy") / (F.col("csum") * F.col("csum")), 6
+        ).alias("enbw"),
+        F.round(-20.0 * F.log10(F.abs(ng)), 6).alias("scallop_loss"),
+        (ng > 0.5).alias("coherent"),
+    )
+
+
+def q_windowed_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window.Apply (windowing.go:167-186): Hann-weighted frames
+    through the same Arrow kernel — every statistic computed over
+    coefficient-multiplied values (W=32, H=8)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = to_token_length_table(docs)
+    feats = frame_features_arrow(
+        toks, FrameConfig(window=32, hop=8, window_type="hann")
+    )
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        F.round("rms_energy", 6).alias("rms_energy"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("p50", 6).alias("p50"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -1208,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_profile": q_energy_profile,
         "frame_spectral": q_frame_spectral,
         "mfcc_frames": q_mfcc_frames,
+        "window_props": q_window_props,
+        "windowed_frames": q_windowed_frames,
     }
 
 
@@ -1259,6 +1323,108 @@ FROM l ASOF LEFT JOIN r
 def oracle_sql() -> dict[str, str]:
     return {
         "mfcc_frames": _mfcc_oracle_sql(),
+        # window formulas re-implemented in SQL trig; Kaiser I0 via
+        # the closed-form series sum exp(2k ln(x/2) - 2 lgamma(k+1))
+        # (exp underflows to 0 at x=0, matching I0(0)=1)
+        "window_props": """
+            WITH idx AS (SELECT unnest(generate_series(0, 31)) AS i),
+            ks AS (SELECT unnest(generate_series(1, 49)) AS k),
+            ka AS (
+              SELECT i, 8.0 * sqrt(greatest(
+                       1.0 - pow(2.0 * i / 31.0 - 1.0, 2), 0.0)) AS x
+              FROM idx
+            ),
+            i0 AS (
+              SELECT ka.i,
+                     1.0 + sum(exp(2.0 * ks.k
+                         * ln(greatest(ka.x, 1e-300) / 2.0)
+                         - 2.0 * lgamma(ks.k + 1.0))) AS v
+              FROM ka CROSS JOIN ks GROUP BY ka.i
+            ),
+            i0b AS (
+              SELECT 1.0 + sum(exp(2.0 * k * ln(4.0)
+                         - 2.0 * lgamma(k + 1.0))) AS v
+              FROM ks
+            ),
+            coefs AS (
+              SELECT 'hann' AS window_type, i,
+                     0.5 * (1.0 - cos(2 * pi() * i / 31.0)) AS c FROM idx
+              UNION ALL
+              SELECT 'hamming', i,
+                     0.54 - 0.46 * cos(2 * pi() * i / 31.0) FROM idx
+              UNION ALL
+              SELECT 'blackman', i,
+                     0.42 - 0.5 * cos(2 * pi() * i / 31.0)
+                     + 0.08 * cos(2 * (2 * pi() * i / 31.0)) FROM idx
+              UNION ALL
+              SELECT 'blackman_harris', i,
+                     0.35875 - 0.48829 * cos(2 * pi() * i / 31.0)
+                     + 0.14128 * cos(2 * (2 * pi() * i / 31.0))
+                     - 0.01168 * cos(3 * (2 * pi() * i / 31.0)) FROM idx
+              UNION ALL
+              SELECT 'kaiser', i0.i, i0.v / (SELECT v FROM i0b) FROM i0
+              UNION ALL
+              SELECT 'tukey', i,
+                     CASE WHEN i < 8
+                          THEN 0.5 * (1.0 + cos(pi() * i / 8.0 - pi()))
+                          WHEN i >= 24
+                          THEN 0.5 * (1.0 + cos(pi() * (i - 24) / 8.0))
+                          ELSE 1.0 END FROM idx
+              UNION ALL
+              SELECT 'rectangular', i, 1.0 FROM idx
+              UNION ALL
+              SELECT 'bartlett', i,
+                     CASE WHEN i <= 16 THEN 2.0 * i / 31.0
+                          ELSE 2.0 - 2.0 * i / 31.0 END FROM idx
+              UNION ALL
+              SELECT 'welch', i,
+                     1.0 - pow((i - 15.5) / 15.5, 2) FROM idx
+            )
+            SELECT window_type,
+                   round(sum(c * c), 6) + 0.0 AS energy,
+                   round(sum(c * c) / 32.0, 6) + 0.0 AS power_gain,
+                   round(sum(c) / 32.0, 6) + 0.0 AS noise_gain,
+                   round(32.0 * sum(c * c) / (sum(c) * sum(c)), 6) + 0.0
+                     AS enbw,
+                   round(-20.0 * log10(abs(sum(c) / 32.0)), 6) + 0.0
+                     AS scallop_loss,
+                   (sum(c) / 32.0 > 0.5) AS coherent
+            FROM coefs GROUP BY 1
+        """,
+        "windowed_frames": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     0.5 * (1.0 - cos(2 * pi() * (v.pos - 1 - fr.strt)
+                       / 31.0)) * v.val AS wv
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            )
+            SELECT doc_id, frame_idx,
+                   round(sqrt(avg(wv * wv)), 6) AS rms_energy,
+                   round(avg(wv), 6) AS mean,
+                   round(sqrt(var_pop(wv)), 6) AS std,
+                   round(quantile_cont(wv, 0.5), 6) AS p50
+            FROM el GROUP BY 1, 2
+        """,
         "similarity_stats": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -25,6 +25,11 @@ class FrameConfig:
     hop: int = 16
     # synthetic tokens-per-tick clock: frame_ts = frame_idx * hop (long ticks)
     min_tokens: int = 1
+    # per-window weighting (Window.Apply, windowing.go:167-186):
+    # coefficient type applied to every frame before statistics
+    window_type: str = "rectangular"
+    kaiser_beta: float = 8.0
+    tukey_alpha: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -130,6 +130,7 @@ def frame_features_flat(
     scratch: _Scratch | None = None,
     chunk: int = 4096,
     keys: tuple[str, ...] | None = None,
+    weights: np.ndarray | None = None,
 ) -> tuple[dict[str, np.ndarray], np.ndarray]:
     """Per-frame features for a batch given the concatenated token
     values and per-doc lengths (the mapInArrow hot path).
@@ -144,6 +145,12 @@ def frame_features_flat(
     pruning of reference fingerprint/config/config.go:22-27): the
     percentile sort and the entropy histogram are skipped entirely
     when their keys are absent.
+
+    weights (len == window) is the Window.Apply slot
+    (windowing.go:167-186): every gathered frame is elementwise
+    multiplied by the coefficient vector before any statistic —
+    including the flux predecessor frame, so flux sees weighted
+    frames on both sides.
     """
     s = scratch or _scratch
     W = window
@@ -176,6 +183,8 @@ def frame_features_flat(
         # NOTE: plain fancy indexing; np.take(..., out=) on an
         # overlapping strided view falls off numpy's fast path.
         f = sw[starts[a:b]]
+        if weights is not None:
+            f *= weights  # fresh gather output: in-place is safe
         n = b - a
         mean = f.mean(axis=1)
         c = np.subtract(f, mean[:, None], out=s.get("c", (n, W)))
@@ -232,6 +241,8 @@ def frame_features_flat(
                 d[0] = 0.0
             else:
                 prev = sw[starts[a - 1 : b - 1]]
+                if weights is not None:
+                    prev = prev * weights
                 np.subtract(f, prev, out=d)
             np.maximum(d, 0.0, out=d)
             np.multiply(d, d, out=d)

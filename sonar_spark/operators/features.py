@@ -86,6 +86,15 @@ def frame_features_arrow(
     W, H, bins = frame_cfg.window, frame_cfg.hop, feat_cfg.entropy_bins
     cols = feature_cols(feat_cfg)
     keys = tuple(cols)
+    if frame_cfg.window_type != "rectangular":
+        from ..functions.windows import window_coefficients
+
+        wcoef = window_coefficients(
+            frame_cfg.window_type, W,
+            beta=frame_cfg.kaiser_beta, alpha=frame_cfg.tukey_alpha,
+        )
+    else:
+        wcoef = None
 
     def gen(batches):
         import pyarrow as pa
@@ -99,7 +108,8 @@ def frame_features_arrow(
             flat = scratch.get("flat_tok", (len(vals),))
             np.copyto(flat, vals)
             feats, doc_nf = kernels.frame_features_flat(
-                flat, lens, W, H, bins, scratch=scratch, keys=keys
+                flat, lens, W, H, bins, scratch=scratch, keys=keys,
+                weights=wcoef,
             )
             total = int(doc_nf.sum())
             if total == 0:
