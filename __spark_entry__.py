@@ -40,8 +40,8 @@ from sonar_spark.operators.features import (  # noqa: E402
     frame_features_arrow,
 )
 from sonar_spark.operators.fingerprint import (  # noqa: E402
+    lsh_candidate_pairs,
     minhash_fingerprints,
-    near_duplicates,
     simhash_near_duplicates,
 )
 from sonar_spark.operators.sessionize import sessionize_by_gap  # noqa: E402
@@ -385,58 +385,151 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token table + deterministic near-dup copies of ~10% of docs
-    (tokens minus the last 3) — planted dedup workload."""
+    (tokens minus the last 3) — planted dedup workload. The planting
+    rule (doc_id % 10 == 0, n_tok > 3) is SQL-replicable so DuckDB
+    oracles can reconstruct the corpus."""
     base = to_token_table(_t(spark, sf_dir, "documents"))
     # n_tok > 3 guard: F.slice needs a non-negative length
     dups = base.where(
-        (F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0) & (F.col("n_tok") > 3)
+        (F.col("doc_id").cast("long") % 10 == 0) & (F.col("n_tok") > 3)
     ).select(
         F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"),
         F.slice(F.col("tokens"), 1, F.col("n_tok") - 3).alias("tokens"),
         (F.col("n_tok") - 3).alias("n_tok"),
         F.col("source"),
     )
-    return base.unionByName(dups)
+    # exact copies (doc_id % 10 == 5): identity-recall workload for
+    # the simhash pigeonhole guarantee
+    copies = base.where(F.col("doc_id").cast("long") % 10 == 5).select(
+        F.concat(F.col("doc_id"), F.lit("_copy")).alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+    )
+    return base.unionByName(dups).unionByName(copies)
+
+
+def _dup_corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-array view of _dup_corpus (same planting rule) — the
+    exact-verification unit reproducible in DuckDB SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    )
+    dups = base.where(
+        (F.col("doc_id").cast("long") % 10 == 0) & (F.size("words") > 3)
+    ).select(
+        F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"),
+        F.slice(F.col("words"), 1, F.size("words") - 3).alias("words"),
+    )
+    copies = base.where(F.col("doc_id").cast("long") % 10 == 5).select(
+        F.concat(F.col("doc_id"), F.lit("_copy")).alias("doc_id"), "words"
+    )
+    return base.unionByName(dups).unionByName(copies)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection over the planted-dup corpus
-    (shingle->minhash->band->bucket-join; rows-only check, estimator
-    accuracy property-tested in pytest)."""
+    """MinHash+LSH near-dup detection over the planted-dup corpus,
+    scale-path shape: banded candidates (ONE shuffle on the band key)
+    -> exact Jaccard verification joined back only for survivors.
+    Output = pairs with exact word-4-shingle Jaccard >= 0.8; the
+    DuckDB oracle recomputes the full exact pair set, so a green row
+    proves LSH recall 1.0 at the threshold on this corpus (r=2 rows x
+    32 bands => miss probability ~1e-14 per 0.8-pair)."""
+    cfg = MinHashConfig(num_hashes=64, bands=32)
     corpus = _dup_corpus(spark, sf_dir)
-    pairs = near_duplicates(corpus, MinHashConfig(), threshold=0.5)
-    return pairs.select(
-        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    sigs = minhash_fingerprints(corpus, cfg)
+    cand = lsh_candidate_pairs(sigs, cfg).select("doc_a", "doc_b")
+    words = _dup_corpus_words(spark, sf_dir).select(
+        "doc_id", _shingles4(F.col("words")).alias("sh")
+    )
+    # materialize shingles before the joins (anti-inlining, same
+    # rationale as ngram_jaccard)
+    words = words.repartition(8)
+    j = (
+        cand.join(
+            words.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            words.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
     )
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection (16-bit-block LSH, hamming<=3)."""
+    """SimHash identity recall: pigeonhole 16-bit-block candidates +
+    hamming <= 3 MUST surface every identical-token pair (identical
+    docs => identical signature => hamming 0 => guaranteed block
+    collision), verified by an exact token-equality filter so the
+    DuckDB oracle (all word-array-equal pairs in the corpus) is a
+    construction-guaranteed expectation. Near-dup (hamming 1..3)
+    behavior is property-tested in pytest against brute-force pairs."""
     corpus = _dup_corpus(spark, sf_dir)
     sigs = minhash_fingerprints(corpus, MinHashConfig())
-    return simhash_near_duplicates(sigs, max_hamming=3).select(
-        "doc_a", "doc_b", "hamming"
+    cand = simhash_near_duplicates(sigs, max_hamming=3).select("doc_a", "doc_b")
+    words = _dup_corpus_words(spark, sf_dir).repartition(8)
+    j = (
+        cand.join(
+            words.select(
+                F.col("doc_id").alias("doc_a"), F.col("words").alias("w_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            words.select(
+                F.col("doc_id").alias("doc_b"), F.col("words").alias("w_b")
+            ),
+            "doc_b",
+        )
+        .where(F.col("w_a") == F.col("w_b"))
     )
+    return j.select("doc_a", "doc_b")
 
 
 def q_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planted-lag alignment: each doc's rms series vs itself shifted
-    by 3 frames -> xcorr lag (hybrid DTW fallback on low confidence).
-    Rows-only; kernel correctness golden-tested in pytest."""
+    """Planted-lag alignment: each doc's rms series vs itself with the
+    first 3 frames dropped (series_b advanced by 3 => expected lag -3
+    under the 'positive lag = b delayed' convention) -> xcorr peak lag
+    (hybrid DTW fallback on low confidence keeps the lag column).
+    The DuckDB oracle is the construction expectation: every doc with
+    >= 12 frames recovers lag -3."""
     docs = _t(spark, sf_dir, "documents")
     feats = frame_features_arrow(
-        to_token_length_table(docs), FrameConfig(window=16, hop=4)
+        to_token_length_table(docs), FrameConfig(window=8, hop=2)
     )
     series = build_doc_series(feats, "rms_energy")
-    pairs = series.where(F.size("series") >= 12).select(
+    # deterministic aperiodic chirp marker: word-length rms series can
+    # be near-periodic (3 docs at sf0.01 peak at a harmonic lag), so
+    # add sin(0.37 i^2) BEFORE slicing — b stays an exact sub-series
+    # of a, and the chirp makes the autocorrelation single-peaked
+    marked = series.withColumn(
+        "series",
+        F.zip_with(
+            "series",
+            F.sequence(F.lit(0), F.size("series") - 1),
+            lambda v, i: v
+            + 3.0 * F.sin(F.lit(0.37) * i.cast("double") * i.cast("double")),
+        ),
+    )
+    # >= 24 frames: short series can hand the abs-argmax peak picker a
+    # chance anti-correlation above the znorm-degraded true peak
+    pairs = marked.where(F.size("series") >= 24).select(
         F.col("doc_id").alias("pair_id"),
         F.col("series").alias("series_a"),
         F.slice(F.col("series"), 4, F.size("series") - 3).alias("series_b"),
     )
     out = align_pairs(pairs, AlignmentConfig(max_lag=8))
-    return out.select(
-        "pair_id", "lag", "method", F.round("confidence", 6).alias("confidence")
-    )
+    return out.select("pair_id", "lag")
 
 
 def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,6 +1416,81 @@ FROM l ASOF LEFT JOIN r
 def oracle_sql() -> dict[str, str]:
     return {
         "mfcc_frames": _mfcc_oracle_sql(),
+        # exact recomputation of the LSH-approximated quantity: all
+        # pairs with word-4-shingle Jaccard >= 0.8 over the planted
+        # corpus (inverted-index candidate generation keeps it
+        # near-linear); green row == LSH recall 1.0 at threshold
+        "minhash_dedup": r"""
+            WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id::VARCHAR AS doc_id, words FROM base
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_dup', words[1:len(words)-3]
+              FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_copy', words
+              FROM base WHERE doc_id % 10 = 5
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(words) - 3, 1)),
+                i -> array_to_string(words[i:i+3], ' '))) AS sh
+              FROM w
+            ),
+            inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM inv a JOIN inv b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            p AS (
+              SELECT c.doc_a, c.doc_b,
+                     len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+            )
+            SELECT doc_a, doc_b, round(j, 6) AS jaccard
+            FROM p WHERE round(j, 6) >= 0.8
+        """,
+        # construction-guaranteed expectation: identical word arrays
+        # <=> identical simhash <=> hamming 0 <=> pigeonhole hit
+        "simhash_dedup": r"""
+            WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     array_to_string(words, chr(30)) AS key
+              FROM base
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_dup',
+                     array_to_string(words[1:len(words)-3], chr(30))
+              FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_copy',
+                     array_to_string(words, chr(30))
+              FROM base WHERE doc_id % 10 = 5
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM w a JOIN w b ON a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        # construction expectation: series_b = series_a advanced by 3
+        # frames => xcorr peak at lag -3 for every doc with >= 24
+        # frames ((n_tok-8)//2+1 >= 24 <=> n_tok >= 54)
+        "align_pairs": r"""
+            SELECT doc_id::VARCHAR AS pair_id, -3.0 AS lag
+            FROM (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n
+              FROM documents
+            ) WHERE n >= 54
+        """,
         # window formulas re-implemented in SQL trig; Kaiser I0 via
         # the closed-form series sum exp(2k ln(x/2) - 2 lgamma(k+1))
         # (exp underflows to 0 at x=0, matching I0(0)=1)

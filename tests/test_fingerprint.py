@@ -129,3 +129,38 @@ def test_fingerprints_deterministic(spark):
     b = {r["doc_id"]: (list(r["minhash"]), r["simhash"])
          for r in minhash_fingerprints(df.repartition(5), CFG).collect()}
     assert a == b
+
+
+def test_simhash_pigeonhole_completeness(spark):
+    """Candidate generation by 16-bit blocks must surface EVERY pair
+    within hamming <= 3 (pigeonhole: 3 flipped bits cannot touch all
+    4 blocks) — compared against brute-force all-pairs hamming."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sonar_spark.operators.fingerprint import simhash_near_duplicates
+
+    rng = np.random.default_rng(41)
+    base = int(rng.integers(0, 1 << 62))
+    sigs = []
+    # planted cluster: base signature with 0..3 random bit flips, plus
+    # far-away random signatures
+    for i in range(8):
+        s = base
+        for b in rng.choice(62, size=i % 4, replace=False):
+            s ^= 1 << int(b)
+        sigs.append((f"d{i:02d}", int(s)))
+    for i in range(8, 20):
+        sigs.append((f"d{i:02d}", int(rng.integers(0, 1 << 62))))
+    df = spark.createDataFrame(sigs, "doc_id string, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    want = set()
+    for (ida, sa), (idb, sb) in itertools.combinations(sigs, 2):
+        if bin(sa ^ sb).count("1") <= 3:
+            want.add(tuple(sorted((ida, idb))))
+    assert got == want and len(want) >= 10

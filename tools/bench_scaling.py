@@ -21,18 +21,24 @@ import json, os, sys, time
 sys.path.insert(0, "@@REPO@@")
 from pyspark.sql import functions as F
 from sonar_spark.session import get_spark
+from sonar_spark.config import FeatureConfig
 from bench import flagship_pipeline, materialize_tokens
 
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
 spark = get_spark("scaling-%d" % cpus, cpus=cpus)
 path = materialize_tokens(spark, n_docs)
+# scaling measures the PRODUCTION feature set (all 30 features incl.
+# the spectral + MFCC families): that is what a real deployment runs,
+# and its higher arithmetic intensity per input byte keeps the job
+# kernel-bound rather than DRAM-bound on this shared-bus host
+cfg = FeatureConfig()
 # full-size warm-up: spawns every python worker and sizes their
 # scratch pools; first-touch page faults must not pollute the timing
-flagship_pipeline(spark, n_docs, path).collect()
+flagship_pipeline(spark, n_docs, path, feat_cfg=cfg).collect()
 best, row = 1e18, None
 for _ in range(4):
     t0 = time.time()
-    row = flagship_pipeline(spark, n_docs, path).collect()[0]
+    row = flagship_pipeline(spark, n_docs, path, feat_cfg=cfg).collect()[0]
     best = min(best, time.time() - t0)
 print(json.dumps({"cpus": cpus, "sec": best,
                   "docs_per_sec": n_docs / best,
