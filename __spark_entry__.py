@@ -1320,6 +1320,45 @@ def q_windowed_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 8 reference percentile methods (percentiles.go:198-404,
+    arithmetic reproduced exactly incl. its label-vs-textbook
+    deviations) at q in {0.5, 0.9} over lineitem quantity per return
+    flag — order-statistic lookups, no per-group arrays."""
+    from sonar_spark.operators.percentiles import percentile_methods
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = percentile_methods(li, "l_quantity", "l_returnflag")
+    return out.select(
+        "l_returnflag",
+        "method",
+        "q",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_entropy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy family x histogram bin rules (entropy.go:165-763):
+    Shannon / Renyi(2) / Tsallis(2) / Hartley / min-entropy /
+    normalized Shannon under fixed-16, Sturges, Scott, Freedman-
+    Diaconis, sqrt and Doane binning, per event type."""
+    from sonar_spark.operators.entropy import entropy_variants
+
+    ev = _t(spark, sf_dir, "events")
+    out = entropy_variants(ev, "value", "event_type")
+    return out.select(
+        "event_type",
+        "rule",
+        F.col("num_bins").cast("long").alias("num_bins"),
+        F.round("shannon", 6).alias("shannon"),
+        F.round("renyi2", 6).alias("renyi2"),
+        F.round("tsallis2", 6).alias("tsallis2"),
+        F.round("hartley", 6).alias("hartley"),
+        F.round("min_entropy", 6).alias("min_entropy"),
+        F.round("norm_shannon", 6).alias("norm_shannon"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -1365,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mfcc_frames": q_mfcc_frames,
         "window_props": q_window_props,
         "windowed_frames": q_windowed_frames,
+        "percentile_methods": q_percentile_methods,
+        "entropy_variants": q_entropy_variants,
     }
 
 
@@ -1416,6 +1457,147 @@ FROM l ASOF LEFT JOIN r
 def oracle_sql() -> dict[str, str]:
     return {
         "mfcc_frames": _mfcc_oracle_sql(),
+        "percentile_methods": """
+            WITH s AS (
+              SELECT l_returnflag, list_sort(list(l_quantity::DOUBLE)) AS xs,
+                     count(*)::DOUBLE AS n
+              FROM lineitem GROUP BY 1
+            ),
+            m AS (
+              SELECT l_returnflag, xs, n, mm.method, qq.q
+              FROM s
+              CROSS JOIN (VALUES ('linear'), ('lower'), ('higher'),
+                ('midpoint'), ('weighted'), ('r_default'),
+                ('median_unbiased'), ('normal_unbiased')) mm(method)
+              CROSS JOIN (VALUES (0.5), (0.9)) qq(q)
+            ),
+            h AS (
+              SELECT l_returnflag, xs, n, method, q,
+                CASE method
+                  WHEN 'linear' THEN (n-1)*q + 1.0
+                  WHEN 'r_default' THEN (n-1)*q + 1.0
+                  WHEN 'median_unbiased'
+                    THEN (n+1)/3.0 + (n-1)/3.0*q
+                  WHEN 'normal_unbiased'
+                    THEN n/4.0 + 0.25 + q*(n+0.5)
+                  ELSE n*q END AS h
+              FROM m
+            )
+            SELECT l_returnflag, method, q,
+              round(CASE
+                WHEN method = 'lower' THEN
+                  CASE WHEN h <= 1.0 THEN xs[1]
+                       ELSE xs[least(ceil(h), n)::BIGINT] END
+                WHEN method = 'higher' THEN
+                  CASE WHEN h < 1.0 THEN xs[1]
+                       ELSE xs[least(floor(h)+1, n)::BIGINT] END
+                WHEN method = 'midpoint' THEN
+                  CASE WHEN h <= 1.0 THEN xs[1]
+                       WHEN h >= n THEN xs[n::BIGINT]
+                       ELSE (xs[floor(h)::BIGINT]
+                             + xs[ceil(h)::BIGINT]) / 2.0 END
+                ELSE
+                  CASE WHEN h <= 1.0 THEN xs[1]
+                       WHEN h >= n THEN xs[n::BIGINT]
+                       ELSE xs[floor(h)::BIGINT] + (h - floor(h))
+                            * (xs[ceil(h)::BIGINT]
+                               - xs[floor(h)::BIGINT]) END
+                END, 6) + 0.0 AS value
+            FROM h
+        """,
+        "entropy_variants": """
+            WITH d AS (
+              SELECT event_type, value::DOUBLE AS v FROM events
+            ),
+            base AS (
+              SELECT event_type, count(*)::DOUBLE AS n, avg(v) AS mu,
+                     var_samp(v) AS var, min(v) AS lo, max(v) AS hi
+              FROM d GROUP BY 1
+            ),
+            mom AS (
+              SELECT d.event_type,
+                CASE WHEN max(b.var) > 0
+                  THEN sum(pow((d.v - b.mu)
+                       / sqrt(greatest(b.var, 1e-300)), 3)) / max(b.n)
+                  ELSE 0.0 END AS skew
+              FROM d JOIN base b USING (event_type) GROUP BY 1
+            ),
+            srt AS (
+              SELECT event_type, v,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY v) AS rn
+              FROM d
+            ),
+            qq AS (
+              SELECT s.event_type,
+                max(CASE WHEN s.rn = floor(0.25*b.n)::BIGINT + 1
+                    THEN s.v END) AS q1,
+                max(CASE WHEN s.rn = floor(0.75*b.n)::BIGINT + 1
+                    THEN s.v END) AS q3
+              FROM srt s JOIN base b USING (event_type) GROUP BY 1
+            ),
+            stats AS (
+              SELECT b.event_type, b.n, b.var, b.lo, b.hi, m.skew,
+                     qq.q1, qq.q3
+              FROM base b JOIN mom m USING (event_type)
+              JOIN qq USING (event_type)
+            ),
+            rules AS (
+              SELECT event_type, n, lo,
+                CASE WHEN hi > lo THEN hi ELSE lo + 1.0 END AS hi_adj,
+                rr.rule,
+                CASE rr.rule
+                  WHEN 'fixed' THEN 16
+                  WHEN 'sturges' THEN floor(log2(n))::BIGINT + 1
+                  WHEN 'scott' THEN CASE
+                    WHEN 3.49*sqrt(greatest(var,0))*pow(n,-1.0/3.0) > 0
+                    THEN ceil((hi - lo) / (3.49*sqrt(greatest(var,0))
+                         *pow(n,-1.0/3.0)))::BIGINT
+                    ELSE 10 END
+                  WHEN 'fd' THEN CASE
+                    WHEN 2.0*(q3 - q1)*pow(n,-1.0/3.0) > 0
+                    THEN ceil((hi - lo) / (2.0*(q3 - q1)
+                         *pow(n,-1.0/3.0)))::BIGINT
+                    ELSE 10 END
+                  WHEN 'sqrt' THEN ceil(sqrt(n))::BIGINT
+                  WHEN 'doane' THEN floor(1.0 + log2(n)
+                    + log2(1.0 + abs(skew)
+                      / sqrt(6.0*(n-2)/((n+1)*(n+3)))))::BIGINT
+                  END AS num_bins
+              FROM stats
+              CROSS JOIN (VALUES ('fixed'), ('sturges'), ('scott'),
+                ('fd'), ('sqrt'), ('doane')) rr(rule)
+            ),
+            binned AS (
+              SELECT d.event_type, r.rule, r.num_bins, r.n,
+                least(greatest(floor((d.v - r.lo)
+                  / ((r.hi_adj - r.lo) / r.num_bins)), 0),
+                  r.num_bins - 1) AS bin
+              FROM d JOIN rules r USING (event_type)
+            ),
+            cnt AS (
+              SELECT event_type, rule, num_bins, n, bin,
+                     count(*) AS c
+              FROM binned GROUP BY 1, 2, 3, 4, 5
+            ),
+            ent AS (
+              SELECT event_type, rule, num_bins,
+                -sum((c/n) * log2(c/n)) + 0.0 AS shannon,
+                sum((c/n)*(c/n)) AS sum_p2,
+                count(*) AS support,
+                max(c/n) AS max_p
+              FROM cnt GROUP BY 1, 2, 3
+            )
+            SELECT event_type, rule, num_bins,
+                   round(shannon, 6) + 0.0 AS shannon,
+                   round(-log2(sum_p2) + 0.0, 6) + 0.0 AS renyi2,
+                   round(1.0 - sum_p2, 6) + 0.0 AS tsallis2,
+                   round(log2(support::DOUBLE), 6) + 0.0 AS hartley,
+                   round(-log2(max_p) + 0.0, 6) + 0.0 AS min_entropy,
+                   round(shannon / log2(num_bins::DOUBLE), 6) + 0.0
+                     AS norm_shannon
+            FROM ent
+        """,
         # exact recomputation of the LSH-approximated quantity: all
         # pairs with word-4-shingle Jaccard >= 0.8 over the planted
         # corpus (inverted-index candidate generation keeps it

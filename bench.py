@@ -73,9 +73,9 @@ def flagship_pipeline(
     feats = frame_features_arrow(toks, FrameConfig(window=64, hop=16), feat_cfg)
     # project the join payload to what downstream needs — the as-of
     # join shuffles its left side, so column pruning here is the
-    # difference between a 4-column and a 20-column shuffle
+    # difference between a 3-column and a 20-column shuffle (the final
+    # aggregate never reads doc_id, so it does not ride the shuffle)
     left = feats.select(
-        "doc_id",
         "rms_energy",
         datagen.entity_of(F.col("doc_id"), 64).alias("entity"),
         F.col("frame_ts").alias("ts"),

@@ -1,0 +1,172 @@
+"""Entropy family + histogram bin rules, reproducing the reference's
+Entropy analyzer arithmetic exactly (stats/entropy.go:165-763):
+
+- bin-count rules (determineOptimalBins, :319-368): fixed, Sturges
+  int(log2 n)+1, Scott ceil(range / (3.49 sigma n^-1/3)), Freedman-
+  Diaconis ceil(range / (2 IQR n^-1/3)) with the reference's
+  direct-index quartiles sorted[int(.25n)] / sorted[int(.75n)],
+  square-root ceil(sqrt n), Doane 1+log2(n)+log2(1+|skew|/sigma_g)
+  (int-truncated); Scott/FD fall back to 10 when the width is 0;
+- fixed-width histogram (buildHistogram, :371-425): bin =
+  trunc((x-min)/width) clamped to [0, bins-1];
+- entropies over probabilities p = count/n (base-2 defaults of
+  NewEntropy, :141-157): Shannon -sum p log2 p (:515-526), Renyi
+  alpha=2 == collision -log2(sum p^2) (:530-552), Tsallis q=2
+  1 - sum p^2 (:556-570), Hartley log2 |support| (:573-588),
+  min-entropy -log2 max p (:591-606), normalized Shannon
+  / log2(num_bins).
+
+Physical plan: two grouped aggregations over the raw values (moments
+pass + quartile row_number pass), a bins-per-rule projection, one
+values x rules bin assignment, and one final aggregation — no
+per-group collections, group cardinality unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BIN_RULES = ("fixed", "sturges", "scott", "fd", "sqrt", "doane")
+
+
+def _bins_for_rule(rule: str, fixed_bins: int) -> Column:
+    n = F.col("n").cast("double")
+    rng = F.col("hi") - F.col("lo")
+    if rule == "fixed":
+        return F.lit(fixed_bins).cast("long")
+    if rule == "sturges":
+        return (F.floor(F.log2(n)) + 1).cast("long")
+    if rule == "scott":
+        width = 3.49 * F.sqrt(F.col("var")) * F.pow(n, -1.0 / 3.0)
+        return F.when(width > 0, F.ceil(rng / width)).otherwise(
+            F.lit(10)
+        ).cast("long")
+    if rule == "fd":
+        width = 2.0 * (F.col("q3") - F.col("q1")) * F.pow(n, -1.0 / 3.0)
+        return F.when(width > 0, F.ceil(rng / width)).otherwise(
+            F.lit(10)
+        ).cast("long")
+    if rule == "sqrt":
+        return F.ceil(F.sqrt(n)).cast("long")
+    if rule == "doane":
+        sigma_g = F.sqrt(6.0 * (n - 2) / ((n + 1) * (n + 3)))
+        return F.floor(
+            1.0 + F.log2(n) + F.log2(1.0 + F.abs(F.col("skew")) / sigma_g)
+        ).cast("long")
+    raise ValueError(rule)
+
+
+def entropy_variants(
+    df: DataFrame,
+    value: str,
+    group: str,
+    rules: tuple[str, ...] = BIN_RULES,
+    fixed_bins: int = 16,
+) -> DataFrame:
+    """(group, rule, num_bins, shannon, renyi2, tsallis2, hartley,
+    min_entropy, norm_shannon) per group x bin rule."""
+    d = df.select(group, F.col(value).cast("double").alias("v"))
+    base = d.groupBy(group).agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("mu"),
+        # calculateMoments (:236-275): variance is the n-1 form
+        F.var_samp("v").alias("var"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    # skewness: mean of standardized cubes with sigma = sqrt(var_samp)
+    d2 = d.join(base, group)
+    mom = d2.groupBy(group).agg(
+        F.when(
+            F.max("var") > 0,
+            F.sum(
+                F.pow(
+                    (F.col("v") - F.col("mu")) / F.sqrt(F.col("var")),
+                    F.lit(3.0),
+                )
+            )
+            / F.max("n"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("skew")
+    )
+    # reference quartiles: direct index into the sorted copy
+    # (entropy.go:341-349) — NOT an interpolated percentile
+    wo = Window.partitionBy(group).orderBy("v")
+    r = d.withColumn("rn", F.row_number().over(wo)).join(
+        base.select(group, "n"), group
+    )
+    q1 = r.where(
+        F.col("rn") == F.floor(0.25 * F.col("n").cast("double")) + 1
+    ).select(group, F.col("v").alias("q1"))
+    q3 = r.where(
+        F.col("rn") == F.floor(0.75 * F.col("n").cast("double")) + 1
+    ).select(group, F.col("v").alias("q3"))
+    stats = base.join(mom, group).join(q1, group).join(q3, group)
+
+    per_rule = stats.select(
+        group,
+        "n",
+        "lo",
+        F.when(F.col("hi") > F.col("lo"), F.col("hi"))
+        .otherwise(F.col("lo") + 1.0)
+        .alias("hi"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        _bins_for_rule(rule, fixed_bins).alias("num_bins"),
+                    )
+                    for rule in rules
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        group, "n", "lo", "hi", F.col("rb.rule").alias("rule"),
+        F.col("rb.num_bins").alias("num_bins"),
+    )
+
+    # bin assignment per value x rule (buildHistogram :404-424)
+    binned = d.join(F.broadcast(per_rule), group).select(
+        group,
+        "rule",
+        "num_bins",
+        "n",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.col("num_bins"))
+                ),
+                F.lit(0),
+            ),
+            F.col("num_bins") - 1,
+        ).alias("bin"),
+    )
+    counts = binned.groupBy(group, "rule", "num_bins", "n", "bin").agg(
+        F.count("*").alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = counts.groupBy(group, "rule", "num_bins").agg(
+        (-F.sum(p * F.log2(p)) + F.lit(0.0)).alias("shannon"),
+        F.sum(p * p).alias("sum_p2"),
+        F.count("*").alias("support"),
+        F.max(p).alias("max_p"),
+    )
+    return ent.select(
+        group,
+        "rule",
+        "num_bins",
+        "shannon",
+        (-F.log2(F.col("sum_p2")) + F.lit(0.0)).alias("renyi2"),
+        (1.0 - F.col("sum_p2")).alias("tsallis2"),
+        (F.log2(F.col("support").cast("double")) + F.lit(0.0)).alias(
+            "hartley"
+        ),
+        (-F.log2(F.col("max_p")) + F.lit(0.0)).alias("min_entropy"),
+        (
+            F.col("shannon") / F.log2(F.col("num_bins").cast("double"))
+        ).alias("norm_shannon"),
+    )

@@ -1,0 +1,130 @@
+"""Percentile-method family and entropy-variants operators vs
+independent implementations (numpy kernel / pure-python loops)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from sonar_spark import kernels
+from sonar_spark.operators.entropy import BIN_RULES, entropy_variants
+from sonar_spark.operators.percentiles import (
+    PERCENTILE_METHODS,
+    percentile_methods,
+)
+
+
+def test_percentile_kernel_reference_arithmetic():
+    """linear == numpy's R-7 (the reference's actual default
+    arithmetic); all methods agree on boundaries."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(101)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        got = kernels.percentile_method(x, q, "linear")
+        want = float(np.percentile(x, q * 100, method="linear"))
+        assert np.isclose(got, want, rtol=1e-12), (q, got, want)
+    # reference quirk reproduced: median_unbiased h=(n+1)/3+(n-1)q/3
+    # and normal_unbiased h=n/4+0.25+q(n+0.5) do NOT hit the data
+    # extremes at q=0/1 — only the other six do
+    for m in PERCENTILE_METHODS:
+        if m not in ("median_unbiased", "normal_unbiased"):
+            assert kernels.percentile_method(x, 0.0, m) == x.min(), m
+            assert kernels.percentile_method(x, 1.0, m) == x.max(), m
+        assert kernels.percentile_method(np.array([7.0]), 0.4, m) == 7.0
+    n = len(x)
+    s = np.sort(x)
+    h = (n + 1) / 3.0  # median_unbiased at q=0
+    assert kernels.percentile_method(x, 0.0, "median_unbiased") == s[
+        int(np.floor(h)) - 1
+    ] + (h - np.floor(h)) * (s[int(np.ceil(h)) - 1] - s[int(np.floor(h)) - 1])
+
+
+def test_percentile_methods_spark_matches_kernel(spark):
+    """Catalyst order-statistic implementation == numpy sort kernel
+    for every method x q on random groups."""
+    rng = np.random.default_rng(11)
+    rows = []
+    data = {}
+    for g, n in (("a", 37), ("b", 100), ("c", 8)):
+        vals = np.round(rng.standard_normal(n) * 10, 3)
+        data[g] = vals
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = percentile_methods(df, "v", "g", qs=(0.25, 0.5, 0.9))
+    for r in out.collect():
+        want = kernels.percentile_method(data[r["g"]], r["q"], r["method"])
+        assert np.isclose(r["value"], want, rtol=1e-12), (
+            r["g"], r["method"], r["q"], r["value"], want,
+        )
+
+
+def _entropy_loop(vals, rule, fixed_bins=16):
+    """Independent loop implementation of entropy.go:165-606."""
+    n = len(vals)
+    mu = sum(vals) / n
+    var = sum((x - mu) ** 2 for x in vals) / (n - 1)
+    lo, hi0 = min(vals), max(vals)
+    rng_ = hi0 - lo
+    srt = sorted(vals)
+    q1, q3 = srt[int(0.25 * n)], srt[int(0.75 * n)]
+    if var > 0:
+        sd = math.sqrt(var)
+        skew = sum(((x - mu) / sd) ** 3 for x in vals) / n
+    else:
+        skew = 0.0
+    if rule == "fixed":
+        nb = fixed_bins
+    elif rule == "sturges":
+        nb = int(math.log2(n)) + 1
+    elif rule == "scott":
+        w = 3.49 * math.sqrt(var) * n ** (-1 / 3)
+        nb = int(math.ceil(rng_ / w)) if w > 0 else 10
+    elif rule == "fd":
+        w = 2.0 * (q3 - q1) * n ** (-1 / 3)
+        nb = int(math.ceil(rng_ / w)) if w > 0 else 10
+    elif rule == "sqrt":
+        nb = int(math.ceil(math.sqrt(n)))
+    elif rule == "doane":
+        sg = math.sqrt(6.0 * (n - 2) / ((n + 1) * (n + 3)))
+        nb = int(1.0 + math.log2(n) + math.log2(1.0 + abs(skew) / sg))
+    hi = hi0 if hi0 > lo else lo + 1.0
+    counts = [0] * nb
+    bw = (hi - lo) / nb
+    for x in vals:
+        counts[min(max(int((x - lo) / bw), 0), nb - 1)] += 1
+    ps = [c / n for c in counts if c > 0]
+    shannon = -sum(p * math.log2(p) for p in ps)
+    sum_p2 = sum(p * p for p in ps)
+    return {
+        "num_bins": nb,
+        "shannon": shannon + 0.0,
+        "renyi2": -math.log2(sum_p2) + 0.0,
+        "tsallis2": 1.0 - sum_p2,
+        "hartley": math.log2(len(ps)),
+        "min_entropy": -math.log2(max(ps)) + 0.0,
+        "norm_shannon": shannon / math.log2(nb),
+    }
+
+
+def test_entropy_variants_matches_loop(spark):
+    rng = np.random.default_rng(19)
+    rows = []
+    data = {}
+    for g, n in (("x", 400), ("y", 97)):
+        vals = [float(v) for v in np.round(rng.gamma(2.0, 3.0, n), 4)]
+        data[g] = vals
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = entropy_variants(df, "value", "g")
+    seen = set()
+    for r in out.collect():
+        want = _entropy_loop(data[r["g"]], r["rule"])
+        seen.add((r["g"], r["rule"]))
+        assert r["num_bins"] == want["num_bins"], (r["g"], r["rule"])
+        for k in ("shannon", "renyi2", "tsallis2", "hartley",
+                  "min_entropy", "norm_shannon"):
+            assert np.isclose(r[k], want[k], rtol=1e-9, atol=1e-12), (
+                r["g"], r["rule"], k,
+            )
+    assert seen == {(g, rule) for g in data for rule in BIN_RULES}
