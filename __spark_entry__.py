@@ -532,6 +532,145 @@ def q_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pair_id", "lag")
 
 
+def q_align_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature alignment + weighted best-select
+    (extractors/alignment.go:300-445): every pair aligned on BOTH the
+    energy series (cross-correlation, weight 1.0) and the
+    chroma-analog centroid series (DTW, weight 0.7); winner by
+    w*(0.4 conf + 0.4 sim + 0.2 quality). Construction expectation:
+    exact-shift pairs give the energy xcorr a ~1.0 peak, so
+    corr_energy must win every pair and recover lag -3."""
+    from sonar_spark.operators.align import multi_feature_align
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = frame_features_arrow(
+        to_token_length_table(docs), FrameConfig(window=8, hop=2)
+    )
+    rms = build_doc_series(feats, "rms_energy").withColumnRenamed(
+        "series", "energy"
+    )
+    cen = build_doc_series(feats, "centroid").withColumnRenamed(
+        "series", "chroma"
+    )
+    s = rms.join(cen, "doc_id")
+    chirp = lambda col: F.zip_with(  # noqa: E731
+        col,
+        F.sequence(F.lit(0), F.size(col) - 1),
+        lambda v, i: v
+        + 3.0 * F.sin(F.lit(0.37) * i.cast("double") * i.cast("double")),
+    )
+    marked = s.withColumn("energy", chirp(F.col("energy")))
+    pairs = marked.where(F.size("energy") >= 24).select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("energy").alias("energy_a"),
+        F.slice(F.col("energy"), 4, F.size("energy") - 3).alias("energy_b"),
+        F.col("chroma").alias("chroma_a"),
+        F.slice(F.col("chroma"), 4, F.size("chroma") - 3).alias("chroma_b"),
+    )
+    out = multi_feature_align(pairs, AlignmentConfig(max_lag=8))
+    return out.select("pair_id", "feature_type")
+
+
+def q_dc_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DC-blocking IIR y[n] = x[n] - x[n-1] + R y[n-1], R=0.995, zero
+    state per doc (dc_removal.go:100-126) — vectorized as a
+    convolution with R^k; DuckDB oracle uses the closed cumulative
+    form R^n * running-sum(d[k] R^-k)."""
+    from sonar_spark.kernels import dc_pole
+    from sonar_spark.operators.filters import dc_removal
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents")).where(
+        F.col("doc_id").cast("long") < 100
+    )
+    # cutoff-derived pole (computePoleLocation, dc_removal.go:83-99):
+    # R = 1 - pi/64 is irrational, so integer token values never land
+    # exactly on a decimal rounding boundary (R=0.995 with integer
+    # inputs yields EXACT decimals like 4.980075 that round-half
+    # differently per engine)
+    out = dc_removal(toks, pole=dc_pole(64, 0.5))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("filtered").alias("pos", "y"),
+    ).select("doc_id", "pos", F.round("y", 6).alias("y"))
+
+
+_BP_COEFFS = None
+
+
+def _bp_coeffs():
+    global _BP_COEFFS
+    if _BP_COEFFS is None:
+        from sonar_spark.kernels import bandpass_coefficients
+
+        _BP_COEFFS = bandpass_coefficients(64, 8.0, 1.0)
+    return _BP_COEFFS
+
+
+def q_bandpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBJ bandpass biquad (bandpass.go:82-150), Direct Form II, zero
+    state per doc; DuckDB oracle runs the exact recursion as a
+    recursive CTE with the identical plan-time coefficients."""
+    from sonar_spark.operators.filters import bandpass
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents")).where(
+        F.col("doc_id").cast("long") < 50
+    )
+    out = bandpass(toks, sample_rate=64, center_freq=8.0, q=1.0)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("filtered").alias("pos", "y"),
+    ).select("doc_id", "pos", F.round("y", 6).alias("y"))
+
+
+def _bandpass_oracle_sql() -> str:
+    b0, b1, b2, a1, a2 = (float(c) for c in _bp_coeffs())
+    return rf"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+          FROM documents WHERE doc_id < 50
+        ),
+        v AS (
+          SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                 length(unnest(tl))::DOUBLE AS val
+          FROM toks
+        ),
+        r AS (
+          SELECT doc_id, 1 AS pos, val AS w,
+                 {b0!r} * val AS y, 0.0::DOUBLE AS w1
+          FROM v WHERE pos = 1
+          UNION ALL
+          SELECT v.doc_id, r.pos + 1,
+                 v.val - {a1!r} * r.w - {a2!r} * r.w1 AS w,
+                 {b0!r} * (v.val - {a1!r} * r.w - {a2!r} * r.w1)
+                   + {b1!r} * r.w + {b2!r} * r.w1 AS y,
+                 r.w AS w1
+          FROM r JOIN v ON v.doc_id = r.doc_id AND v.pos = r.pos + 1
+        )
+        SELECT doc_id, pos - 1 AS pos, round(y, 6) + 0.0 AS y FROM r
+    """
+
+
+def q_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mirrored DistanceMatrix (distance.go:374-395) over 12
+    embeddings with euclidean + Pearson distance (1-|r|,
+    distance.go:73-108) — upper triangle computed once, mirrored,
+    zero diagonal."""
+    from sonar_spark.functions.arrays import euclidean, pearson_distance
+    from sonar_spark.operators.distance import distance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 12)
+    out = distance_matrix(
+        emb, "vec_id", "embedding",
+        {"euclidean": euclidean, "pearson_dist": pearson_distance},
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("euclidean", 6).alias("euclidean"),
+        F.round("pearson_dist", 6).alias("pearson_dist"),
+    )
+
+
 def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted fingerprint comparison + FindBestMatches top-3
     (comparison.go:133-263; rows-only)."""
@@ -1359,6 +1498,98 @@ def q_entropy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bark-scale (Traunmueller) triangular filter-bank band energies
+    over the histogram-as-power-spectrum (bark_scale.go:18-113), 4
+    bands; the weights are plan-time constants embedded identically in
+    the DuckDB oracle."""
+    from sonar_spark.config import FeatureConfig
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = to_token_length_table(docs)
+    cfg = FeatureConfig(
+        enable_energy=False, enable_moments=False, enable_percentiles=False,
+        enable_entropy=False, enable_zcr=False, enable_flux=False,
+        enable_spectral=False, enable_mfcc=False, enable_bark=True,
+    )
+    feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8), cfg)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        *[F.round(F.col(f"bark{i}"), 6).alias(f"bark{i}") for i in range(4)],
+    )
+
+
+def _bark_oracle_sql() -> str:
+    from sonar_spark import kernels
+
+    BFB = kernels._bark_mat(16)
+    fb_rows = ", ".join(
+        f"({f}, {k}, {float(BFB[f, k])!r})"
+        for f in range(BFB.shape[0])
+        for k in range(BFB.shape[1])
+        if BFB[f, k] != 0.0
+    )
+    band_cols = ",\n                   ".join(
+        f"round(coalesce(max(CASE WHEN fi = {i} THEN mv END), 0.0), 6)"
+        f" + 0.0 AS bark{i}"
+        for i in range(4)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                 length(unnest(tl))::DOUBLE AS val
+          FROM toks
+        ),
+        f AS (
+          SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                 min(val) OVER w AS lo, max(val) OVER w AS rawhi
+          FROM v
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+        ),
+        fr AS (
+          SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                 CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END AS hi
+          FROM f WHERE strt % 8 = 0 AND cnt = 32
+        ),
+        el AS (
+          SELECT fr.doc_id, fr.frame_idx,
+                 least(greatest(floor((v.val - fr.lo) / (fr.hi - fr.lo)
+                   * 16), 0), 15)::INT AS bin
+          FROM fr JOIN v ON v.doc_id = fr.doc_id
+            AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+        ),
+        cnts AS (
+          SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+          FROM el GROUP BY 1, 2, 3
+        ),
+        grid AS (
+          SELECT fr.doc_id, fr.frame_idx, ks.k, coalesce(c.c, 0.0) AS m
+          FROM fr
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+          LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+            AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+        ),
+        fb(fi, k, w) AS (VALUES {fb_rows}),
+        be AS (
+          SELECT g.doc_id, g.frame_idx, allf.fi,
+                 coalesce(sum(g.m * g.m * fb.w), 0.0) AS mv
+          FROM grid g
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fi) allf
+          LEFT JOIN fb ON fb.k = g.k AND fb.fi = allf.fi
+          GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, frame_idx,
+               {band_cols}
+        FROM be GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_stats": q_windowed_stats,
@@ -1406,6 +1637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_frames": q_windowed_frames,
         "percentile_methods": q_percentile_methods,
         "entropy_variants": q_entropy_variants,
+        "align_best_select": q_align_best_select,
+        "dc_removal": q_dc_removal,
+        "bandpass": q_bandpass,
+        "distance_matrix": q_distance_matrix,
+        "bark_bands": q_bark_bands,
     }
 
 
@@ -1457,6 +1693,74 @@ FROM l ASOF LEFT JOIN r
 def oracle_sql() -> dict[str, str]:
     return {
         "mfcc_frames": _mfcc_oracle_sql(),
+        "bandpass": _bandpass_oracle_sql(),
+        "bark_bands": _bark_oracle_sql(),
+        "distance_matrix": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 12
+            ),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va,
+                     b.v AS vb
+              FROM e a JOIN e b ON a.vec_id != b.vec_id
+            ),
+            u AS (
+              SELECT id_a, id_b, unnest(va) AS x, unnest(vb) AS y FROM p
+            ),
+            d AS (
+              SELECT id_a, id_b,
+                     sqrt(sum((x - y) * (x - y))) AS euclidean,
+                     count(*) AS nd,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM u GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT id_a, id_b, euclidean,
+                     sxx - sx * sx / nd AS ssa,
+                     syy - sy * sy / nd AS ssb,
+                     sxy - sx * sy / nd AS num
+              FROM d
+            )
+            SELECT id_a, id_b, round(euclidean, 6) + 0.0 AS euclidean,
+                   round(CASE WHEN ssa = 0 OR ssb = 0 THEN 1.0
+                         ELSE 1.0 - abs(num / sqrt(ssa * ssb)) END, 6)
+                     + 0.0 AS pearson_dist
+            FROM r
+            UNION ALL
+            SELECT vec_id, vec_id, 0.0, 0.0 FROM e
+        """,
+        "dc_removal": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents WHERE doc_id < 100
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            d AS (
+              SELECT doc_id, pos,
+                     val - coalesce(lag(val) OVER (PARTITION BY doc_id
+                       ORDER BY pos), 0.0) AS dv
+              FROM v
+            )
+            -- direct convolution form y[n] = sum_k d[k] R^(n-k):
+            -- term-identical to the engine's np.convolve (a cumulative
+            -- R^n * sum(d/R^k) form rounds differently at 6dp
+            -- boundaries); docs are <= ~100 tokens so the O(n^2) join
+            -- is tiny
+            SELECT a.doc_id, a.pos - 1 AS pos,
+                   round(sum(b.dv
+                     * pow(0.9509126147876594, (a.pos - b.pos)::DOUBLE)),
+                     6) + 0.0 AS y
+            FROM d a JOIN d b
+              ON b.doc_id = a.doc_id AND b.pos <= a.pos
+            GROUP BY a.doc_id, a.pos
+        """,
         "percentile_methods": """
             WITH s AS (
               SELECT l_returnflag, list_sort(list(l_quantity::DOUBLE)) AS xs,
@@ -1661,6 +1965,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM w a JOIN w b ON a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        # construction expectation: the weight-1.0 energy xcorr scores
+        # ~1.0 on exact-shift pairs and must beat the weight-0.7 DTW
+        # chroma path for every qualifying doc
+        "align_best_select": r"""
+            SELECT doc_id::VARCHAR AS pair_id,
+                   'corr_energy' AS feature_type
+            FROM (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n
+              FROM documents
+            ) WHERE n >= 54
         """,
         # construction expectation: series_b = series_a advanced by 3
         # frames => xcorr peak at lag -3 for every doc with >= 24

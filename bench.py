@@ -30,17 +30,17 @@ from sonar_spark.session import get_spark  # noqa: E402
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
 
-def materialize_tokens(spark, n_docs: int) -> str:
+def materialize_tokens(spark, n_docs: int, partitions: int = 64) -> str:
     """Write the deterministic input_hint token table to local parquet
     once (the Iceberg-table stand-in); returns the path. Reused across
-    runs of the same size so bench times the PIPELINE, not datagen."""
-    path = f"/tmp/sonar_bench_tokens_{n_docs}"
+    runs of the same size so bench times the PIPELINE, not datagen.
+    Written as `partitions` files regardless of session parallelism so
+    every parallelism level scans split-parallel WITHOUT a repartition
+    shuffle (a 100 TB table arrives as thousands of splits)."""
+    path = f"/tmp/sonar_bench_tokens_{n_docs}_p{partitions}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        toks = datagen.token_table(
-            spark, n_docs=n_docs,
-            partitions=max(2, spark.sparkContext.defaultParallelism),
-        )
+        toks = datagen.token_table(spark, n_docs=n_docs, partitions=partitions)
         toks.write.mode("overwrite").parquet(path)
     return path
 
@@ -64,23 +64,24 @@ def flagship_pipeline(
             partitions=max(2, spark.sparkContext.defaultParallelism),
         )
     else:
-        # a 100 TB scan yields thousands of input splits; the toy
-        # parquet is ~40 MB (=> a handful of splits), so spread it to
-        # keep every core busy like the real scan would
-        toks = spark.read.parquet(tokens_path).repartition(
-            spark.sparkContext.defaultParallelism * 2
-        )
+        # materialize_tokens wrote 64 files, so the scan itself is
+        # split-parallel at every core count — no repartition shuffle
+        toks = spark.read.parquet(tokens_path)
     feats = frame_features_arrow(toks, FrameConfig(window=64, hop=16), feat_cfg)
     # project the join payload to what downstream needs — the as-of
     # join shuffles its left side, so column pruning here is the
     # difference between a 3-column and a 20-column shuffle (the final
-    # aggregate never reads doc_id, so it does not ride the shuffle)
+    # aggregate never reads doc_id, so it does not ride the shuffle);
+    # join keys as LONGs, not strings — same entity partition as the
+    # 'ent%04d' labels, ~40% fewer shuffle bytes per row
     left = feats.select(
         "rms_energy",
-        datagen.entity_of(F.col("doc_id"), 64).alias("entity"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64)).alias("entity"),
         F.col("frame_ts").alias("ts"),
     )
-    catalog = datagen.catalog_table(spark, n_entities=64, rows_per_entity=128)
+    catalog = datagen.catalog_table(
+        spark, n_entities=64, rows_per_entity=128
+    ).withColumn("entity", F.substring("entity", 4, 8).cast("long"))
     joined = asof_join(left, catalog, strategy="union")
     return joined.select(
         F.count("*").alias("n_frames"),
@@ -112,6 +113,9 @@ def main() -> None:
     qs = E.queries()
     for name in (
         "frame_energy",
+        "frame_spectral",
+        "mfcc_frames",
+        "windowed_frames",
         "windowed_stats",
         "sessionize_gap",
         "asof_events",
@@ -119,6 +123,8 @@ def main() -> None:
         "topk_orders",
         "embedding_knn",
         "percentiles_lineitem",
+        "percentile_methods",
+        "entropy_variants",
         "minhash_dedup",
         "align_pairs",
         "ngram_jaccard",

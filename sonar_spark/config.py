@@ -49,6 +49,8 @@ class FeatureConfig:
     # MFCC analog: mel filterbank -> log -> DCT-II -> liftering over
     # the histogram-as-spectrum (mfcc.go defaults scaled to 16 bins)
     enable_mfcc: bool = True
+    # bark-band energies (Traunmueller scale, bark_scale.go) — opt-in
+    enable_bark: bool = False
     entropy_bins: int = 16  # fixed-width histogram bins (Scott-rule analog)
 
 

@@ -48,7 +48,9 @@ _MFCC_KEYS = [f"mfcc{i}" for i in range(MFCC_COEFFS)]
 _FEATURE_KEYS = (
     "rms_energy mean var std skew kurt min max crest zcr flux "
     "p25 p50 p75 entropy"
-).split() + _SPECTRAL_KEYS + _MFCC_KEYS
+).split() + _SPECTRAL_KEYS + _MFCC_KEYS + [
+    f"bark{i}" for i in range(4)
+]
 
 ROLLOFF_THRESHOLD = 0.85  # spectral_rolloff.go default
 CONTRAST_BANDS = 4  # scaled from the reference numBands for 16 bins
@@ -164,8 +166,12 @@ def frame_features_flat(
     sw = np.lib.stride_tricks.sliding_window_view(fv, W)
     out = {k: np.empty(nf) for k in _FEATURE_KEYS if k in want}
 
-    need_hist = want & ({"entropy"} | set(_SPECTRAL_KEYS) | set(_MFCC_KEYS))
-    need_spectrum = want & (set(_SPECTRAL_KEYS) | set(_MFCC_KEYS))
+    need_hist = want & (
+        {"entropy"} | set(_SPECTRAL_KEYS) | set(_MFCC_KEYS) | set(_BARK_KEYS)
+    )
+    need_spectrum = want & (
+        set(_SPECTRAL_KEYS) | set(_MFCC_KEYS) | set(_BARK_KEYS)
+    )
     need_minmax = (want & {"min", "max", "crest"}) | need_hist
     need_m34 = want & {"skew", "kurt"}
     B = entropy_bins
@@ -391,6 +397,19 @@ def frame_features_flat(
                 for ci, key in enumerate(_MFCC_KEYS):
                     if key in want:
                         out[key][a:b] = co[:, ci]
+            if want & set(_BARK_KEYS):
+                # bark band energies: ApplyFilterBank over the power
+                # spectrum (bark_scale.go:95-113), fixed-order
+                # accumulation for cross-partitioning determinism
+                BFB = _bark_mat(B)
+                be = np.zeros((n, BFB.shape[0]))
+                for kk in range(B):
+                    col = BFB[:, kk]
+                    if col.any():
+                        be += pw[:, kk][:, None] * col[None, :]
+                for bi, key in enumerate(_BARK_KEYS):
+                    if key in want:
+                        out[key][a:b] = be[:, bi]
 
     if "flux" in want:
         # zero flux at every doc's first frame (no cross-doc leakage)
@@ -471,19 +490,27 @@ def mel_to_hz(mel):
     return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
 
 
-def mel_filter_bank(
-    num_filters: int, fft_size: int, sample_rate: int,
-    low_freq: float, high_freq: float,
-) -> np.ndarray:
-    """Triangular mel filter bank, (num_filters, fft_size//2+1),
-    reproducing mel_scale.go:28-87 exactly: equally-spaced mel points,
-    bin index floor((fftSize+1) hz / sampleRate + 0.5) clamped to
-    fftSize/2, rising edge [left,center), falling edge [center,right)."""
-    lo, hi = hz_to_mel(low_freq), hz_to_mel(high_freq)
-    mel_pts = lo + np.arange(num_filters + 2) * (hi - lo) / (num_filters + 1)
-    hz_pts = mel_to_hz(mel_pts)
+def hz_to_bark(hz):
+    """Traunmueller: 26.81 hz/(1960+hz) - 0.53 (bark_scale.go:18-22)."""
+    hz = np.asarray(hz, dtype=np.float64)
+    return 26.81 * hz / (1960.0 + hz) - 0.53
+
+
+def bark_to_hz(bark):
+    """Inverse Traunmueller (bark_scale.go:24-28)."""
+    bark = np.asarray(bark, dtype=np.float64)
+    return 1960.0 * (bark + 0.53) / (26.28 - bark)
+
+
+def _triangular_bank(hz_pts, fft_size: int, sample_rate: int) -> np.ndarray:
+    """Triangular filters from warped-scale points: bin index
+    floor((fftSize+1) hz / sampleRate + 0.5) clamped to fftSize/2,
+    rising edge [left,center), falling edge [center,right) — the
+    shared construction of mel_scale.go:28-87 / bark_scale.go:36-93."""
+    num_filters = len(hz_pts) - 2
     bins = np.minimum(
-        np.floor((fft_size + 1.0) * hz_pts / sample_rate + 0.5).astype(int),
+        np.floor((fft_size + 1.0) * np.asarray(hz_pts) / sample_rate + 0.5)
+        .astype(int),
         fft_size // 2,
     )
     n_bins = fft_size // 2 + 1
@@ -497,6 +524,45 @@ def mel_filter_bank(
             if right != center:
                 fb[m - 1, k] = (right - k) / (right - center)
     return fb
+
+
+def mel_filter_bank(
+    num_filters: int, fft_size: int, sample_rate: int,
+    low_freq: float, high_freq: float,
+) -> np.ndarray:
+    """Triangular mel filter bank (mel_scale.go:28-87): equally-spaced
+    mel points warped back to Hz."""
+    lo, hi = hz_to_mel(low_freq), hz_to_mel(high_freq)
+    pts = lo + np.arange(num_filters + 2) * (hi - lo) / (num_filters + 1)
+    return _triangular_bank(mel_to_hz(pts), fft_size, sample_rate)
+
+
+BARK_FILTERS = 4
+_BARK_KEYS = [f"bark{i}" for i in range(BARK_FILTERS)]
+
+
+def bark_filter_bank(
+    num_filters: int, fft_size: int, sample_rate: int,
+    low_freq: float, high_freq: float,
+) -> np.ndarray:
+    """Triangular bark filter bank (bark_scale.go:36-93): equally-
+    spaced bark (Traunmueller) points warped back to Hz, same
+    triangular construction as the mel bank."""
+    lo, hi = hz_to_bark(low_freq), hz_to_bark(high_freq)
+    pts = lo + np.arange(num_filters + 2) * (hi - lo) / (num_filters + 1)
+    return _triangular_bank(bark_to_hz(pts), fft_size, sample_rate)
+
+
+_BARK_CACHE: dict[int, np.ndarray] = {}
+
+
+def _bark_mat(num_bins: int) -> np.ndarray:
+    if num_bins not in _BARK_CACHE:
+        fft_size = 2 * (num_bins - 1)
+        _BARK_CACHE[num_bins] = bark_filter_bank(
+            BARK_FILTERS, fft_size, fft_size, 0.0, num_bins - 1.0
+        )
+    return _BARK_CACHE[num_bins]
 
 
 def dct_matrix(num_coeffs: int, num_filters: int) -> np.ndarray:
@@ -604,6 +670,93 @@ def percentile_method(x: np.ndarray, q: float, method: str = "linear") -> float:
         return float(s[lo])
     frac = h - np.floor(h)
     return float(s[lo] + frac * (s[hi] - s[lo]))
+
+
+# ------------------------------------------------------------- IIR filters
+
+
+def bandpass_coefficients(
+    sample_rate: int, center_freq: float, q: float
+) -> tuple[float, float, float, float, float]:
+    """RBJ-cookbook bandpass biquad, normalized by a0
+    (bandpass.go:82-116). Returns (b0, b1, b2, a1, a2)."""
+    w0 = 2.0 * np.pi * center_freq / sample_rate
+    if w0 >= np.pi:
+        w0 = np.pi * 0.99
+    cos_w0, sin_w0 = np.cos(w0), np.sin(w0)
+    alpha = sin_w0 / (2.0 * q)
+    a0 = 1.0 + alpha
+    return (
+        alpha / a0,
+        0.0,
+        -alpha / a0,
+        -2.0 * cos_w0 / a0,
+        (1.0 - alpha) / a0,
+    )
+
+
+def dc_pole(sample_rate: int, cutoff_freq: float) -> float:
+    """Pole location from cutoff: R = 1 - 2 pi fc/fs, clamped to
+    (0.001, 0.999) (dc_removal.go:83-99 computePoleLocation)."""
+    r = 1.0 - (2.0 * np.pi * cutoff_freq / sample_rate)
+    if r >= 1.0:
+        return 0.999
+    if r <= 0.0:
+        return 0.001
+    return float(r)
+
+
+def iir2_impulse(a1: float, a2: float, n: int) -> np.ndarray:
+    """Impulse response of the AR part w[n] = u[n] - a1 w[n-1]
+    - a2 w[n-2] (one tiny sequential loop of length max-doc-len, run
+    once per Arrow batch — never per doc/sample)."""
+    g = np.empty(max(n, 2))
+    g[0] = 1.0
+    g[1] = -a1
+    for k in range(2, len(g)):
+        g[k] = -a1 * g[k - 1] - a2 * g[k - 2]
+    return g[:n]
+
+
+def biquad_apply(
+    x: np.ndarray,
+    coeffs: tuple[float, float, float, float, float],
+    g: np.ndarray | None = None,
+) -> np.ndarray:
+    """Zero-initial-state Direct Form II biquad (bandpass.go:123-143:
+    w[n] = x - a1 w1 - a2 w2; y = b0 w + b1 w1 + b2 w2), vectorized as
+    a convolution with the AR impulse response — per doc this is two
+    C calls, no per-sample Python. Matches the sequential recursion to
+    fp rounding (different summation order)."""
+    b0, b1, b2, a1, a2 = coeffs
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        return x
+    if g is None or len(g) < n:
+        g = iir2_impulse(a1, a2, n)
+    w = np.convolve(x, g[:n])[:n]
+    y = b0 * w
+    y[1:] += b1 * w[:-1]
+    y[2:] += b2 * w[:-2]
+    return y
+
+
+def dc_removal_apply(x: np.ndarray, pole: float = 0.995) -> np.ndarray:
+    """DC blocker y[n] = x[n] - x[n-1] + R y[n-1] (dc_removal.go:
+    100-115, default R=0.995 :36-41), zero initial state, vectorized:
+    y = conv(first-difference, R^k). Valid while R^n stays in range —
+    fine for any realistic doc length (R=0.995, n=10^4 -> 1.5e-22
+    tail, still normal floats)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        return x
+    d = np.empty(n)
+    d[0] = x[0]
+    d[1:] = x[1:] - x[:-1]
+    r = pole ** np.arange(n, dtype=np.float64)
+    return np.convolve(d, r)[:n]
 
 
 # ---------------------------------------------------------------- minhash

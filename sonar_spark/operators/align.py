@@ -142,6 +142,148 @@ def _hybrid_phase2(inp, p1, phase2, cfg):
     return high.unionByName(p2)
 
 
+def align_pairs_dtw(
+    pairs: DataFrame,
+    cfg: AlignmentConfig = AlignmentConfig(),
+    *,
+    pair_id: str = "pair_id",
+    a: str = "series_a",
+    b: str = "series_b",
+) -> DataFrame:
+    """DTW-only alignment of every pair (the forced-method path the
+    multi-feature extractor uses for chroma features,
+    extractors/alignment.go:346-352 with method AlignmentDTW).
+
+    Output: pair_id, offset (mean path displacement), confidence
+    (exp-decay of path-normalized distance), similarity (same decay —
+    the distance-similarity component of alignment.go:383-404
+    simplified), quality (path efficiency max(len)/path_len clamped,
+    alignment.go:436-440), dtw_dist."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, sa, sb in zip(
+                pdf["pair_id"], pdf["series_a"], pdf["series_b"]
+            ):
+                sa = np.asarray(sa, dtype=np.float64)
+                sb = np.asarray(sb, dtype=np.float64)
+                d = kernels.dtw_align(sa, sb, cfg.dtw_band)
+                eff = (
+                    min(max(len(sa), len(sb)) / d["path_len"], 1.0)
+                    if d["path_len"]
+                    else 0.0
+                )
+                rows.append(
+                    (pid, d["offset"], d["confidence"], d["confidence"],
+                     eff, d["dist"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["pair_id", "offset", "confidence", "similarity",
+                         "quality", "dtw_dist"],
+            )
+
+    inp = pairs.select(
+        F.col(pair_id).alias("pair_id"),
+        F.col(a).alias("series_a"),
+        F.col(b).alias("series_b"),
+    )
+    return inp.mapInPandas(
+        run,
+        schema="pair_id string, offset double, confidence double, "
+        "similarity double, quality double, dtw_dist double",
+    )
+
+
+# priority weights of selectBestAlignment
+# (extractors/alignment.go:415-426: corr_energy 1.0, dtw_chroma 0.7,
+# unknown feature types 0.5)
+BEST_SELECT_WEIGHTS = {"corr_energy": 1.0, "dtw_chroma": 0.7}
+
+
+def select_best_alignment(
+    results: DataFrame,
+    weights: dict[str, float] | None = None,
+    *,
+    pair_id: str = "pair_id",
+) -> DataFrame:
+    """selectBestAlignment (extractors/alignment.go:412-445): score =
+    weight(feature_type) * (0.4 confidence + 0.4 similarity +
+    0.2 quality); keep the argmax row per pair. Pure expressions +
+    one per-pair top-1 window."""
+    from .topk import topk_per_group
+
+    w = weights or BEST_SELECT_WEIGHTS
+    wcol = F.coalesce(
+        *[
+            F.when(F.col("feature_type") == k, F.lit(float(v)))
+            for k, v in w.items()
+        ],
+        F.lit(0.5),  # default for unknown feature types (:433-435)
+    )
+    score = wcol * (
+        0.4 * F.col("confidence")
+        + 0.4 * F.col("similarity")
+        + 0.2 * F.col("quality")
+    )
+    scored = results.withColumn("score", score)
+    best = topk_per_group(
+        scored,
+        pair_id,
+        [F.col("score").desc(), F.col("feature_type").asc()],
+        1,
+    )
+    return best.drop("rank")
+
+
+def multi_feature_align(
+    pairs: DataFrame,
+    cfg: AlignmentConfig = AlignmentConfig(),
+    *,
+    features: tuple[tuple[str, str], ...] = (
+        ("corr_energy", "energy"),
+        ("dtw_chroma", "chroma"),
+    ),
+) -> DataFrame:
+    """performMultiFeatureAlignment (extractors/alignment.go:300-356):
+    align each pair on MULTIPLE feature series — cross-correlation for
+    the energy series, DTW for the chroma(-analog) series — then
+    weighted best-select.
+
+    pairs carries per-feature series columns <name>_a / <name>_b
+    (e.g. energy_a, energy_b, chroma_a, chroma_b). Returns one row per
+    pair: the winning alignment with its feature_type and score."""
+    per_feature = []
+    for ftype, col in features:
+        sub = pairs.select(
+            "pair_id",
+            F.col(f"{col}_a").alias("series_a"),
+            F.col(f"{col}_b").alias("series_b"),
+        )
+        if ftype.startswith("corr"):
+            r = align_pairs(sub, cfg).select(
+                "pair_id",
+                F.col("offset"),
+                "confidence",
+                # corr similarity = peak; quality = sidelobe/10 clamped
+                # (the corr components of alignment.go:383-404)
+                F.least(F.col("peak"), F.lit(1.0)).alias("similarity"),
+                F.least(F.col("sidelobe") / 10.0, F.lit(1.0)).alias(
+                    "quality"
+                ),
+            )
+        else:
+            r = align_pairs_dtw(sub, cfg).select(
+                "pair_id", "offset", "confidence", "similarity", "quality"
+            )
+        per_feature.append(r.withColumn("feature_type", F.lit(ftype)))
+    allr = per_feature[0]
+    for r in per_feature[1:]:
+        allr = allr.unionByName(r)
+    return select_best_alignment(allr)
+
+
 def consistency_trials(
     pairs: DataFrame,
     cfg: AlignmentConfig = AlignmentConfig(),

@@ -35,10 +35,16 @@ SPECTRAL_COLS = [
 
 MFCC_COLS = list(kernels._MFCC_KEYS)
 
+# bark band energies are opt-in (enable_bark=False by default), so
+# they live outside FEATURE_COLS (the default output contract)
+BARK_COLS = list(kernels._BARK_KEYS)
+
 FEATURE_COLS = [
     "rms_energy", "mean", "var", "std", "skew", "kurt", "min", "max",
     "crest", "zcr", "flux", "p25", "p50", "p75", "entropy",
 ] + SPECTRAL_COLS + MFCC_COLS
+
+ALL_COLS = FEATURE_COLS + BARK_COLS
 
 # Enable* flag -> feature columns (config-driven pruning, the
 # reference's FeatureConfig semantics, fingerprint/config/config.go:22-27)
@@ -51,6 +57,7 @@ _FLAG_GROUPS = {
     "enable_flux": ["flux"],
     "enable_spectral": SPECTRAL_COLS,
     "enable_mfcc": MFCC_COLS,
+    "enable_bark": BARK_COLS,
 }
 
 
@@ -58,9 +65,9 @@ def feature_cols(feat_cfg: FeatureConfig) -> list[str]:
     """Ordered feature subset selected by the Enable* flags."""
     enabled: set[str] = set()
     for flag, cols in _FLAG_GROUPS.items():
-        if getattr(feat_cfg, flag):
+        if getattr(feat_cfg, flag, False):
             enabled.update(cols)
-    return [c for c in FEATURE_COLS if c in enabled]
+    return [c for c in ALL_COLS if c in enabled]
 
 
 def _arrow_schema(cols: list[str]) -> str:

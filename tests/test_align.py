@@ -117,3 +117,66 @@ def test_consistency_trials(spark):
     assert abs(r["offset_mean"] - 9.0) < 1.0
     assert r["offset_range"] <= 1.0
     assert r["consistency"] > 0.9
+
+
+def test_select_best_alignment_scoring(spark):
+    """Exact reproduction of selectBestAlignment's weighted score
+    (extractors/alignment.go:412-445): w*(0.4c+0.4s+0.2q), weights
+    corr_energy 1.0 / dtw_chroma 0.7 / unknown 0.5."""
+    from sonar_spark.operators.align import select_best_alignment
+
+    rows = [
+        # p1: energy 0.6 conf -> score 1.0*(.24+.24+.12)=0.60
+        #     chroma 0.95 everything -> 0.7*0.95=0.665 -> chroma wins
+        ("p1", "corr_energy", 0.6, 0.6, 0.6),
+        ("p1", "dtw_chroma", 0.95, 0.95, 0.95),
+        # p2: energy strong -> 1.0*0.9=0.9 beats 0.7*1.0=0.7
+        ("p2", "corr_energy", 0.9, 0.9, 0.9),
+        ("p2", "dtw_chroma", 1.0, 1.0, 1.0),
+        # p3: unknown feature types use the 0.5 default weight
+        ("p3", "dtw_mystery", 1.0, 1.0, 1.0),   # 0.5
+        ("p3", "dtw_chroma", 0.8, 0.8, 0.8),    # 0.56 -> wins
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pair_id string, feature_type string, confidence double, "
+        "similarity double, quality double",
+    )
+    got = {r["pair_id"]: r for r in select_best_alignment(df).collect()}
+    assert got["p1"]["feature_type"] == "dtw_chroma"
+    assert abs(got["p1"]["score"] - 0.7 * 0.95) < 1e-12
+    assert got["p2"]["feature_type"] == "corr_energy"
+    assert abs(got["p2"]["score"] - 0.9) < 1e-12
+    assert got["p3"]["feature_type"] == "dtw_chroma"
+    assert abs(got["p3"]["score"] - 0.7 * 0.8) < 1e-12
+
+
+def test_multi_feature_align_planted(spark):
+    """End-to-end: exact-shift energy pairs -> corr_energy wins with
+    the planted lag; a noise-energy pair with a clean chroma series
+    flips the winner to dtw_chroma."""
+    from sonar_spark.operators.align import multi_feature_align
+
+    rng = np.random.default_rng(47)
+    a = rng.standard_normal(300)
+    chroma = rng.standard_normal(300)
+    rows = [
+        ("good", a.tolist(), np.roll(a, 5).tolist(),
+         chroma.tolist(), np.roll(chroma, 5).tolist()),
+        # energy pure noise on both sides (uncorrelated), chroma an
+        # exact copy -> DTW dist 0, conf 1 -> 0.7 beats weak corr
+        ("flip", rng.standard_normal(300).tolist(),
+         rng.standard_normal(300).tolist(),
+         chroma.tolist(), chroma.tolist()),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pair_id string, energy_a array<double>, energy_b array<double>, "
+        "chroma_a array<double>, chroma_b array<double>",
+    )
+    got = {r["pair_id"]: r
+           for r in multi_feature_align(df, AlignmentConfig(max_lag=64)).collect()}
+    assert got["good"]["feature_type"] == "corr_energy"
+    assert got["good"]["offset"] == 5.0
+    assert got["flip"]["feature_type"] == "dtw_chroma"
+    assert abs(got["flip"]["offset"]) < 1e-9

@@ -183,3 +183,47 @@ def test_mfcc_matrix_shapes_and_orthonormality():
     assert LIFT[0] == 1.0 and (LIFT[1:] > 1.0).all()
     # every filter is nonnegative and at least one bin is active
     assert (FB >= 0).all() and (FB.sum(axis=1) > 0).all()
+
+
+def test_bark_bands_match_loop():
+    """Bark band energies (Traunmueller warp, bark_scale.go:18-113)
+    vs an explicit per-band loop over the histogram power spectrum."""
+    import math
+
+    def h2b(hz):
+        return 26.81 * hz / (1960.0 + hz) - 0.53
+
+    def b2h(bark):
+        return 1960.0 * (bark + 0.53) / (26.28 - bark)
+
+    B, nf = 16, 4
+    fft = 2 * (B - 1)
+    lo, hi = h2b(0.0), h2b(B - 1.0)
+    pts = [b2h(lo + i * (hi - lo) / (nf + 1)) for i in range(nf + 2)]
+    bins = [min(int(math.floor((fft + 1.0) * p / fft + 0.5)), fft // 2)
+            for p in pts]
+
+    rng = np.random.default_rng(53)
+    toks = rng.integers(0, 40, size=200).astype(np.int64)
+    feats, _ = kernels.frame_features_flat(
+        toks.astype(np.float64), np.array([200]), 64, 16,
+        keys=tuple(kernels._BARK_KEYS),
+    )
+    gold_rows = oracle.frame_features_golden(toks, 64, 16)
+    for i, row in enumerate(gold_rows):
+        hist = oracle._histogram(
+            [float(t) for t in toks[i * 16 : i * 16 + 64]], 16
+        )
+        power = [c * c for c in hist]
+        for m in range(1, nf + 1):
+            left, center, right = bins[m - 1], bins[m], bins[m + 1]
+            acc = 0.0
+            for k in range(left, min(center, B)):
+                if center != left:
+                    acc += power[k] * (k - left) / (center - left)
+            for k in range(center, min(right, B)):
+                if right != center:
+                    acc += power[k] * (right - k) / (right - center)
+            assert np.isclose(
+                feats[f"bark{m-1}"][i], acc, rtol=1e-9, atol=1e-12
+            ), (i, m)

@@ -128,3 +128,55 @@ def test_entropy_variants_matches_loop(spark):
                 r["g"], r["rule"], k,
             )
     assert seen == {(g, rule) for g in data for rule in BIN_RULES}
+
+
+def test_pearson_distance_and_matrix(spark):
+    from pyspark.sql import functions as F
+
+    from sonar_spark.functions.arrays import (
+        euclidean,
+        pearson_correlation,
+        pearson_distance,
+    )
+    from sonar_spark.operators.distance import distance_matrix
+
+    rng = np.random.default_rng(29)
+    vecs = {i: rng.standard_normal(16).tolist() for i in range(5)}
+    vecs[5] = [2.0 * v for v in vecs[0]]       # r = +1 -> dist 0
+    vecs[6] = [-3.0 * v for v in vecs[1]]      # r = -1 -> dist 0 (|r|)
+    vecs[7] = [4.0] * 16                       # zero variance -> dist 1
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id int, emb array<double>"
+    )
+    m = distance_matrix(
+        df, "vec_id", "emb",
+        {"euc": euclidean, "pd": pearson_distance},
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in m.collect()}
+    assert len(got) == 64  # full 8x8 incl. diagonal
+    for i in range(8):
+        assert got[(i, i)]["pd"] == 0.0 and got[(i, i)]["euc"] == 0.0
+    assert abs(got[(0, 5)]["pd"]) < 1e-12
+    assert abs(got[(1, 6)]["pd"]) < 1e-12   # reference takes |r|
+    assert got[(0, 7)]["pd"] == 1.0         # zero-variance side
+    # symmetry (mirrored lower triangle)
+    for i in range(8):
+        for j in range(8):
+            assert got[(i, j)]["pd"] == got[(j, i)]["pd"]
+            assert got[(i, j)]["euc"] == got[(j, i)]["euc"]
+    # numpy cross-check of r itself
+    pair = df.where(F.col("vec_id") < 2).agg(
+        F.collect_list("emb").alias("vs")
+    ).collect()[0]["vs"]
+    want_r = float(np.corrcoef(np.array(vecs[0]), np.array(vecs[1]))[0, 1])
+    got_r = (
+        spark.range(1)
+        .select(
+            pearson_correlation(
+                F.lit(vecs[0]).cast("array<double>"),
+                F.lit(vecs[1]).cast("array<double>"),
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    assert np.isclose(got_r, want_r, rtol=1e-9)
