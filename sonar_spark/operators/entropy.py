@@ -75,9 +75,16 @@ def entropy_variants(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     )
-    # skewness: mean of standardized cubes with sigma = sqrt(var_samp)
-    d2 = d.join(base, group)
-    mom = d2.groupBy(group).agg(
+    # ONE sorted pass computes skewness AND the reference's
+    # direct-index quartiles (entropy.go:341-349 — NOT interpolated):
+    # row_number over the group sort, per-group stats broadcast in,
+    # then a single aggregation (order statistics via max(when))
+    wo = Window.partitionBy(group).orderBy("v")
+    r = d.withColumn("rn", F.row_number().over(wo)).join(
+        F.broadcast(base), group
+    )
+    nn = F.col("n").cast("double")
+    mom = r.groupBy(group).agg(
         F.when(
             F.max("var") > 0,
             F.sum(
@@ -89,21 +96,15 @@ def entropy_variants(
             / F.max("n"),
         )
         .otherwise(F.lit(0.0))
-        .alias("skew")
+        .alias("skew"),
+        F.max(
+            F.when(F.col("rn") == F.floor(0.25 * nn) + 1, F.col("v"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.floor(0.75 * nn) + 1, F.col("v"))
+        ).alias("q3"),
     )
-    # reference quartiles: direct index into the sorted copy
-    # (entropy.go:341-349) — NOT an interpolated percentile
-    wo = Window.partitionBy(group).orderBy("v")
-    r = d.withColumn("rn", F.row_number().over(wo)).join(
-        base.select(group, "n"), group
-    )
-    q1 = r.where(
-        F.col("rn") == F.floor(0.25 * F.col("n").cast("double")) + 1
-    ).select(group, F.col("v").alias("q1"))
-    q3 = r.where(
-        F.col("rn") == F.floor(0.75 * F.col("n").cast("double")) + 1
-    ).select(group, F.col("v").alias("q3"))
-    stats = base.join(mom, group).join(q1, group).join(q3, group)
+    stats = base.join(mom, group)
 
     per_rule = stats.select(
         group,
