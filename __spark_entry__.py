@@ -1498,6 +1498,43 @@ def q_entropy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate (Shannon of first-order differences, full Scott-
+    binned analyzer) + lag-1 conditional entropy H(X_t|X_{t-1}) per
+    event type over the (ts, event_id)-ordered value sequence
+    (entropy.go:609-707)."""
+    from sonar_spark.operators.entropy import entropy_rate_conditional
+
+    ev = _t(spark, sf_dir, "events")
+    out = entropy_rate_conditional(
+        ev, "value", "event_type", [F.col("ts"), F.col("event_id")]
+    )
+    return out.select(
+        "event_type",
+        F.round("entropy_rate", 6).alias("entropy_rate"),
+        F.round("conditional_entropy", 6).alias("conditional_entropy"),
+    )
+
+
+def q_envelope_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-approximation envelope (envelope.go:76-103) over the
+    per-doc token-length series: sqrt(x^2 + central_diff^2), edges
+    forward/backward — pure window expressions."""
+    from sonar_spark.operators.temporal import envelope_hilbert
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents")).where(
+        F.col("doc_id").cast("long") < 100
+    )
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    )
+    out = envelope_hilbert(vals, key="doc_id", order="pos", signal="v")
+    return out.select(
+        "doc_id", "pos", F.round("envelope", 6).alias("envelope")
+    )
+
+
 def q_bark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bark-scale (Traunmueller) triangular filter-bank band energies
     over the histogram-as-power-spectrum (bark_scale.go:18-113), 4
@@ -1642,6 +1679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandpass": q_bandpass,
         "distance_matrix": q_distance_matrix,
         "bark_bands": q_bark_bands,
+        "entropy_rate": q_entropy_rate,
+        "envelope_hilbert": q_envelope_hilbert,
     }
 
 
@@ -1695,6 +1734,119 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "envelope_hilbert": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents WHERE doc_id < 100
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                     length(unnest(tl))::DOUBLE AS x
+              FROM toks
+            ),
+            w AS (
+              SELECT doc_id, pos, x,
+                     lag(x) OVER dw AS prv, lead(x) OVER dw AS nxt
+              FROM v
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            SELECT doc_id, pos,
+                   round(sqrt(x * x + pow(
+                     CASE WHEN prv IS NULL
+                          THEN coalesce(nxt - x, 0.0)
+                          WHEN nxt IS NULL THEN x - prv
+                          ELSE (nxt - prv) / 2.0 END, 2)), 6) + 0.0
+                     AS envelope
+            FROM w
+        """,
+        "entropy_rate": """
+            WITH d AS (
+              SELECT event_type, value::DOUBLE AS v,
+                     lag(value::DOUBLE) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            -- entropy rate: Scott-binned Shannon over the diffs
+            dv AS (
+              SELECT event_type, v - prev AS x FROM d
+              WHERE prev IS NOT NULL
+            ),
+            ds AS (
+              SELECT event_type, count(*)::DOUBLE AS n,
+                     var_samp(x) AS var, min(x) AS lo, max(x) AS hi
+              FROM dv GROUP BY 1
+            ),
+            dnb AS (
+              SELECT event_type, n, lo,
+                CASE WHEN hi > lo THEN hi ELSE lo + 1.0 END AS hi_adj,
+                CASE WHEN 3.49*sqrt(greatest(var,0))*pow(n,-1.0/3.0) > 0
+                     THEN ceil((hi - lo) / (3.49*sqrt(greatest(var,0))
+                          *pow(n,-1.0/3.0)))::BIGINT
+                     ELSE 10 END AS nb
+              FROM ds
+            ),
+            dbin AS (
+              SELECT dv.event_type, r.n,
+                least(greatest(floor((dv.x - r.lo)
+                  / ((r.hi_adj - r.lo) / r.nb)), 0), r.nb - 1) AS bin
+              FROM dv JOIN dnb r USING (event_type)
+            ),
+            dcnt AS (
+              SELECT event_type, n, bin, count(*) AS c
+              FROM dbin GROUP BY 1, 2, 3
+            ),
+            rate AS (
+              SELECT event_type,
+                     -sum((c/n) * log2(c/n)) + 0.0 AS entropy_rate
+              FROM dcnt GROUP BY 1
+            ),
+            -- conditional entropy: joint lag-1 histogram, raw range,
+            -- numBins = max(int(sqrt(n)), 2)
+            st AS (
+              SELECT event_type, count(*)::DOUBLE AS n, min(v) AS lo,
+                     max(v) AS hi,
+                     greatest(floor(sqrt(count(*)::DOUBLE)), 2)::BIGINT
+                       AS nb
+              FROM d GROUP BY 1
+            ),
+            joint AS (
+              SELECT d.event_type, s.n,
+                least(floor((d.v - s.lo) / ((s.hi - s.lo) / s.nb)),
+                  s.nb - 1) AS xbin,
+                least(floor((d.prev - s.lo) / ((s.hi - s.lo) / s.nb)),
+                  s.nb - 1) AS ybin
+              FROM d JOIN st s USING (event_type)
+              WHERE d.prev IS NOT NULL AND s.hi > s.lo
+            ),
+            jc AS (
+              SELECT event_type, n, ybin, xbin, count(*)::DOUBLE AS c
+              FROM joint GROUP BY 1, 2, 3, 4
+            ),
+            m0 AS (
+              SELECT event_type, n, ybin, c,
+                     sum(c) OVER (PARTITION BY event_type, ybin) AS m
+              FROM jc
+            ),
+            per_y AS (
+              SELECT event_type, n, ybin, max(m) AS m,
+                     -sum((c / m) * log2(c / m)) + 0.0 AS h_given_y
+              FROM m0 GROUP BY 1, 2, 3
+            ),
+            cond AS (
+              SELECT event_type,
+                     sum((m / (n - 1.0)) * h_given_y)
+                       AS conditional_entropy
+              FROM per_y GROUP BY 1
+            )
+            SELECT e.event_type,
+                   round(coalesce(rate.entropy_rate, 0.0), 6) + 0.0
+                     AS entropy_rate,
+                   round(coalesce(cond.conditional_entropy, 0.0), 6)
+                     + 0.0 AS conditional_entropy
+            FROM (SELECT DISTINCT event_type FROM events) e
+            LEFT JOIN rate USING (event_type)
+            LEFT JOIN cond USING (event_type)
+        """,
         "distance_matrix": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v

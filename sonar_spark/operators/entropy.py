@@ -57,6 +57,94 @@ def _bins_for_rule(rule: str, fixed_bins: int) -> Column:
     raise ValueError(rule)
 
 
+def entropy_rate_conditional(
+    df: DataFrame,
+    value: str,
+    group: str,
+    order,
+) -> DataFrame:
+    """Entropy rate + lag-1 conditional entropy per group
+    (entropy.go:609-707):
+
+    - entropy rate = Shannon entropy of the first-order differences
+      under the analyzer's DEFAULT (Scott) binning (:609-627 runs the
+      full Analyze on the diffs);
+    - conditional entropy H(X_t | X_{t-1}) from the joint lag-1
+      histogram with numBins = max(int(sqrt(n)), 2) over the raw value
+      range (:631-707); 0 when min == max.
+
+    order: column(s) defining the sequence order within a group (must
+    be a total order for determinism)."""
+    cols = order if isinstance(order, (list, tuple)) else [order]
+    w = Window.partitionBy(group).orderBy(*cols)
+    d = df.select(group, *cols, F.col(value).cast("double").alias("v"))
+    d = d.withColumn("prev", F.lag("v").over(w))
+    pairs = d.where(F.col("prev").isNotNull())
+
+    # entropy rate: reuse the full analyzer on the diffs, Scott rule
+    diffs = pairs.select(group, (F.col("v") - F.col("prev")).alias("dv"))
+    rate = entropy_variants(diffs, "dv", group, rules=("scott",)).select(
+        group, F.col("shannon").alias("entropy_rate")
+    )
+
+    # conditional entropy: joint lag-1 histogram over the RAW range
+    st = d.groupBy(group).agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).withColumn(
+        "nb",
+        F.greatest(
+            F.floor(F.sqrt(F.col("n").cast("double"))), F.lit(2)
+        ).cast("long"),
+    )
+    j = pairs.join(F.broadcast(st), group)
+    bw = (F.col("hi") - F.col("lo")) / F.col("nb")
+
+    def _bin(col):
+        return F.least(
+            F.floor((col - F.col("lo")) / bw), F.col("nb") - 1
+        )
+
+    joint = j.where(F.col("hi") > F.col("lo")).select(
+        group,
+        F.col("n"),
+        _bin(F.col("v")).alias("xbin"),
+        _bin(F.col("prev")).alias("ybin"),
+    )
+    cnt = joint.groupBy(group, "n", "ybin", "xbin").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    wy = Window.partitionBy(group, "ybin")
+    marg = cnt.withColumn("m", F.sum("c").over(wy))
+    # H(X|Y) = sum_y P(y) * H(X|Y=y); total = n - 1 pairs
+    per_y = marg.groupBy(group, "n", "ybin").agg(
+        F.max("m").alias("m"),
+        (-F.sum(
+            (F.col("c") / F.col("m")) * F.log2(F.col("c") / F.col("m"))
+        ) + F.lit(0.0)).alias("h_given_y"),
+    )
+    cond = per_y.groupBy(group).agg(
+        F.sum(
+            (F.col("m") / (F.col("n").cast("double") - 1.0))
+            * F.col("h_given_y")
+        ).alias("conditional_entropy")
+    )
+    # groups with min == max get conditional entropy 0 (:652-654)
+    base = df.select(group).distinct()
+    return (
+        base.join(rate, group, "left")
+        .join(cond, group, "left")
+        .select(
+            group,
+            F.coalesce("entropy_rate", F.lit(0.0)).alias("entropy_rate"),
+            F.coalesce("conditional_entropy", F.lit(0.0)).alias(
+                "conditional_entropy"
+            ),
+        )
+    )
+
+
 def entropy_variants(
     df: DataFrame,
     value: str,

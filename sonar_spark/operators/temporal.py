@@ -125,3 +125,29 @@ def envelope(
         features, signal, k=smooth_k, group=key, order=order,
         out_col="envelope",
     )
+
+
+def envelope_hilbert(
+    df: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    signal: str = "rms_energy",
+    out_col: str = "envelope",
+) -> DataFrame:
+    """Hilbert-approximation envelope (envelope.go:76-103): imaginary
+    part approximated by the central difference ((x[i+1]-x[i-1])/2,
+    forward/backward at the edges), envelope = sqrt(x^2 + imag^2).
+    Pure lag/lead window expressions — one shuffle on the key.
+    Single-row groups get imag = 0 (the reference indexes signal[1]
+    unconditionally at i=0 and would panic there)."""
+    w = Window.partitionBy(key).orderBy(order)
+    v = F.col(signal).cast("double")
+    prv = F.lag(signal).over(w).cast("double")
+    nxt = F.lead(signal).over(w).cast("double")
+    imag = (
+        F.when(prv.isNull(), F.coalesce(nxt - v, F.lit(0.0)))
+        .when(nxt.isNull(), v - prv)
+        .otherwise((nxt - prv) / 2.0)
+    )
+    return df.withColumn(out_col, F.sqrt(v * v + imag * imag))

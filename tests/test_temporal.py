@@ -103,3 +103,32 @@ def test_time_stretch_estimate(spark):
     out = {r["pair_id"]: r for r in align_pairs(df, AlignmentConfig(max_lag=32)).collect()}
     assert abs(out["same"]["time_stretch"] - 1.0) < 1e-9
     assert out["short"]["time_stretch"] < 0.9
+
+
+def test_envelope_hilbert(spark):
+    """Central-difference Hilbert approximation (envelope.go:76-103)
+    vs an explicit loop, incl. edge and single-row behavior."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sonar_spark.operators.temporal import envelope_hilbert
+
+    rng = np.random.default_rng(61)
+    x = rng.standard_normal(40)
+    rows = [("d1", i, float(v)) for i, v in enumerate(x)]
+    rows.append(("single", 0, 5.0))
+    df = spark.createDataFrame(rows, "doc_id string, frame_idx int, rms_energy double")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["envelope"]
+        for r in envelope_hilbert(df).collect()
+    }
+    for i in range(40):
+        if i == 0:
+            imag = x[1] - x[0]
+        elif i == len(x) - 1:
+            imag = x[i] - x[i - 1]
+        else:
+            imag = (x[i + 1] - x[i - 1]) / 2.0
+        assert np.isclose(got[("d1", i)], np.sqrt(x[i] ** 2 + imag ** 2),
+                          rtol=1e-12), i
+    assert got[("single", 0)] == 5.0  # imag defined 0 for 1-row groups
