@@ -1535,6 +1535,57 @@ def q_envelope_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, 100-TB path: random-hyperplane LSH
+    candidates (one shuffle on the band key) + exact cosine
+    verification on survivors — vs the broadcast all-pairs baseline of
+    embedding_neardup. Planted corpus: ~1/7 of vectors copied with a
+    deterministic 1%-sin perturbation (cosine ~0.9999). The DuckDB
+    oracle recomputes the full exact pair set at the 0.98 threshold,
+    so a green row proves LSH recall 1.0 here (16x16-bit bands miss a
+    0.98-pair with probability ~1e-20)."""
+    from sonar_spark.operators.ann import hyperplane_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    pert = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (1.0 + 0.01 * F.sin((i + 1).cast("double"))),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    cand = hyperplane_lsh_pairs(corpus, n_bits=256, band_bits=16)
+    va = corpus.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va")
+    )
+    vb = corpus.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb")
+    )
+    from sonar_spark.functions.arrays import cosine_similarity
+
+    out = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.98)
+    )
+    return out
+
+
 def q_bark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bark-scale (Traunmueller) triangular filter-bank band energies
     over the histogram-as-power-spectrum (bark_scale.go:18-113), 4
@@ -1681,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bark_bands": q_bark_bands,
         "entropy_rate": q_entropy_rate,
         "envelope_hilbert": q_envelope_hilbert,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 
@@ -1734,6 +1786,31 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "embedding_neardup_lsh": """
+            WITH base AS (
+              SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            corpus AS (
+              SELECT vec_id, pos, x FROM base
+              UNION ALL
+              SELECT vec_id + 100000, pos,
+                     x * (1.0 + 0.01 * sin(pos::DOUBLE))
+              FROM base WHERE vec_id % 7 = 0
+            ),
+            p AS (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                     sum(a.x * b.x)
+                       / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x)))
+                       AS sim
+              FROM corpus a JOIN corpus b
+                ON a.pos = b.pos AND a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, round(sim, 6) AS cosine_sim
+            FROM p WHERE round(sim, 6) >= 0.98
+        """,
         "envelope_hilbert": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

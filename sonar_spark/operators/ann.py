@@ -128,6 +128,87 @@ def ivf_assign(
     )
 
 
+def hyperplane_lsh_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 256,
+    band_bits: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH candidate pairs —
+    the 100-TB path for embedding-cosine near-dup: sign bits against a
+    broadcast seeded Gaussian plane matrix, packed into
+    n_bits/band_bits band keys, ONE shuffle on the band key, bucketed
+    self-join with a size cap. P(bit agree) = 1 - angle/pi, so with
+    r=16 bits x 16 bands a 0.98-cosine pair is missed with
+    probability ~1e-14.
+
+    Output: (doc_a, doc_b) distinct candidate pairs (verify with exact
+    cosine downstream — candidates only)."""
+    from pyspark.sql import Window
+
+    n_bands = n_bits // band_bits
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc  # noqa: F401
+
+        planes = None
+        for batch in batches:
+            vec = batch.column(batch.schema.get_field_index(vec_col))
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            if len(vec) == 0:
+                continue
+            X = _vectors_to_matrix(vec)
+            if planes is None:
+                local_rng = np.random.default_rng(seed)
+                planes = local_rng.standard_normal((X.shape[1], n_bits))
+            bits = (X @ planes) > 0  # (n, n_bits) sign pattern
+            # pack each band's bits into an int64 key (fixed order)
+            keys = np.zeros((len(X), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                for j in range(band_bits):
+                    keys[:, b] = (keys[:, b] << 1) | bits[
+                        :, b * band_bits + j
+                    ].astype(np.int64)
+            band_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(len(X) + 1, dtype=np.int32) * n_bands
+                ),
+                pa.array(keys.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, band_arr], names=[id_col, "bands"]
+            )
+
+    id_type = dict(emb.dtypes)[id_col]
+    sigs = emb.select(id_col, vec_col).mapInArrow(
+        gen, schema=f"{id_col} {id_type}, bands array<long>"
+    )
+    b = sigs.select(
+        id_col, F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    counted = b.withColumn(
+        "__n",
+        F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
+    ).where(F.col("__n") <= max_bucket)
+    left = counted.select(
+        "band_idx", "band_hash", F.col(id_col).alias("doc_a")
+    )
+    right = counted.select(
+        "band_idx", "band_hash", F.col(id_col).alias("doc_b")
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def ivf_search(
     index: DataFrame,
     queries: DataFrame,

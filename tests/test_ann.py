@@ -60,3 +60,30 @@ def test_assignment_covers_all(spark, emb):
     assert index.count() == N
     cids = [r["centroid_id"] for r in index.select("centroid_id").distinct().collect()]
     assert all(0 <= c < 8 for c in cids)
+
+
+def test_hyperplane_lsh_recall(spark):
+    """Random-hyperplane LSH candidates contain every high-cosine
+    pair (planted near-identical vectors); disjoint random vectors do
+    not flood the candidate set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sonar_spark.operators.ann import hyperplane_lsh_pairs
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(32)
+        rows.append((i, v.tolist()))
+        if i < 10:  # planted near-dup: tiny perturbation
+            rows.append((1000 + i, (v + 0.01 * rng.standard_normal(32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in hyperplane_lsh_pairs(df, n_bits=256, band_bits=16).collect()
+    }
+    want = {(i, 1000 + i) for i in range(10)}
+    assert want <= cand, want - cand
+    # candidate set stays sparse: nowhere near all-pairs (70*69/2=2415)
+    assert len(cand) < 500, len(cand)
