@@ -61,6 +61,32 @@ def windowed_stats_stream(
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    fingerprint_col,
+    *,
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per
+    content fingerprint (the exact-dedup operator of
+    operators/fingerprint.exact_dedup in streaming form).
+
+    dropDuplicatesWithinWatermark bounds the dedup state store by the
+    watermark horizon — the training-pipeline ingest shape at scale:
+    an unbounded stream cannot keep every fingerprint forever, so
+    dedup is exact within the lateness window and the state is
+    evicted beyond it. Works identically on batch input (plain
+    dropDuplicates there, where state is unbounded anyway)."""
+    df = docs.withColumn("__fp", fingerprint_col).withColumn(
+        ts, F.col(ts).cast("timestamp")
+    )
+    if df.isStreaming:
+        df = df.withWatermark(ts, watermark)
+        return df.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+    return df.dropDuplicates(["__fp"]).drop("__fp")
+
+
 def sessionize_stream(
     events: DataFrame,
     *,
