@@ -1586,6 +1586,28 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_voice_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jitter + shimmer (voice_quality.go:160-231) over
+    onset-delimited periods of the per-doc rms series — the §2.13
+    voice-quality aggregates as window functions over a period table
+    (onsets standing in for pitch periods)."""
+    from sonar_spark.operators.sessionize import detect_onsets
+    from sonar_spark.operators.temporal import voice_quality
+
+    rms = _doc_frame_rms(spark, sf_dir)
+    on = detect_onsets(
+        rms, key="doc_id", order="frame_idx", signal="rms_energy",
+        threshold_scale=1.05, min_interval=1,
+    )
+    out = voice_quality(rms, on)
+    return out.select(
+        "doc_id",
+        "n_periods",
+        F.round("jitter_pct", 6).alias("jitter_pct"),
+        F.round("shimmer_pct", 6).alias("shimmer_pct"),
+    )
+
+
 def q_bark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bark-scale (Traunmueller) triangular filter-bank band energies
     over the histogram-as-power-spectrum (bark_scale.go:18-113), 4
@@ -1733,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_rate": q_entropy_rate,
         "envelope_hilbert": q_envelope_hilbert,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "voice_quality": q_voice_quality,
     }
 
 
@@ -1786,6 +1809,77 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "voice_quality": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx, rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            x AS (
+              SELECT doc_id, frame_idx, rms,
+                     lag(rms) OVER dw AS prv, lead(rms) OVER dw AS nxt,
+                     1.05 * avg(rms) OVER (PARTITION BY doc_id) AS thr
+              FROM fr
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY frame_idx)
+            ),
+            onsets AS (
+              SELECT doc_id, frame_idx FROM x
+              WHERE rms > prv AND rms >= coalesce(nxt, -1e308)
+                AND rms > thr
+            ),
+            pf AS (
+              SELECT fr.doc_id, fr.frame_idx, fr.rms,
+                     sum(CASE WHEN o.frame_idx IS NOT NULL
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY fr.doc_id
+                             ORDER BY fr.frame_idx) AS period
+              FROM fr LEFT JOIN onsets o
+                ON o.doc_id = fr.doc_id AND o.frame_idx = fr.frame_idx
+            ),
+            pp AS (
+              SELECT doc_id, period, count(*)::DOUBLE AS plen,
+                     sqrt(avg(rms * rms)) AS amp
+              FROM pf WHERE period >= 1 GROUP BY 1, 2
+            ),
+            dd AS (
+              SELECT doc_id, plen, amp,
+                     abs(plen - lag(plen) OVER pw) AS dlen,
+                     abs(amp - lag(amp) OVER pw) AS damp
+              FROM pp
+              WINDOW pw AS (PARTITION BY doc_id ORDER BY period)
+            ),
+            ag AS (
+              SELECT doc_id, count(*) AS n_periods,
+                     avg(plen) AS mean_len, avg(amp) AS mean_amp,
+                     sum(dlen) AS sum_dlen, sum(damp) AS sum_damp
+              FROM dd GROUP BY 1
+            )
+            SELECT doc_id, n_periods,
+                   round(CASE WHEN n_periods >= 2 AND mean_len != 0
+                         THEN (sum_dlen / (n_periods - 1.0)) / mean_len
+                              * 100.0
+                         ELSE 0.0 END, 6) + 0.0 AS jitter_pct,
+                   round(CASE WHEN n_periods >= 2 AND mean_amp != 0
+                         THEN (sum_damp / (n_periods - 1.0)) / mean_amp
+                              * 100.0
+                         ELSE 0.0 END, 6) + 0.0 AS shimmer_pct
+            FROM ag
+        """,
         "embedding_neardup_lsh": """
             WITH base AS (
               SELECT vec_id, unnest(embedding)::DOUBLE AS x,

@@ -127,6 +127,67 @@ def envelope(
     )
 
 
+def voice_quality(
+    feats: DataFrame,
+    onsets: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    signal: str = "rms_energy",
+) -> DataFrame:
+    """Jitter + shimmer (speech/voice_quality.go:160-231) over
+    onset-delimited periods: each onset starts a period; period
+    length = frame count, period amplitude = sqrt(mean(signal^2));
+    jitter = mean |consecutive length diff| / mean length * 100,
+    shimmer = the same over amplitudes; 0 when fewer than 2 periods.
+
+    Relational shape: one running-count window assigns frames to
+    periods, one aggregation per period, one per-doc aggregation —
+    the '[window funcs after pitch UDF]' mapping SURVEY §2.13 calls
+    for, with onsets standing in for pitch periods."""
+    marks = onsets.select(
+        key, F.col(order).alias(order), F.lit(1).alias("__is_onset")
+    )
+    w = Window.partitionBy(key).orderBy(order)
+    f = feats.join(marks, [key, order], "left").withColumn(
+        "__period", F.sum(F.coalesce(F.col("__is_onset"), F.lit(0))).over(w)
+    )
+    per_period = (
+        f.where(F.col("__period") >= 1)
+        .groupBy(key, "__period")
+        .agg(
+            F.count("*").cast("double").alias("plen"),
+            F.sqrt(F.avg(F.col(signal) * F.col(signal))).alias("amp"),
+        )
+    )
+    wp = Window.partitionBy(key).orderBy("__period")
+    d = per_period.withColumn(
+        "dlen", F.abs(F.col("plen") - F.lag("plen").over(wp))
+    ).withColumn("damp", F.abs(F.col("amp") - F.lag("amp").over(wp)))
+    agg = d.groupBy(key).agg(
+        F.count("*").alias("n_periods"),
+        F.avg("plen").alias("mean_len"),
+        F.avg("amp").alias("mean_amp"),
+        F.sum("dlen").alias("sum_dlen"),
+        F.sum("damp").alias("sum_damp"),
+    )
+    n = F.col("n_periods").cast("double")
+    jitter = F.when(
+        (F.col("n_periods") >= 2) & (F.col("mean_len") != 0),
+        (F.col("sum_dlen") / (n - 1.0)) / F.col("mean_len") * 100.0,
+    ).otherwise(F.lit(0.0))
+    shimmer = F.when(
+        (F.col("n_periods") >= 2) & (F.col("mean_amp") != 0),
+        (F.col("sum_damp") / (n - 1.0)) / F.col("mean_amp") * 100.0,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        key,
+        "n_periods",
+        jitter.alias("jitter_pct"),
+        shimmer.alias("shimmer_pct"),
+    )
+
+
 def envelope_hilbert(
     df: DataFrame,
     *,
