@@ -175,3 +175,23 @@ def test_asof_bucketed_shard_larger_than_arrow_batch(spark):
     wm = {r["matched_ref_ts"]: r["count"] for r in w}
     assert gm == wm
     assert sum(v for k, v in gm.items() if k is not None) > n // 2
+
+
+def test_asof_adaptive_empty_left(spark):
+    """Adaptive bucket sizing must not crash on an empty left side
+    (stats come back NULL); result is simply empty."""
+    from sonar_spark.config import AsofConfig
+    from sonar_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [], "entity string, ts long, payload double"
+    )
+    right = spark.createDataFrame(
+        [("e1", 5, 1, [1.0])],
+        "entity string, ref_ts long, ref_version int, ref_features array<double>",
+    )
+    out = asof_join(
+        left, right, strategy="bucketed",
+        cfg=AsofConfig(bucket_width=None),
+    )
+    assert out.count() == 0
