@@ -1608,6 +1608,63 @@ def q_voice_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral peak picking + parabolic sub-bin refinement
+    (spectral_peaks.go:36-156) over the histogram-as-spectrum, top 3
+    peaks per frame by magnitude — local-max window predicate +
+    interpolation expressions, the §2.13 'spectral peaks' mapping.
+    Spectrum rows built with Catalyst expressions (explode + bin +
+    zero-filled grid), independent of the Arrow kernel's histogram."""
+    from sonar_spark.operators.frames import expand_frames
+    from sonar_spark.operators.peaks import spectral_peaks
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    frames = expand_frames(toks, FrameConfig(window=32, hop=8))
+    fr = frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        F.transform("window", lambda x: x.cast("double")).alias("w"),
+    ).where(F.col("frame_idx") < 4)
+    lo = F.array_min("w")
+    hi0 = F.array_max("w")
+    fr = fr.withColumn("lo", lo).withColumn(
+        "hi", F.when(hi0 > lo, hi0).otherwise(lo + 1.0)
+    )
+    ex = fr.select(
+        "doc_id", "frame_idx", "lo", "hi", F.explode("w").alias("v")
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 16.0)),
+            F.lit(0),
+        ),
+        F.lit(15),
+    )
+    cnts = ex.groupBy("doc_id", "frame_idx", bin_.alias("bin")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    grid = (
+        fr.select("doc_id", "frame_idx")
+        .withColumn("bin", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        .withColumn("bin", F.col("bin").cast("long"))
+        .join(cnts, ["doc_id", "frame_idx", "bin"], "left")
+        .withColumn("m", F.coalesce("c", F.lit(0.0)))
+    )
+    out = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=3, min_height=1.0
+    )
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.col("rank").cast("int").alias("rank"),
+        "bin",
+        F.round("magnitude", 6).alias("magnitude"),
+        F.round("refined_freq", 6).alias("refined_freq"),
+        F.round("refined_mag", 6).alias("refined_mag"),
+    )
+
+
 def q_bark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bark-scale (Traunmueller) triangular filter-bank band energies
     over the histogram-as-power-spectrum (bark_scale.go:18-113), 4
@@ -1756,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope_hilbert": q_envelope_hilbert,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "voice_quality": q_voice_quality,
+        "spectral_peaks": q_spectral_peaks,
     }
 
 
@@ -1809,6 +1867,78 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "spectral_peaks": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
+                       AS hi
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+                AND (strt / 8)::BIGINT < 4
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     least(greatest(floor((v.val - fr.lo)
+                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            ),
+            cnts AS (
+              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+              FROM el GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
+                     coalesce(c.c, 0.0) AS m
+              FROM fr
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+            ),
+            nb AS (
+              SELECT doc_id, frame_idx, bin, m,
+                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
+              FROM grid
+              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
+            ),
+            pk AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3,
+                     2.0 * (2.0 * m - y1 - y3) AS denom
+              FROM nb
+              WHERE m > y1 AND m > y3 AND m >= 1.0
+            ),
+            r AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3, denom,
+                     CASE WHEN abs(denom) > 1e-10
+                          THEN (y3 - y1) / denom ELSE 0.0 END AS off,
+                     row_number() OVER (PARTITION BY doc_id, frame_idx
+                       ORDER BY m DESC, bin ASC) AS rk
+              FROM pk
+            )
+            SELECT doc_id, frame_idx, rk::INT AS rank, bin,
+                   round(m, 6) AS magnitude,
+                   round((bin + off) * 1.0, 6) + 0.0 AS refined_freq,
+                   round(CASE WHEN abs(denom) > 1e-10
+                         THEN m + 0.5*(y1 - 2.0*m + y3)*off*off
+                              + 0.5*(y3 - y1)*off
+                         ELSE m END, 6) + 0.0 AS refined_mag
+            FROM r WHERE rk <= 3
+        """,
         "voice_quality": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

@@ -180,3 +180,26 @@ def test_pearson_distance_and_matrix(spark):
         .collect()[0]["r"]
     )
     assert np.isclose(got_r, want_r, rtol=1e-9)
+
+
+def test_spectral_peaks_operator(spark):
+    """Local-max + parabolic refinement (spectral_peaks.go:36-156):
+    strict local maxima only (plateaus excluded), edges excluded,
+    parabolic offset matches the closed form."""
+    from sonar_spark.operators.peaks import spectral_peaks
+
+    spec = [
+        # group g1: peak at bin 2 (1,5,2), plateau at 5-6 (4,4), edge
+        # high at bin 0 must be excluded
+        ("g1", 0, 9.0), ("g1", 1, 1.0), ("g1", 2, 5.0), ("g1", 3, 2.0),
+        ("g1", 4, 3.0), ("g1", 5, 4.0), ("g1", 6, 4.0), ("g1", 7, 0.0),
+    ]
+    df = spark.createDataFrame(spec, "g string, bin long, m double")
+    out = spectral_peaks(df, ["g"], max_peaks=5, min_height=0.0)
+    rows = {r["bin"]: r for r in out.collect()}
+    assert set(rows) == {2}  # plateau + edges excluded
+    y1, y2, y3 = 1.0, 5.0, 2.0
+    off = (y3 - y1) / (2 * (2 * y2 - y1 - y3))
+    assert abs(rows[2]["refined_freq"] - (2 + off)) < 1e-12
+    a, b = 0.5 * (y1 - 2 * y2 + y3), 0.5 * (y3 - y1)
+    assert abs(rows[2]["refined_mag"] - (y2 + a * off * off + b * off)) < 1e-12
