@@ -1608,15 +1608,11 @@ def q_voice_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spectral peak picking + parabolic sub-bin refinement
-    (spectral_peaks.go:36-156) over the histogram-as-spectrum, top 3
-    peaks per frame by magnitude — local-max window predicate +
-    interpolation expressions, the §2.13 'spectral peaks' mapping.
-    Spectrum rows built with Catalyst expressions (explode + bin +
-    zero-filled grid), independent of the Arrow kernel's histogram."""
+def _hist_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled (doc_id, frame_idx, bin, m) histogram-spectrum rows
+    (W=32, H=8, 16 bins, first 4 frames per doc) built with Catalyst
+    expressions — independent of the Arrow kernel's histogram."""
     from sonar_spark.operators.frames import expand_frames
-    from sonar_spark.operators.peaks import spectral_peaks
 
     toks = to_token_length_table(_t(spark, sf_dir, "documents"))
     frames = expand_frames(toks, FrameConfig(window=32, hop=8))
@@ -1644,13 +1640,44 @@ def q_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = ex.groupBy("doc_id", "frame_idx", bin_.alias("bin")).agg(
         F.count("*").cast("double").alias("c")
     )
-    grid = (
+    return (
         fr.select("doc_id", "frame_idx")
         .withColumn("bin", F.explode(F.sequence(F.lit(0), F.lit(15))))
         .withColumn("bin", F.col("bin").cast("long"))
         .join(cnts, ["doc_id", "frame_idx", "bin"], "left")
         .withColumn("m", F.coalesce("c", F.lit(0.0)))
     )
+
+
+def q_hpcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic pitch-class profile (chroma/hpcp.go:147-310): spectral
+    peaks -> MIDI pitch-class scatter with circular cosine windowing
+    -> unit-energy normalization, 12 classes per frame."""
+    from sonar_spark.operators.peaks import hpcp, spectral_peaks
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    out = hpcp(peaks, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "pitch_class",
+        F.round("hpcp", 6).alias("hpcp"),
+    )
+
+
+def q_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral peak picking + parabolic sub-bin refinement
+    (spectral_peaks.go:36-156) over the histogram-as-spectrum, top 3
+    peaks per frame by magnitude — local-max window predicate +
+    interpolation expressions, the §2.13 'spectral peaks' mapping.
+    Spectrum rows built with Catalyst expressions (explode + bin +
+    zero-filled grid), independent of the Arrow kernel's histogram."""
+    from sonar_spark.operators.peaks import spectral_peaks
+
+    grid = _hist_grid(spark, sf_dir)
     out = spectral_peaks(
         grid, ["doc_id", "frame_idx"], max_peaks=3, min_height=1.0
     )
@@ -1814,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "voice_quality": q_voice_quality,
         "spectral_peaks": q_spectral_peaks,
+        "hpcp": q_hpcp,
     }
 
 
@@ -1867,6 +1895,128 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "hpcp": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
+                       AS hi
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+                AND (strt / 8)::BIGINT < 4
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     least(greatest(floor((v.val - fr.lo)
+                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            ),
+            cnts AS (
+              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+              FROM el GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
+                     coalesce(c.c, 0.0) AS m
+              FROM fr
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+            ),
+            nb AS (
+              SELECT doc_id, frame_idx, bin, m,
+                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
+              FROM grid
+              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
+            ),
+            pk AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3,
+                     2.0 * (2.0 * m - y1 - y3) AS denom
+              FROM nb
+              WHERE m > y1 AND m > y3 AND m >= 0.00001
+            ),
+            rp AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3, denom,
+                     CASE WHEN abs(denom) > 1e-10
+                          THEN (y3 - y1) / denom ELSE 0.0 END AS off
+              FROM pk
+            ),
+            rf AS (
+              SELECT doc_id, frame_idx,
+                     (bin + off) * 1.0 AS freq,
+                     CASE WHEN abs(denom) > 1e-10
+                          THEN m + 0.5*(y1 - 2.0*m + y3)*off*off
+                               + 0.5*(y3 - y1)*off
+                          ELSE m END AS mag
+              FROM rp
+            ),
+            pcs AS (
+              SELECT doc_id, frame_idx, mag,
+                     (((69.0 + 12.0 * log2(freq / 1.0)) % 12.0) + 12.0)
+                       % 12.0 AS pc
+              FROM rf WHERE freq >= 1.0 AND freq <= 15.0
+            ),
+            sc AS (
+              SELECT doc_id, frame_idx, mag, pc,
+                     unnest(generate_series(floor(pc - 0.5)::BIGINT,
+                                            ceil(pc + 0.5)::BIGINT)) AS b
+              FROM pcs
+            ),
+            wd AS (
+              SELECT doc_id, frame_idx, mag,
+                     ((b % 12) + 12) % 12 AS pitch_class,
+                     CASE WHEN abs(b - pc) > 6.0
+                          THEN 12.0 - abs(b - pc)
+                          ELSE abs(b - pc) END AS dist
+              FROM sc
+            ),
+            contrib AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     sum(mag * greatest(cos(pi() * dist / 1.0), 0.0))
+                       AS raw
+              FROM wd WHERE dist <= 0.5 GROUP BY 1, 2, 3
+            ),
+            frames12 AS (
+              SELECT DISTINCT p.doc_id, p.frame_idx, ks.k::BIGINT
+                       AS pitch_class
+              FROM pk p
+              CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k) ks
+            ),
+            g12 AS (
+              SELECT f12.doc_id, f12.frame_idx, f12.pitch_class,
+                     coalesce(c.raw, 0.0) AS raw
+              FROM frames12 f12
+              LEFT JOIN contrib c
+                ON c.doc_id = f12.doc_id
+                AND c.frame_idx = f12.frame_idx
+                AND c.pitch_class = f12.pitch_class
+            ),
+            en AS (
+              SELECT doc_id, frame_idx, pitch_class, raw,
+                     sqrt(sum(raw * raw) OVER (PARTITION BY doc_id,
+                       frame_idx)) AS energy
+              FROM g12
+            )
+            SELECT doc_id, frame_idx, pitch_class,
+                   round(CASE WHEN energy > 0 THEN raw / energy
+                         ELSE 0.0 END, 6) + 0.0 AS hpcp
+            FROM en
+        """,
         "spectral_peaks": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

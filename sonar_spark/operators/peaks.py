@@ -17,6 +17,8 @@ implements.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,4 +66,80 @@ def spectral_peaks(
         group_cols,
         [F.col("magnitude").desc(), F.col("bin").asc()],
         max_peaks,
+    )
+
+
+def hpcp(
+    peaks: DataFrame,
+    group_cols: list[str],
+    *,
+    freq_col: str = "refined_freq",
+    mag_col: str = "refined_mag",
+    size: int = 12,
+    ref_freq: float = 1.0,
+    window_semitones: float = 1.0,
+    min_freq: float = 1.0,
+    max_freq: float = 15.0,
+) -> DataFrame:
+    """Harmonic pitch-class profile from spectral peaks
+    (chroma/hpcp.go:147-310): pitch class = mod(69 + 12 log2(f/ref),
+    12) scaled to `size`; each peak scatters weight*cos(pi d / W) into
+    the bins within W/2 of its class (circular wrap + circular
+    distance, :258-279 + :283-299 'cosine'); per-group unit-ENERGY
+    normalization (:73, common.Energy). BandPreset boost and harmonic
+    contributions are off — the defaults' MaxHarmonics is 0 and the
+    band preset's 500 Hz split has no analog on the bin-index axis.
+
+    Output: group cols + pitch_class (0..size-1) + hpcp (normalized),
+    all `size` classes per group (zero-filled)."""
+    wsize = window_semitones * size / 12.0
+    f = F.col(freq_col)
+    pc = F.pmod(
+        F.lit(69.0) + 12.0 * F.log2(f / ref_freq), F.lit(12.0)
+    ) * (size / 12.0)
+    p = peaks.where((f >= min_freq) & (f <= max_freq)).withColumn(
+        "__pc", pc
+    )
+    cand = p.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__pc") - wsize / 2).cast("long"),
+                F.ceil(F.col("__pc") + wsize / 2).cast("long"),
+            )
+        ),
+    )
+    rawd = F.abs(F.col("__bin").cast("double") - F.col("__pc"))
+    dist = F.when(rawd > size / 2.0, F.lit(float(size)) - rawd).otherwise(
+        rawd
+    )
+    weight = F.greatest(
+        F.cos(F.lit(math.pi) * dist / wsize), F.lit(0.0)
+    )
+    contrib = (
+        cand.where(dist <= wsize / 2)
+        .groupBy(*group_cols, F.pmod(F.col("__bin"), F.lit(size)).alias(
+            "pitch_class"
+        ))
+        .agg(F.sum(F.col(mag_col) * weight).alias("raw"))
+    )
+    # zero-filled 12-class grid per group + unit-energy normalization
+    grid = (
+        peaks.select(*group_cols)
+        .distinct()
+        .withColumn(
+            "pitch_class", F.explode(F.sequence(F.lit(0), F.lit(size - 1)))
+        )
+        .withColumn("pitch_class", F.col("pitch_class").cast("long"))
+        .join(contrib, [*group_cols, "pitch_class"], "left")
+        .withColumn("raw", F.coalesce("raw", F.lit(0.0)))
+    )
+    w = Window.partitionBy(*group_cols)
+    energy = F.sqrt(F.sum(F.col("raw") * F.col("raw")).over(w))
+    return grid.select(
+        *group_cols,
+        "pitch_class",
+        F.when(energy > 0, F.col("raw") / energy)
+        .otherwise(F.lit(0.0))
+        .alias("hpcp"),
     )
