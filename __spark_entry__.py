@@ -673,7 +673,14 @@ def q_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted fingerprint comparison + FindBestMatches top-3
-    (comparison.go:133-263; rows-only)."""
+    (comparison.go:133-263). Rows-only BY DESIGN: the fingerprint
+    vectors blend 30 kernel-computed frame features (incl. MFCC) with
+    MinHash signatures, which a SQL oracle cannot recompute; every
+    ingredient is oracle-backed separately (frame features via
+    frame_energy/frame_spectral/mfcc_frames, minhash via
+    minhash_dedup, the similarity-statistics aggregate via
+    similarity_stats, top-k via topk_orders) and the weighted scoring
+    arithmetic is unit-tested."""
     toks = to_token_table(_t(spark, sf_dir, "documents"))
     feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8))
     stats = doc_stats(feats)
@@ -906,7 +913,11 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> checksum gate -> stub decode ->
-    features (rows-only; plumbing tested in pytest)."""
+    features. Rows-only BY DESIGN: the decode step is an honestly
+    stubbed deterministic fake (no codec libs in this environment), so
+    a SQL oracle would only re-verify the fake; the Spark-side
+    plumbing (schema, checksum gate, Arrow batching) is pytest-covered
+    (tests/test_multimodal.py)."""
     from sonar_spark.operators.multimodal import media_features, synth_media_table
 
     media = synth_media_table(spark, 64)
