@@ -164,6 +164,44 @@ def silence_ratio(
     )
 
 
+def combine_onsets(
+    onsets_a: DataFrame,
+    onsets_b: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    tolerance: int = 2,
+) -> DataFrame:
+    """DetectOnsetsComplex's union-of-methods combine + tolerance
+    dedupe (onset_detection.go:122-183): sorted union of both onset
+    sets, then the greedy chain — keep an onset iff its distance to
+    the LAST KEPT onset exceeds `tolerance` (equivalent to the
+    reference's any-kept check on a sorted list, since the last kept
+    is always the nearest).
+
+    The greedy chain is a sequential fold, expressed as a Catalyst
+    aggregate() over the per-key sorted onset array — legitimate
+    because onset counts per doc are tiny (tens), unlike frame or
+    token counts."""
+    u = (
+        onsets_a.select(key, order)
+        .unionByName(onsets_b.select(key, order))
+        .distinct()
+    )
+    arr = u.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.col(order).cast("long"))).alias("__o")
+    )
+    kept = F.aggregate(
+        F.slice(F.col("__o"), 2, F.greatest(F.size("__o") - 1, F.lit(0))),
+        F.array(F.element_at(F.col("__o"), 1)),
+        lambda acc, x: F.when(
+            x - F.element_at(acc, -1) > tolerance,
+            F.concat(acc, F.array(x)),
+        ).otherwise(acc),
+    )
+    return arr.select(key, F.explode(kept).alias(order))
+
+
 def detect_onsets(
     features: DataFrame,
     *,
