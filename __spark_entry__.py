@@ -1703,6 +1703,31 @@ def q_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AssignHarmonics (spectral_peaks.go:153-181) over the refined
+    peaks: f0 analog = the lowest-bin peak's refined frequency per
+    frame (fundamental estimation proper is §2.13-deferred); harmonic
+    = best h in 1..20 with relative error < 0.05, else -1."""
+    from sonar_spark.operators.peaks import assign_harmonics, spectral_peaks
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    f0 = peaks.groupBy("doc_id", "frame_idx").agg(
+        F.min_by("refined_freq", "bin").alias("f0")
+    )
+    p = peaks.join(f0, ["doc_id", "frame_idx"])
+    out = assign_harmonics(p, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "bin",
+        F.round("refined_freq", 6).alias("refined_freq"),
+        "harmonic",
+    )
+
+
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOnsetsComplex (onset_detection.go:122-183): flux onsets
     UNION energy onsets, then the greedy tolerance dedupe (keep iff
@@ -1874,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_peaks": q_spectral_peaks,
         "hpcp": q_hpcp,
         "onsets_complex": q_onsets_complex,
+        "harmonic_peaks": q_harmonic_peaks,
     }
 
 
@@ -1927,6 +1953,94 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "harmonic_peaks": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
+                       AS hi
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+                AND (strt / 8)::BIGINT < 4
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     least(greatest(floor((v.val - fr.lo)
+                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            ),
+            cnts AS (
+              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+              FROM el GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
+                     coalesce(c.c, 0.0) AS m
+              FROM fr
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+            ),
+            nb AS (
+              SELECT doc_id, frame_idx, bin, m,
+                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
+              FROM grid
+              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
+            ),
+            pk AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3,
+                     2.0 * (2.0 * m - y1 - y3) AS denom
+              FROM nb
+              WHERE m > y1 AND m > y3 AND m >= 0.00001
+            ),
+            rf AS (
+              SELECT doc_id, frame_idx, bin,
+                     (bin + CASE WHEN abs(denom) > 1e-10
+                            THEN (y3 - y1) / denom ELSE 0.0 END) * 1.0
+                       AS freq
+              FROM pk
+            ),
+            f0 AS (
+              SELECT doc_id, frame_idx, arg_min(freq, bin) AS f0
+              FROM rf GROUP BY 1, 2
+            ),
+            hh AS (
+              SELECT rf.doc_id, rf.frame_idx, rf.bin, rf.freq,
+                     hs.h, abs(rf.freq - f0.f0 * hs.h) AS err
+              FROM rf
+              JOIN f0 USING (doc_id, frame_idx)
+              CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS h) hs
+              WHERE abs(rf.freq - f0.f0 * hs.h) / (f0.f0 * hs.h) < 0.05
+            ),
+            best AS (
+              SELECT doc_id, frame_idx, bin, h,
+                     row_number() OVER (PARTITION BY doc_id, frame_idx,
+                       bin ORDER BY err ASC, h ASC) AS rk
+              FROM hh
+            )
+            SELECT rf.doc_id, rf.frame_idx, rf.bin,
+                   round(rf.freq, 6) + 0.0 AS refined_freq,
+                   coalesce(b.h - 1, -1)::INT AS harmonic
+            FROM rf
+            LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+              ON b.doc_id = rf.doc_id AND b.frame_idx = rf.frame_idx
+              AND b.bin = rf.bin
+        """,
         "onsets_complex": r"""
             WITH RECURSIVE toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

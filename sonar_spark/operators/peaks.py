@@ -69,6 +69,37 @@ def spectral_peaks(
     )
 
 
+def assign_harmonics(
+    peaks: DataFrame,
+    group_cols: list[str],
+    *,
+    freq_col: str = "refined_freq",
+    f0_col: str = "f0",
+    tolerance: float = 0.05,
+    max_harmonic: int = 20,
+) -> DataFrame:
+    """AssignHarmonics (spectral_peaks.go:153-181): for each peak,
+    scan harmonics 1..20 of f0, keep candidates with relative error
+    |f - h f0| / (h f0) < tolerance, pick the minimum ABSOLUTE error
+    (ties -> smallest h, the reference's strict-< first-wins scan);
+    harmonic = h - 1 (0-indexed) or -1 when none qualifies."""
+    h = peaks.withColumn(
+        "__h", F.explode(F.sequence(F.lit(1), F.lit(max_harmonic)))
+    )
+    exp = F.col(f0_col) * F.col("__h")
+    err = F.abs(F.col(freq_col) - exp)
+    cand = h.withColumn("__err", err).where(err / exp < tolerance)
+    best = topk_per_group(
+        cand.select(*group_cols, "bin", "__h", "__err"),
+        [*group_cols, "bin"],
+        [F.col("__err").asc(), F.col("__h").asc()],
+        1,
+    ).select(*group_cols, "bin", (F.col("__h") - 1).alias("__harm"))
+    return peaks.join(best, [*group_cols, "bin"], "left").withColumn(
+        "harmonic", F.coalesce(F.col("__harm"), F.lit(-1)).cast("int")
+    ).drop("__harm")
+
+
 def hpcp(
     peaks: DataFrame,
     group_cols: list[str],
