@@ -1728,6 +1728,34 @@ def q_harmonic_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic-to-noise ratio (voice_quality.go:232-296) per doc over
+    the token-length series: expected fundamental lag = 4 tokens/frame
+    x the tempo dominant IOI (the engine's own F0 stand-in), acf peak
+    searched +-25% around it, HNR = 10 log10(max/(acf0-max))."""
+    from sonar_spark.operators.sessionize import detect_onsets
+    from sonar_spark.operators.temporal import hnr, tempo_estimate
+
+    rms = _doc_frame_rms(spark, sf_dir)
+    on = detect_onsets(
+        rms, key="doc_id", order="frame_idx", signal="rms_energy",
+        threshold_scale=1.05, min_interval=1,
+    )
+    t = tempo_estimate(on).where(
+        (F.col("n_onsets") >= 2) & F.col("dominant_ioi").isNotNull()
+    )
+    expected = t.select(
+        "doc_id", (F.col("dominant_ioi") * 4).cast("long").alias("L")
+    )
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    out = hnr(vals, expected)
+    return out.select("doc_id", F.round("hnr_db", 6).alias("hnr_db"))
+
+
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOnsetsComplex (onset_detection.go:122-183): flux onsets
     UNION energy onsets, then the greedy tolerance dedupe (keep iff
@@ -1900,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hpcp": q_hpcp,
         "onsets_complex": q_onsets_complex,
         "harmonic_peaks": q_harmonic_peaks,
+        "hnr": q_hnr,
     }
 
 
@@ -1953,6 +1982,97 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "hnr": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx, rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            x AS (
+              SELECT doc_id, frame_idx, rms,
+                     lag(rms) OVER dw AS prv, lead(rms) OVER dw AS nxt,
+                     1.05 * avg(rms) OVER (PARTITION BY doc_id) AS thr
+              FROM fr
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY frame_idx)
+            ),
+            onsets AS (
+              SELECT doc_id, frame_idx FROM x
+              WHERE rms > prv AND rms >= coalesce(nxt, -1e308)
+                AND rms > thr
+            ),
+            ioi AS (
+              SELECT doc_id,
+                     frame_idx - lag(frame_idx) OVER
+                       (PARTITION BY doc_id ORDER BY frame_idx) AS ioi
+              FROM onsets
+            ),
+            hist AS (
+              SELECT doc_id, ioi, count(*) AS c FROM ioi
+              WHERE ioi IS NOT NULL GROUP BY 1, 2
+            ),
+            dom AS (
+              SELECT doc_id, ioi AS dominant_ioi,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, ioi ASC) AS rk
+              FROM hist
+            ),
+            span AS (
+              SELECT doc_id, count(*) AS n_onsets FROM onsets GROUP BY 1
+            ),
+            expected AS (
+              SELECT s.doc_id, (d.dominant_ioi * 4)::BIGINT AS L
+              FROM span s JOIN dom d
+                ON d.doc_id = s.doc_id AND d.rk = 1
+              WHERE s.n_onsets >= 2
+            ),
+            base AS (
+              SELECT doc_id, count(*)::BIGINT AS n,
+                     sum(val * val) / count(*) AS acf0
+              FROM v GROUP BY 1
+            ),
+            lags AS (
+              SELECT e.doc_id, b.acf0,
+                     unnest(generate_series(
+                       greatest(1, e.L - e.L // 4),
+                       least(b.n - 1, e.L + e.L // 4))) AS lag
+              FROM expected e JOIN base b USING (doc_id)
+              WHERE e.L <= b.n - 1
+            ),
+            acf AS (
+              SELECT l.doc_id, l.acf0, l.lag,
+                     avg(a.val * bb.val) AS ac
+              FROM lags l
+              JOIN v a ON a.doc_id = l.doc_id
+              JOIN v bb ON bb.doc_id = l.doc_id
+                AND bb.pos = a.pos + l.lag
+              GROUP BY 1, 2, 3
+            ),
+            agg AS (
+              SELECT doc_id, acf0, greatest(max(ac), 0.0) AS mx
+              FROM acf GROUP BY 1, 2
+            )
+            SELECT e.doc_id,
+                   round(coalesce(CASE WHEN g.mx > 0 AND g.mx < g.acf0
+                     THEN 10.0 * log10(greatest(g.mx, 1e-300)
+                          / greatest(g.acf0 - g.mx, 1e-300))
+                     ELSE 0.0 END, 0.0), 6) + 0.0 AS hnr_db
+            FROM expected e LEFT JOIN agg g USING (doc_id)
+        """,
         "harmonic_peaks": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

@@ -127,6 +127,72 @@ def envelope(
     )
 
 
+def hnr(
+    vals: DataFrame,
+    expected: DataFrame,
+    *,
+    key: str = "doc_id",
+    pos: str = "pos",
+    val: str = "v",
+    lag_col: str = "L",
+) -> DataFrame:
+    """Harmonic-to-noise ratio (voice_quality.go:232-296):
+    autocorrelation acf[lag] = mean(v[i] v[i+lag]) over the series,
+    peak searched in lag within +-25% (integer L/4) of the expected
+    fundamental lag, HNR = 10 log10(max / (acf0 - max)) when
+    0 < max < acf0, else 0. Docs whose expected lag falls outside the
+    series (L > n-1) get 0 (the reference's early return).
+
+    Relational: one tiny per-doc lag table exploded from the expected
+    lag, a positional self-join for the lagged products, two
+    aggregations — no per-sample Python."""
+    base = vals.groupBy(key).agg(
+        F.count("*").alias("__n"),
+        (F.sum(F.col(val) * F.col(val)) / F.count("*")).alias("__acf0"),
+    )
+    e = expected.join(base, key)
+    ok = e.where(F.col(lag_col) <= F.col("__n") - 1)
+    sr = F.floor(F.col(lag_col) / 4)
+    lags = ok.select(
+        key,
+        "__acf0",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1).cast("long"), F.col(lag_col) - sr),
+                F.least(F.col("__n") - 1, F.col(lag_col) + sr),
+            )
+        ).alias("__lag"),
+    )
+    a = vals.select(key, F.col(pos).alias("__pa"), F.col(val).alias("__va"))
+    b = vals.select(key, F.col(pos).alias("__pb"), F.col(val).alias("__vb"))
+    prod = (
+        lags.join(a, key)
+        .join(
+            b.withColumnRenamed(key, "__kb"),
+            (F.col("__kb") == F.col(key))
+            & (F.col("__pb") == F.col("__pa") + F.col("__lag")),
+        )
+        .drop("__kb")
+    )
+    acf = prod.groupBy(key, "__acf0", "__lag").agg(
+        F.avg(F.col("__va") * F.col("__vb")).alias("__acf")
+    )
+    agg = acf.groupBy(key, "__acf0").agg(
+        F.greatest(F.max("__acf"), F.lit(0.0)).alias("__max")
+    )
+    h = F.when(
+        (F.col("__max") > 0) & (F.col("__max") < F.col("__acf0")),
+        10.0 * F.log10(F.col("__max") / (F.col("__acf0") - F.col("__max"))),
+    ).otherwise(F.lit(0.0))
+    found = agg.select(key, h.alias("hnr_db"))
+    # docs filtered out (L > n-1, or no positive-range lags) -> 0.0
+    return (
+        expected.select(key)
+        .join(found, key, "left")
+        .select(key, F.coalesce("hnr_db", F.lit(0.0)).alias("hnr_db"))
+    )
+
+
 def voice_quality(
     feats: DataFrame,
     onsets: DataFrame,
