@@ -1756,6 +1756,22 @@ def q_hnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("hnr_db", 6).alias("hnr_db"))
 
 
+def q_fundamental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F0 estimation by autocorrelation
+    (fundamental_estimation.go:30-57,148-173,219-236) over the
+    token-length series: best acf local maximum in lags 4..32,
+    f0 = 1/bestLag cycles per token, 0 when no local max."""
+    from sonar_spark.operators.temporal import estimate_fundamental
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    out = estimate_fundamental(vals)
+    return out.select("doc_id", F.round("f0", 6).alias("f0"))
+
+
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOnsetsComplex (onset_detection.go:122-183): flux onsets
     UNION energy onsets, then the greedy tolerance dedupe (keep iff
@@ -1929,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onsets_complex": q_onsets_complex,
         "harmonic_peaks": q_harmonic_peaks,
         "hnr": q_hnr,
+        "fundamental_autocorr": q_fundamental,
     }
 
 
@@ -1982,6 +1999,53 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "fundamental_autocorr": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            base AS (
+              SELECT doc_id, count(*)::BIGINT AS n FROM v GROUP BY 1
+            ),
+            lags AS (
+              SELECT doc_id,
+                     unnest(generate_series(3,
+                       least(32, n - 1)::BIGINT)) AS lag
+              FROM base WHERE least(32, n - 1) >= 4
+            ),
+            acf AS (
+              SELECT l.doc_id, l.lag, avg(a.val * b.val) AS ac
+              FROM lags l
+              JOIN v a ON a.doc_id = l.doc_id
+              JOIN v b ON b.doc_id = l.doc_id
+                AND b.pos = a.pos + l.lag
+              GROUP BY 1, 2
+            ),
+            nb AS (
+              SELECT doc_id, lag, ac,
+                     lag(ac) OVER w AS p, lead(ac) OVER w AS x
+              FROM acf
+              WINDOW w AS (PARTITION BY doc_id ORDER BY lag)
+            ),
+            best AS (
+              SELECT doc_id, lag,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY ac DESC, lag ASC) AS rk
+              FROM nb
+              WHERE lag >= 4 AND p IS NOT NULL AND x IS NOT NULL
+                AND ac > p AND ac > x
+            )
+            SELECT d.doc_id,
+                   round(coalesce(1.0 / b.lag, 0.0), 6) + 0.0 AS f0
+            FROM (SELECT DISTINCT doc_id FROM v) d
+            LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+              USING (doc_id)
+        """,
         "hnr": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

@@ -193,6 +193,84 @@ def hnr(
     )
 
 
+def estimate_fundamental(
+    vals: DataFrame,
+    *,
+    key: str = "doc_id",
+    pos: str = "pos",
+    val: str = "v",
+    sample_rate: float = 1.0,
+    min_f0: float = 1.0 / 32.0,
+    max_f0: float = 1.0 / 4.0,
+) -> DataFrame:
+    """F0 estimation by autocorrelation
+    (fundamental_estimation.go:30-57 + :148-173 + :219-236): acf[lag]
+    = mean lagged product for lag in [int(sr/maxF0),
+    min(int(sr/minF0), n-1)]; best lag = the highest LOCAL maximum
+    (strict >, acf[lag-1] and acf[lag+1] both available, first wins
+    ties -> smallest lag); f0 = sr / bestLag, 0 when no local max.
+    Normalization by acf[0] is skipped — argmax is scale-invariant.
+
+    Token analog: sample_rate = 1 tick/token, F0 range [1/32, 1/4]
+    cycles/token -> lags 4..32."""
+    min_lag = max(int(sample_rate / max_f0), 1)
+    max_lag_cfg = int(sample_rate / min_f0)
+    base = vals.groupBy(key).agg(F.count("*").alias("__n"))
+    # acf computed for [min_lag - 1, min(max_lag, n-1)] so the
+    # local-max check has both neighbors where the reference does
+    lag_hi = F.least(F.lit(max_lag_cfg), F.col("__n") - 1)
+    lags = base.where(lag_hi >= min_lag).select(
+        key,
+        F.explode(
+            F.sequence(F.lit(max(min_lag - 1, 0)).cast("long"), lag_hi)
+        ).alias("__lag"),
+    )
+    a = vals.select(key, F.col(pos).alias("__pa"), F.col(val).alias("__va"))
+    b = vals.select(
+        F.col(key).alias("__kb"),
+        F.col(pos).alias("__pb"),
+        F.col(val).alias("__vb"),
+    )
+    acf = (
+        lags.join(a, key)
+        .join(
+            b,
+            (F.col("__kb") == F.col(key))
+            & (F.col("__pb") == F.col("__pa") + F.col("__lag")),
+        )
+        .groupBy(key, "__lag")
+        .agg(F.avg(F.col("__va") * F.col("__vb")).alias("__acf"))
+    )
+    w = Window.partitionBy(key).orderBy("__lag")
+    nb = acf.withColumn("__p", F.lag("__acf").over(w)).withColumn(
+        "__x", F.lead("__acf").over(w)
+    )
+    peaks = nb.where(
+        (F.col("__lag") >= min_lag)
+        & F.col("__p").isNotNull()
+        & F.col("__x").isNotNull()
+        & (F.col("__acf") > F.col("__p"))
+        & (F.col("__acf") > F.col("__x"))
+    )
+    from .topk import topk_per_group
+
+    best = topk_per_group(
+        peaks.select(key, "__lag", "__acf"),
+        key,
+        [F.col("__acf").desc(), F.col("__lag").asc()],
+        1,
+    )
+    f0 = best.select(
+        key, (F.lit(float(sample_rate)) / F.col("__lag")).alias("f0")
+    )
+    return (
+        vals.select(key)
+        .distinct()
+        .join(f0, key, "left")
+        .select(key, F.coalesce("f0", F.lit(0.0)).alias("f0"))
+    )
+
+
 def voice_quality(
     feats: DataFrame,
     onsets: DataFrame,
