@@ -1772,6 +1772,19 @@ def q_fundamental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("f0", 6).alias("f0"))
 
 
+def q_hps_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic product spectrum F0 (harmonic_product.go:32-160) over
+    the histogram-as-spectrum: hps[i] = power[i] power[2i] power[3i],
+    argmax in bins 1..7 per frame (0 when no positive candidate)."""
+    from sonar_spark.operators.peaks import harmonic_product_f0
+
+    grid = _hist_grid(spark, sf_dir)
+    out = harmonic_product_f0(grid, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id", "frame_idx", "f0_bin", F.round("hps", 6).alias("hps")
+    )
+
+
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOnsetsComplex (onset_detection.go:122-183): flux onsets
     UNION energy onsets, then the greedy tolerance dedupe (keep iff
@@ -1946,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_peaks": q_harmonic_peaks,
         "hnr": q_hnr,
         "fundamental_autocorr": q_fundamental,
+        "hps_f0": q_hps_f0,
     }
 
 
@@ -1999,6 +2013,75 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
+        "hps_f0": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
+                       AS hi
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+                AND (strt / 8)::BIGINT < 4
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     least(greatest(floor((v.val - fr.lo)
+                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            ),
+            cnts AS (
+              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+              FROM el GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
+                     coalesce(c.c, 0.0) AS m
+              FROM fr
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+            ),
+            pw AS (
+              SELECT doc_id, frame_idx, bin, m * m AS p FROM grid
+            ),
+            cand AS (
+              SELECT a.doc_id, a.frame_idx, a.bin AS f0_bin,
+                     a.p * b2.p * b3.p AS hps
+              FROM pw a
+              JOIN pw b2 ON b2.doc_id = a.doc_id
+                AND b2.frame_idx = a.frame_idx AND b2.bin = a.bin * 2
+              JOIN pw b3 ON b3.doc_id = a.doc_id
+                AND b3.frame_idx = a.frame_idx AND b3.bin = a.bin * 3
+              WHERE a.bin BETWEEN 1 AND 7 AND a.bin * 3 <= 15
+            ),
+            best AS (
+              SELECT doc_id, frame_idx, f0_bin, hps,
+                     row_number() OVER (PARTITION BY doc_id, frame_idx
+                       ORDER BY hps DESC, f0_bin ASC) AS rk
+              FROM cand WHERE hps > 0
+            )
+            SELECT g.doc_id, g.frame_idx,
+                   coalesce(b.f0_bin, 0)::INT AS f0_bin,
+                   round(coalesce(b.hps, 0.0), 6) AS hps
+            FROM (SELECT DISTINCT doc_id, frame_idx FROM grid) g
+            LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+              USING (doc_id, frame_idx)
+        """,
         "fundamental_autocorr": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

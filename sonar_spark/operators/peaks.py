@@ -100,6 +100,73 @@ def assign_harmonics(
     ).drop("__harm")
 
 
+def harmonic_product_f0(
+    spec: DataFrame,
+    group_cols: list[str],
+    *,
+    bin_col: str = "bin",
+    mag_col: str = "m",
+    num_bins: int = 16,
+    num_harmonics: int = 3,
+    min_bin: int = 1,
+    max_bin: int = 7,
+) -> DataFrame:
+    """Harmonic product spectrum F0 (harmonic_product.go:32-160):
+    hps[i] = prod_{h=1..H} power[i*h], where the downsampled spectrum
+    is zero beyond len/h (so any i with i*H >= num_bins yields 0 and
+    can never win the strict-> peak scan); f0_bin = argmax of hps in
+    [min_bin, max_bin] (first wins ties -> smallest bin), 0 when no
+    positive value. (The reference's trailing local-max 'verification'
+    returns bestBin on both branches — a dead check, reproduced by
+    omission.)
+
+    Relational: H-1 self-joins on bin multiples + one per-group top-1.
+    Output: group cols + f0_bin (int) + hps (the winning product,
+    0.0 for the no-candidate rows)."""
+    pw = spec.select(
+        *group_cols,
+        F.col(bin_col).alias("__b"),
+        (F.col(mag_col) * F.col(mag_col)).alias("__p"),
+    )
+    cand = pw.where(
+        (F.col("__b") >= min_bin)
+        & (F.col("__b") <= max_bin)
+        & (F.col("__b") * num_harmonics <= num_bins - 1)
+    ).withColumnRenamed("__p", "__p1")
+    prod = F.col("__p1")
+    for h in range(2, num_harmonics + 1):
+        ph = pw.select(
+            *[F.col(c).alias(f"__g{h}_{c}") for c in group_cols],
+            F.col("__b").alias(f"__b{h}"),
+            F.col("__p").alias(f"__p{h}"),
+        )
+        on = F.col(f"__b{h}") == F.col("__b") * h
+        for c in group_cols:
+            on = on & (F.col(f"__g{h}_{c}") == F.col(c))
+        cand = cand.join(ph, on).drop(
+            f"__b{h}", *[f"__g{h}_{c}" for c in group_cols]
+        )
+        prod = prod * F.col(f"__p{h}")
+    scored = cand.select(
+        *group_cols, F.col("__b").alias("f0_bin"), prod.alias("hps")
+    ).where(F.col("hps") > 0)
+    best = topk_per_group(
+        scored, group_cols, [F.col("hps").desc(), F.col("f0_bin").asc()], 1
+    ).drop("rank")
+    return (
+        spec.select(*group_cols)
+        .distinct()
+        .join(best, group_cols, "left")
+        .select(
+            *group_cols,
+            F.coalesce(F.col("f0_bin"), F.lit(0)).cast("int").alias(
+                "f0_bin"
+            ),
+            F.coalesce("hps", F.lit(0.0)).alias("hps"),
+        )
+    )
+
+
 def hpcp(
     peaks: DataFrame,
     group_cols: list[str],
