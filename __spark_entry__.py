@@ -1785,6 +1785,197 @@ def q_hps_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key estimation by Krumhansl-profile correlation
+    (key_estimation.go:286-433) over the per-frame HPCP: Pearson r
+    against all 24 shifted major/minor templates, best per frame."""
+    from sonar_spark.operators.peaks import hpcp, spectral_peaks
+    from sonar_spark.operators.tonal import estimate_key
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    pcp = hpcp(peaks, ["doc_id", "frame_idx"])
+    out = estimate_key(pcp, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "key",
+        "mode",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def _hpcp_chain_sql() -> str:
+    """Shared WITH-chain computing the per-frame HPCP table (CTE
+    `en`: doc_id, frame_idx, pitch_class, raw, energy) — used by
+    the hpcp oracle and the key-estimation oracle."""
+    return r'''
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
+                       AS hi
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+                AND (strt / 8)::BIGINT < 4
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     least(greatest(floor((v.val - fr.lo)
+                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            ),
+            cnts AS (
+              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+              FROM el GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
+                     coalesce(c.c, 0.0) AS m
+              FROM fr
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+            ),
+            nb AS (
+              SELECT doc_id, frame_idx, bin, m,
+                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
+              FROM grid
+              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
+            ),
+            pk AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3,
+                     2.0 * (2.0 * m - y1 - y3) AS denom
+              FROM nb
+              WHERE m > y1 AND m > y3 AND m >= 0.00001
+            ),
+            rp AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3, denom,
+                     CASE WHEN abs(denom) > 1e-10
+                          THEN (y3 - y1) / denom ELSE 0.0 END AS off
+              FROM pk
+            ),
+            rf AS (
+              SELECT doc_id, frame_idx,
+                     (bin + off) * 1.0 AS freq,
+                     CASE WHEN abs(denom) > 1e-10
+                          THEN m + 0.5*(y1 - 2.0*m + y3)*off*off
+                               + 0.5*(y3 - y1)*off
+                          ELSE m END AS mag
+              FROM rp
+            ),
+            pcs AS (
+              SELECT doc_id, frame_idx, mag,
+                     (((69.0 + 12.0 * log2(freq / 1.0)) % 12.0) + 12.0)
+                       % 12.0 AS pc
+              FROM rf WHERE freq >= 1.0 AND freq <= 15.0
+            ),
+            sc AS (
+              SELECT doc_id, frame_idx, mag, pc,
+                     unnest(generate_series(floor(pc - 0.5)::BIGINT,
+                                            ceil(pc + 0.5)::BIGINT)) AS b
+              FROM pcs
+            ),
+            wd AS (
+              SELECT doc_id, frame_idx, mag,
+                     ((b % 12) + 12) % 12 AS pitch_class,
+                     CASE WHEN abs(b - pc) > 6.0
+                          THEN 12.0 - abs(b - pc)
+                          ELSE abs(b - pc) END AS dist
+              FROM sc
+            ),
+            contrib AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     sum(mag * greatest(cos(pi() * dist / 1.0), 0.0))
+                       AS raw
+              FROM wd WHERE dist <= 0.5 GROUP BY 1, 2, 3
+            ),
+            frames12 AS (
+              SELECT DISTINCT p.doc_id, p.frame_idx, ks.k::BIGINT
+                       AS pitch_class
+              FROM pk p
+              CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k) ks
+            ),
+            g12 AS (
+              SELECT f12.doc_id, f12.frame_idx, f12.pitch_class,
+                     coalesce(c.raw, 0.0) AS raw
+              FROM frames12 f12
+              LEFT JOIN contrib c
+                ON c.doc_id = f12.doc_id
+                AND c.frame_idx = f12.frame_idx
+                AND c.pitch_class = f12.pitch_class
+            ),
+            en AS (
+              SELECT doc_id, frame_idx, pitch_class, raw,
+                     sqrt(sum(raw * raw) OVER (PARTITION BY doc_id,
+                       frame_idx)) AS energy
+              FROM g12
+            )'''
+
+
+def _key_oracle_sql() -> str:
+    from sonar_spark.operators.tonal import key_template_rows
+
+    tpl = ", ".join(
+        f"({k}, '{m}', {pc}, {v!r})" for k, m, pc, v in key_template_rows()
+    )
+    hpcp_body = _hpcp_chain_sql()
+    return rf"""
+        {hpcp_body},
+        tpl(key, mode, pc, tv) AS (VALUES {tpl}),
+        raw12 AS (
+          SELECT doc_id, frame_idx, pitch_class,
+                 CASE WHEN energy > 0 THEN raw / energy
+                      ELSE 0.0 END AS hv
+          FROM en
+        ),
+        s AS (
+          SELECT r.doc_id, r.frame_idx, t.key, t.mode,
+                 count(*)::DOUBLE AS n,
+                 sum(r.hv) AS sx, sum(t.tv) AS sy,
+                 sum(r.hv * t.tv) AS sxy,
+                 sum(r.hv * r.hv) AS sxx, sum(t.tv * t.tv) AS syy
+          FROM raw12 r JOIN tpl t ON t.pc = r.pitch_class
+          GROUP BY 1, 2, 3, 4
+        ),
+        scored AS (
+          SELECT doc_id, frame_idx, key, mode,
+                 CASE WHEN (sxx - sx*sx/n) <= 0 OR (syy - sy*sy/n) <= 0
+                      THEN 0.0
+                      ELSE (sxy - sx*sy/n)
+                           / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n))
+                      END AS confidence
+          FROM s
+        ),
+        best AS (
+          SELECT doc_id, frame_idx, key, mode, confidence,
+                 row_number() OVER (PARTITION BY doc_id, frame_idx
+                   ORDER BY confidence DESC, mode ASC, key ASC) AS rk
+          FROM scored
+        )
+        SELECT doc_id, frame_idx, key, mode,
+               round(confidence, 6) + 0.0 AS confidence
+        FROM best WHERE rk = 1
+    """
+
+
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOnsetsComplex (onset_detection.go:122-183): flux onsets
     UNION energy onsets, then the greedy tolerance dedupe (keep iff
@@ -1960,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnr": q_hnr,
         "fundamental_autocorr": q_fundamental,
         "hps_f0": q_hps_f0,
+        "key_estimation": q_key_estimation,
     }
 
 
@@ -2011,6 +2203,7 @@ FROM l ASOF LEFT JOIN r
 def oracle_sql() -> dict[str, str]:
     return {
         "mfcc_frames": _mfcc_oracle_sql(),
+        "key_estimation": _key_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
         "hps_f0": r"""
@@ -2385,123 +2578,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, frame_idx AS onset_frame
             FROM chain WHERE kept
         """,
-        "hpcp": r"""
-            WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
-              FROM documents
-            ),
-            v AS (
-              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
-                     length(unnest(tl))::DOUBLE AS val
-              FROM toks
-            ),
-            f AS (
-              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
-                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
-              FROM v
-              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
-            ),
-            fr AS (
-              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
-                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
-                       AS hi
-              FROM f WHERE strt % 8 = 0 AND cnt = 32
-                AND (strt / 8)::BIGINT < 4
-            ),
-            el AS (
-              SELECT fr.doc_id, fr.frame_idx,
-                     least(greatest(floor((v.val - fr.lo)
-                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
-              FROM fr JOIN v ON v.doc_id = fr.doc_id
-                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
-            ),
-            cnts AS (
-              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
-              FROM el GROUP BY 1, 2, 3
-            ),
-            grid AS (
-              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
-                     coalesce(c.c, 0.0) AS m
-              FROM fr
-              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
-              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
-                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
-            ),
-            nb AS (
-              SELECT doc_id, frame_idx, bin, m,
-                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
-              FROM grid
-              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
-            ),
-            pk AS (
-              SELECT doc_id, frame_idx, bin, m, y1, y3,
-                     2.0 * (2.0 * m - y1 - y3) AS denom
-              FROM nb
-              WHERE m > y1 AND m > y3 AND m >= 0.00001
-            ),
-            rp AS (
-              SELECT doc_id, frame_idx, bin, m, y1, y3, denom,
-                     CASE WHEN abs(denom) > 1e-10
-                          THEN (y3 - y1) / denom ELSE 0.0 END AS off
-              FROM pk
-            ),
-            rf AS (
-              SELECT doc_id, frame_idx,
-                     (bin + off) * 1.0 AS freq,
-                     CASE WHEN abs(denom) > 1e-10
-                          THEN m + 0.5*(y1 - 2.0*m + y3)*off*off
-                               + 0.5*(y3 - y1)*off
-                          ELSE m END AS mag
-              FROM rp
-            ),
-            pcs AS (
-              SELECT doc_id, frame_idx, mag,
-                     (((69.0 + 12.0 * log2(freq / 1.0)) % 12.0) + 12.0)
-                       % 12.0 AS pc
-              FROM rf WHERE freq >= 1.0 AND freq <= 15.0
-            ),
-            sc AS (
-              SELECT doc_id, frame_idx, mag, pc,
-                     unnest(generate_series(floor(pc - 0.5)::BIGINT,
-                                            ceil(pc + 0.5)::BIGINT)) AS b
-              FROM pcs
-            ),
-            wd AS (
-              SELECT doc_id, frame_idx, mag,
-                     ((b % 12) + 12) % 12 AS pitch_class,
-                     CASE WHEN abs(b - pc) > 6.0
-                          THEN 12.0 - abs(b - pc)
-                          ELSE abs(b - pc) END AS dist
-              FROM sc
-            ),
-            contrib AS (
-              SELECT doc_id, frame_idx, pitch_class,
-                     sum(mag * greatest(cos(pi() * dist / 1.0), 0.0))
-                       AS raw
-              FROM wd WHERE dist <= 0.5 GROUP BY 1, 2, 3
-            ),
-            frames12 AS (
-              SELECT DISTINCT p.doc_id, p.frame_idx, ks.k::BIGINT
-                       AS pitch_class
-              FROM pk p
-              CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k) ks
-            ),
-            g12 AS (
-              SELECT f12.doc_id, f12.frame_idx, f12.pitch_class,
-                     coalesce(c.raw, 0.0) AS raw
-              FROM frames12 f12
-              LEFT JOIN contrib c
-                ON c.doc_id = f12.doc_id
-                AND c.frame_idx = f12.frame_idx
-                AND c.pitch_class = f12.pitch_class
-            ),
-            en AS (
-              SELECT doc_id, frame_idx, pitch_class, raw,
-                     sqrt(sum(raw * raw) OVER (PARTITION BY doc_id,
-                       frame_idx)) AS energy
-              FROM g12
-            )
+        "hpcp": _hpcp_chain_sql() + r"""
             SELECT doc_id, frame_idx, pitch_class,
                    round(CASE WHEN energy > 0 THEN raw / energy
                          ELSE 0.0 END, 6) + 0.0 AS hpcp
