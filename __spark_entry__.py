@@ -1976,6 +1976,21 @@ def _key_oracle_sql() -> str:
     """
 
 
+def q_yin_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified YIN F0 (fundamental_estimation.go:60-96,176-217,
+    238-258) over the token-length series: CMNDF first-below-0.15
+    in lags 4..32 with parabolic refinement."""
+    from sonar_spark.operators.temporal import estimate_yin
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    out = estimate_yin(vals)
+    return out.select("doc_id", F.round("f0", 6).alias("f0"))
+
+
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOnsetsComplex (onset_detection.go:122-183): flux onsets
     UNION energy onsets, then the greedy tolerance dedupe (keep iff
@@ -2152,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fundamental_autocorr": q_fundamental,
         "hps_f0": q_hps_f0,
         "key_estimation": q_key_estimation,
+        "yin_f0": q_yin_f0,
     }
 
 
@@ -2274,6 +2290,77 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id, frame_idx FROM grid) g
             LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
               USING (doc_id, frame_idx)
+        """,
+        "yin_f0": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            base AS (
+              SELECT doc_id, count(*)::BIGINT AS n FROM v GROUP BY 1
+            ),
+            lags AS (
+              SELECT doc_id,
+                     unnest(generate_series(1,
+                       least(32, (n // 2) - 1)::BIGINT)) AS lag
+              FROM base WHERE least(32, (n // 2) - 1) >= 1
+            ),
+            d AS (
+              SELECT l.doc_id, l.lag,
+                     avg((a.val - b.val) * (a.val - b.val)) AS dv
+              FROM lags l
+              JOIN v a ON a.doc_id = l.doc_id
+              JOIN v b ON b.doc_id = l.doc_id
+                AND b.pos = a.pos + l.lag
+              GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT doc_id, lag, dv,
+                     sum(dv) OVER (PARTITION BY doc_id ORDER BY lag)
+                       AS cum
+              FROM d
+            ),
+            cm AS (
+              SELECT doc_id, lag,
+                     CASE WHEN cum > 0 THEN dv * lag / cum
+                          ELSE 1.0 END AS cmndf
+              FROM c
+            ),
+            nb AS (
+              SELECT doc_id, lag, cmndf,
+                     CASE WHEN lag = 1 THEN 1.0
+                          ELSE lag(cmndf) OVER w END AS y1,
+                     lead(cmndf) OVER w AS y3
+              FROM cm
+              WINDOW w AS (PARTITION BY doc_id ORDER BY lag)
+            ),
+            cand AS (
+              SELECT doc_id, lag,
+                     CASE WHEN y3 IS NULL
+                          OR abs(2.0*(2.0*cmndf - y1 - y3)) < 1e-10
+                          THEN lag::DOUBLE
+                          ELSE lag + (y3 - y1)
+                               / (2.0*(2.0*cmndf - y1 - y3)) END
+                       AS interp
+              FROM nb
+              WHERE lag >= 4 AND cmndf < 0.15
+            ),
+            best AS (
+              SELECT doc_id, interp,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY lag ASC) AS rk
+              FROM cand WHERE interp > 0
+            )
+            SELECT d2.doc_id,
+                   round(coalesce(1.0 / b.interp, 0.0), 6) + 0.0 AS f0
+            FROM (SELECT DISTINCT doc_id FROM v) d2
+            LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+              USING (doc_id)
         """,
         "fundamental_autocorr": r"""
             WITH toks AS (

@@ -271,6 +271,103 @@ def estimate_fundamental(
     )
 
 
+def estimate_yin(
+    vals: DataFrame,
+    *,
+    key: str = "doc_id",
+    pos: str = "pos",
+    val: str = "v",
+    sample_rate: float = 1.0,
+    min_f0: float = 1.0 / 32.0,
+    max_f0: float = 1.0 / 4.0,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """Simplified YIN F0 (fundamental_estimation.go:60-96 + the
+    difference function :176-196, CMNDF :198-217 and parabolic
+    interpolation :238-258): diff[lag] = mean squared lagged
+    difference; cmndf[lag] = diff[lag] * lag / cumsum(diff[1..lag])
+    (1.0 when the cumsum is 0); the FIRST lag in [minLag, maxLag]
+    with cmndf < threshold wins, refined by parabolic interpolation
+    over cmndf (un-refined at the array edges or a ~0 denominator);
+    candidates whose refined lag is <= 0 are skipped exactly like the
+    reference's continue-scan; f0 = sr / refined lag, 0 when none."""
+    min_lag = max(int(sample_rate / max_f0), 1)
+    max_lag_cfg = int(sample_rate / min_f0)
+    base = vals.groupBy(key).agg(F.count("*").alias("__n"))
+    lag_hi = F.least(
+        F.lit(max_lag_cfg).cast("long"),
+        F.floor(F.col("__n") / 2).cast("long") - 1,
+    )
+    lags = base.where(lag_hi >= 1).select(
+        key,
+        lag_hi.alias("__hi"),
+        F.explode(F.sequence(F.lit(1).cast("long"), lag_hi)).alias("__lag"),
+    )
+    a = vals.select(key, F.col(pos).alias("__pa"), F.col(val).alias("__va"))
+    b = vals.select(
+        F.col(key).alias("__kb"),
+        F.col(pos).alias("__pb"),
+        F.col(val).alias("__vb"),
+    )
+    diff = (
+        lags.join(a, key)
+        .join(
+            b,
+            (F.col("__kb") == F.col(key))
+            & (F.col("__pb") == F.col("__pa") + F.col("__lag")),
+        )
+        .groupBy(key, "__hi", "__lag")
+        .agg(
+            F.avg(
+                (F.col("__va") - F.col("__vb"))
+                * (F.col("__va") - F.col("__vb"))
+            ).alias("__d")
+        )
+    )
+    w = Window.partitionBy(key).orderBy("__lag")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = diff.withColumn("__cum", F.sum("__d").over(wc)).withColumn(
+        "__cmndf",
+        F.when(
+            F.col("__cum") > 0,
+            F.col("__d") * F.col("__lag") / F.col("__cum"),
+        ).otherwise(F.lit(1.0)),
+    )
+    nb = c.withColumn("__y1", F.lag("__cmndf").over(w)).withColumn(
+        "__y3", F.lead("__cmndf").over(w)
+    )
+    # cmndf[0] = 1.0 exists conceptually: the lag-1 row's left
+    # neighbor is that constant
+    y1 = F.when(F.col("__lag") == 1, F.lit(1.0)).otherwise(F.col("__y1"))
+    denom = 2.0 * (2.0 * F.col("__cmndf") - y1 - F.col("__y3"))
+    interp = F.when(
+        F.col("__y3").isNull() | (F.abs(denom) < 1e-10),
+        F.col("__lag").cast("double"),
+    ).otherwise(
+        F.col("__lag") + (F.col("__y3") - y1) / denom
+    )
+    cand = nb.where(
+        (F.col("__lag") >= min_lag) & (F.col("__cmndf") < threshold)
+    ).withColumn("__interp", interp).where(F.col("__interp") > 0)
+    from .topk import topk_per_group
+
+    best = topk_per_group(
+        cand.select(key, "__lag", "__interp"),
+        key,
+        [F.col("__lag").asc()],
+        1,
+    )
+    f0 = best.select(
+        key, (F.lit(float(sample_rate)) / F.col("__interp")).alias("f0")
+    )
+    return (
+        vals.select(key)
+        .distinct()
+        .join(f0, key, "left")
+        .select(key, F.coalesce("f0", F.lit(0.0)).alias("f0"))
+    )
+
+
 def voice_quality(
     feats: DataFrame,
     onsets: DataFrame,
