@@ -1991,6 +1991,27 @@ def q_yin_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("f0", 6).alias("f0"))
 
 
+def q_lpc4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-4 LPC via the unrolled Levinson-Durbin recursion
+    (speech/lpc.go:83-135) over the token-length series: reflection
+    coefficients k1..k4, final LPC coefficients a1..a4, gain =
+    sqrt(E4). Autocorrelation lags are exact integer sums, so both
+    engines run identical double arithmetic."""
+    from sonar_spark.operators.lpc import lpc4
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    out = lpc4(vals)
+    return out.select(
+        "doc_id",
+        *[F.round(c, 6).alias(c) for c in
+          ("k1", "k2", "k3", "k4", "a1", "a2", "a3", "a4", "gain")],
+    )
+
+
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOnsetsComplex (onset_detection.go:122-183): flux onsets
     UNION energy onsets, then the greedy tolerance dedupe (keep iff
@@ -2168,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hps_f0": q_hps_f0,
         "key_estimation": q_key_estimation,
         "yin_f0": q_yin_f0,
+        "lpc4": q_lpc4,
     }
 
 
@@ -2290,6 +2312,96 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id, frame_idx FROM grid) g
             LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
               USING (doc_id, frame_idx)
+        """,
+        "lpc4": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            rs AS (
+              SELECT a.doc_id,
+                     count(CASE WHEN b.pos = a.pos THEN 1 END) AS n,
+                     sum(CASE WHEN b.pos - a.pos = 0
+                         THEN a.val * b.val ELSE 0.0 END) AS r0,
+                     sum(CASE WHEN b.pos - a.pos = 1
+                         THEN a.val * b.val ELSE 0.0 END) AS r1,
+                     sum(CASE WHEN b.pos - a.pos = 2
+                         THEN a.val * b.val ELSE 0.0 END) AS r2,
+                     sum(CASE WHEN b.pos - a.pos = 3
+                         THEN a.val * b.val ELSE 0.0 END) AS r3,
+                     sum(CASE WHEN b.pos - a.pos = 4
+                         THEN a.val * b.val ELSE 0.0 END) AS r4
+              FROM v a JOIN v b ON b.doc_id = a.doc_id
+                AND b.pos BETWEEN a.pos AND a.pos + 4
+              GROUP BY 1
+            ),
+            s1 AS (
+              SELECT doc_id, r0, r1, r2, r3, r4,
+                     CASE WHEN r0 > 0 THEN r1 / r0 ELSE 0.0 END AS k1
+              FROM rs WHERE n >= 8 AND r0 > 0
+            ),
+            s2 AS (
+              SELECT *, k1 AS a1_1,
+                     CASE WHEN r0 > 0 THEN r0 * (1 - k1 * k1)
+                          ELSE 0.0 END AS e1
+              FROM s1
+            ),
+            s3 AS (
+              SELECT *,
+                     CASE WHEN e1 > 0 THEN (r2 - a1_1 * r1) / e1
+                          ELSE 0.0 END AS k2
+              FROM s2
+            ),
+            s4 AS (
+              SELECT *, k2 AS a2_2, a1_1 - k2 * a1_1 AS a2_1,
+                     CASE WHEN e1 > 0 THEN e1 * (1 - k2 * k2)
+                          ELSE 0.0 END AS e2
+              FROM s3
+            ),
+            s5 AS (
+              SELECT *,
+                     CASE WHEN e2 > 0
+                          THEN (r3 - a2_1 * r2 - a2_2 * r1) / e2
+                          ELSE 0.0 END AS k3
+              FROM s4
+            ),
+            s6 AS (
+              SELECT *, k3 AS a3_3, a2_1 - k3 * a2_2 AS a3_1,
+                     a2_2 - k3 * a2_1 AS a3_2,
+                     CASE WHEN e2 > 0 THEN e2 * (1 - k3 * k3)
+                          ELSE 0.0 END AS e3
+              FROM s5
+            ),
+            s7 AS (
+              SELECT *,
+                     CASE WHEN e3 > 0
+                          THEN (r4 - a3_1 * r3 - a3_2 * r2 - a3_3 * r1)
+                               / e3
+                          ELSE 0.0 END AS k4
+              FROM s6
+            ),
+            s8 AS (
+              SELECT *, a3_1 - k4 * a3_3 AS a4_1,
+                     a3_2 - k4 * a3_2 AS a4_2,
+                     a3_3 - k4 * a3_1 AS a4_3, k4 AS a4_4,
+                     CASE WHEN e3 > 0 THEN e3 * (1 - k4 * k4)
+                          ELSE 0.0 END AS e4
+              FROM s7
+            )
+            SELECT doc_id,
+                   round(k1, 6) + 0.0 AS k1, round(k2, 6) + 0.0 AS k2,
+                   round(k3, 6) + 0.0 AS k3, round(k4, 6) + 0.0 AS k4,
+                   round(a4_1, 6) + 0.0 AS a1,
+                   round(a4_2, 6) + 0.0 AS a2,
+                   round(a4_3, 6) + 0.0 AS a3,
+                   round(a4_4, 6) + 0.0 AS a4,
+                   round(sqrt(greatest(e4, 0.0)), 6) + 0.0 AS gain
+            FROM s8
         """,
         "yin_f0": r"""
             WITH toks AS (
