@@ -2012,6 +2012,64 @@ def q_lpc4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chord_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chord detection by template matching
+    (chord_detection.go:268-733): weight-scaled dot products of the
+    per-frame HPCP against all 120 root-rotated quality templates,
+    best per frame."""
+    from sonar_spark.operators.peaks import hpcp, spectral_peaks
+    from sonar_spark.operators.tonal import detect_chords
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    pcp = hpcp(peaks, ["doc_id", "frame_idx"])
+    out = detect_chords(pcp, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "chord_root",
+        "chord_quality",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _chord_oracle_sql() -> str:
+    from sonar_spark.operators.tonal import chord_template_rows
+
+    tpl = ", ".join(
+        f"('{q}', {r}, {pc}, {tv!r}, {w!r})"
+        for q, r, pc, tv, w in chord_template_rows()
+    )
+    return rf"""
+        {_hpcp_chain_sql()},
+        tpl(quality, root, pc, tv, weight) AS (VALUES {tpl}),
+        raw12 AS (
+          SELECT doc_id, frame_idx, pitch_class,
+                 CASE WHEN energy > 0 THEN raw / energy
+                      ELSE 0.0 END AS hv
+          FROM en
+        ),
+        s AS (
+          SELECT r.doc_id, r.frame_idx, t.quality, t.root,
+                 sum(r.hv * t.tv) * max(t.weight) AS score
+          FROM raw12 r JOIN tpl t ON t.pc = r.pitch_class
+          GROUP BY 1, 2, 3, 4
+        ),
+        best AS (
+          SELECT doc_id, frame_idx, root, quality, score,
+                 row_number() OVER (PARTITION BY doc_id, frame_idx
+                   ORDER BY score DESC, quality ASC, root ASC) AS rk
+          FROM s
+        )
+        SELECT doc_id, frame_idx, root AS chord_root,
+               quality AS chord_quality,
+               round(score, 6) + 0.0 AS score
+        FROM best WHERE rk = 1
+    """
+
+
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOnsetsComplex (onset_detection.go:122-183): flux onsets
     UNION energy onsets, then the greedy tolerance dedupe (keep iff
@@ -2190,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_estimation": q_key_estimation,
         "yin_f0": q_yin_f0,
         "lpc4": q_lpc4,
+        "chord_detection": q_chord_detection,
     }
 
 
@@ -2242,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mfcc_frames": _mfcc_oracle_sql(),
         "key_estimation": _key_oracle_sql(),
+        "chord_detection": _chord_oracle_sql(),
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
         "hps_f0": r"""

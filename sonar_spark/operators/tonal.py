@@ -39,6 +39,81 @@ def key_template_rows() -> list[tuple[int, str, int, float]]:
     return rows
 
 
+# Chord quality templates (chord_detection.go:268-375): pattern over
+# pitch classes at root 0, matching weight
+CHORD_TEMPLATES = {
+    "major": ([0, 4, 7], 1.0),
+    "minor": ([0, 3, 7], 1.0),
+    "diminished": ([0, 3, 6], 0.8),
+    "augmented": ([0, 4, 8], 0.7),
+    "dominant7": ([0, 4, 7, 10], 0.9),
+    "major7": ([0, 4, 7, 11], 0.85),
+    "minor7": ([0, 3, 7, 10], 0.85),
+    "sus2": ([0, 2, 7], 0.7),
+    "sus4": ([0, 5, 7], 0.7),
+    "power": ([0, 7], 0.6),
+}
+
+
+def chord_template_rows() -> list[tuple[str, int, int, float, float]]:
+    """(quality, root, pitch_class, tv, weight): the root-rotated
+    binary patterns (rotatePattern, chord_detection.go:712-718 —
+    rotated[(i + root) % 12] = pattern[i], i.e. class (interval +
+    root) % 12 is active)."""
+    rows = []
+    for quality, (intervals, weight) in CHORD_TEMPLATES.items():
+        for root in range(12):
+            active = {(iv + root) % 12 for iv in intervals}
+            for pc in range(12):
+                rows.append(
+                    (quality, root, pc, 1.0 if pc in active else 0.0,
+                     weight)
+                )
+    return rows
+
+
+def detect_chords(
+    chroma: DataFrame,
+    group_cols: list[str],
+    *,
+    class_col: str = "pitch_class",
+    value_col: str = "hpcp",
+) -> DataFrame:
+    """Chord detection by template matching
+    (chord_detection.go:586-733): score(quality, root) = weight *
+    dot(chroma, rotated binary pattern), best per group (ties ->
+    quality asc, root asc; the reference iterates an unordered map).
+    Bass detection / inversions are omitted (no bass-register analog
+    on the histogram spectrum); the chroma input is already
+    unit-energy (the HPCP normalizer), so normalizeChroma is a no-op.
+
+    Output: group cols + chord_root, chord_quality, score."""
+    spark = chroma.sparkSession
+    tpl = spark.createDataFrame(
+        chord_template_rows(),
+        "quality string, root int, pc int, tv double, weight double",
+    )
+    j = chroma.join(F.broadcast(tpl), F.col(class_col) == F.col("pc"))
+    s = j.groupBy(*group_cols, "quality", "root").agg(
+        (
+            F.sum(F.col(value_col).cast("double") * F.col("tv"))
+            * F.max("weight")
+        ).alias("score")
+    )
+    best = topk_per_group(
+        s,
+        group_cols,
+        [F.col("score").desc(), F.col("quality").asc(), F.col("root").asc()],
+        1,
+    )
+    return best.drop("rank").select(
+        *group_cols,
+        F.col("root").alias("chord_root"),
+        F.col("quality").alias("chord_quality"),
+        "score",
+    )
+
+
 def estimate_key(
     chroma: DataFrame,
     group_cols: list[str],
