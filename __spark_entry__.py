@@ -2035,6 +2035,92 @@ def q_chord_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpc_chain_sql() -> str:
+    """Shared WITH-chain computing per-doc order-4 LPC terms (CTE
+    `s8`: k1..k4, a4_1..a4_4, e4) — used by the lpc4 and
+    lpc_envelope oracles."""
+    return r'''
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            rs AS (
+              SELECT a.doc_id,
+                     count(CASE WHEN b.pos = a.pos THEN 1 END) AS n,
+                     sum(CASE WHEN b.pos - a.pos = 0
+                         THEN a.val * b.val ELSE 0.0 END) AS r0,
+                     sum(CASE WHEN b.pos - a.pos = 1
+                         THEN a.val * b.val ELSE 0.0 END) AS r1,
+                     sum(CASE WHEN b.pos - a.pos = 2
+                         THEN a.val * b.val ELSE 0.0 END) AS r2,
+                     sum(CASE WHEN b.pos - a.pos = 3
+                         THEN a.val * b.val ELSE 0.0 END) AS r3,
+                     sum(CASE WHEN b.pos - a.pos = 4
+                         THEN a.val * b.val ELSE 0.0 END) AS r4
+              FROM v a JOIN v b ON b.doc_id = a.doc_id
+                AND b.pos BETWEEN a.pos AND a.pos + 4
+              GROUP BY 1
+            ),
+            s1 AS (
+              SELECT doc_id, r0, r1, r2, r3, r4,
+                     CASE WHEN r0 > 0 THEN r1 / r0 ELSE 0.0 END AS k1
+              FROM rs WHERE n >= 8 AND r0 > 0
+            ),
+            s2 AS (
+              SELECT *, k1 AS a1_1,
+                     CASE WHEN r0 > 0 THEN r0 * (1 - k1 * k1)
+                          ELSE 0.0 END AS e1
+              FROM s1
+            ),
+            s3 AS (
+              SELECT *,
+                     CASE WHEN e1 > 0 THEN (r2 - a1_1 * r1) / e1
+                          ELSE 0.0 END AS k2
+              FROM s2
+            ),
+            s4 AS (
+              SELECT *, k2 AS a2_2, a1_1 - k2 * a1_1 AS a2_1,
+                     CASE WHEN e1 > 0 THEN e1 * (1 - k2 * k2)
+                          ELSE 0.0 END AS e2
+              FROM s3
+            ),
+            s5 AS (
+              SELECT *,
+                     CASE WHEN e2 > 0
+                          THEN (r3 - a2_1 * r2 - a2_2 * r1) / e2
+                          ELSE 0.0 END AS k3
+              FROM s4
+            ),
+            s6 AS (
+              SELECT *, k3 AS a3_3, a2_1 - k3 * a2_2 AS a3_1,
+                     a2_2 - k3 * a2_1 AS a3_2,
+                     CASE WHEN e2 > 0 THEN e2 * (1 - k3 * k3)
+                          ELSE 0.0 END AS e3
+              FROM s5
+            ),
+            s7 AS (
+              SELECT *,
+                     CASE WHEN e3 > 0
+                          THEN (r4 - a3_1 * r3 - a3_2 * r2 - a3_3 * r1)
+                               / e3
+                          ELSE 0.0 END AS k4
+              FROM s6
+            ),
+            s8 AS (
+              SELECT *, a3_1 - k4 * a3_3 AS a4_1,
+                     a3_2 - k4 * a3_2 AS a4_2,
+                     a3_3 - k4 * a3_1 AS a4_3, k4 AS a4_4,
+                     CASE WHEN e3 > 0 THEN e3 * (1 - k4 * k4)
+                          ELSE 0.0 END AS e4
+              FROM s7
+            )'''
+
+
 def _chord_oracle_sql() -> str:
     from sonar_spark.operators.tonal import chord_template_rows
 
@@ -2068,6 +2154,24 @@ def _chord_oracle_sql() -> str:
                round(score, 6) + 0.0 AS score
         FROM best WHERE rk = 1
     """
+
+
+def q_lpc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPC spectral envelope (lpc.go:232-265): 1/|A(e^{j w})| from the
+    order-4 coefficients at the 9 nfft=16 DFT frequencies per doc."""
+    from sonar_spark.operators.lpc import lpc4, lpc_envelope
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    out = lpc_envelope(lpc4(vals))
+    return out.select(
+        "doc_id",
+        F.col("k_idx").cast("long").alias("k_idx"),
+        F.round("envelope", 6).alias("envelope"),
+    )
 
 
 def q_onsets_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2249,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yin_f0": q_yin_f0,
         "lpc4": q_lpc4,
         "chord_detection": q_chord_detection,
+        "lpc_envelope": q_lpc_envelope,
     }
 
 
@@ -2302,6 +2407,32 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "key_estimation": _key_oracle_sql(),
         "chord_detection": _chord_oracle_sql(),
+        "lpc_envelope": _lpc_chain_sql() + r""",
+            freqs AS (
+              SELECT s8.doc_id, s8.a4_1, s8.a4_2, s8.a4_3, s8.a4_4,
+                     ks.k AS k_idx,
+                     2.0 * pi() * ks.k / 16.0 AS omega
+              FROM s8
+              CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS k) ks
+            ),
+            ev AS (
+              SELECT doc_id, k_idx,
+                     1.0 + a4_1 * cos(-1.0 * omega)
+                         + a4_2 * cos(-2.0 * omega)
+                         + a4_3 * cos(-3.0 * omega)
+                         + a4_4 * cos(-4.0 * omega) AS re,
+                     a4_1 * sin(-1.0 * omega)
+                       + a4_2 * sin(-2.0 * omega)
+                       + a4_3 * sin(-3.0 * omega)
+                       + a4_4 * sin(-4.0 * omega) AS im
+              FROM freqs
+            )
+            SELECT doc_id, k_idx,
+                   round(CASE WHEN sqrt(re*re + im*im) > 0
+                         THEN 1.0 / sqrt(re*re + im*im)
+                         ELSE 0.0 END, 6) + 0.0 AS envelope
+            FROM ev
+        """,
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
         "hps_f0": r"""
@@ -2373,86 +2504,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
               USING (doc_id, frame_idx)
         """,
-        "lpc4": r"""
-            WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
-              FROM documents
-            ),
-            v AS (
-              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
-                     length(unnest(tl))::DOUBLE AS val
-              FROM toks
-            ),
-            rs AS (
-              SELECT a.doc_id,
-                     count(CASE WHEN b.pos = a.pos THEN 1 END) AS n,
-                     sum(CASE WHEN b.pos - a.pos = 0
-                         THEN a.val * b.val ELSE 0.0 END) AS r0,
-                     sum(CASE WHEN b.pos - a.pos = 1
-                         THEN a.val * b.val ELSE 0.0 END) AS r1,
-                     sum(CASE WHEN b.pos - a.pos = 2
-                         THEN a.val * b.val ELSE 0.0 END) AS r2,
-                     sum(CASE WHEN b.pos - a.pos = 3
-                         THEN a.val * b.val ELSE 0.0 END) AS r3,
-                     sum(CASE WHEN b.pos - a.pos = 4
-                         THEN a.val * b.val ELSE 0.0 END) AS r4
-              FROM v a JOIN v b ON b.doc_id = a.doc_id
-                AND b.pos BETWEEN a.pos AND a.pos + 4
-              GROUP BY 1
-            ),
-            s1 AS (
-              SELECT doc_id, r0, r1, r2, r3, r4,
-                     CASE WHEN r0 > 0 THEN r1 / r0 ELSE 0.0 END AS k1
-              FROM rs WHERE n >= 8 AND r0 > 0
-            ),
-            s2 AS (
-              SELECT *, k1 AS a1_1,
-                     CASE WHEN r0 > 0 THEN r0 * (1 - k1 * k1)
-                          ELSE 0.0 END AS e1
-              FROM s1
-            ),
-            s3 AS (
-              SELECT *,
-                     CASE WHEN e1 > 0 THEN (r2 - a1_1 * r1) / e1
-                          ELSE 0.0 END AS k2
-              FROM s2
-            ),
-            s4 AS (
-              SELECT *, k2 AS a2_2, a1_1 - k2 * a1_1 AS a2_1,
-                     CASE WHEN e1 > 0 THEN e1 * (1 - k2 * k2)
-                          ELSE 0.0 END AS e2
-              FROM s3
-            ),
-            s5 AS (
-              SELECT *,
-                     CASE WHEN e2 > 0
-                          THEN (r3 - a2_1 * r2 - a2_2 * r1) / e2
-                          ELSE 0.0 END AS k3
-              FROM s4
-            ),
-            s6 AS (
-              SELECT *, k3 AS a3_3, a2_1 - k3 * a2_2 AS a3_1,
-                     a2_2 - k3 * a2_1 AS a3_2,
-                     CASE WHEN e2 > 0 THEN e2 * (1 - k3 * k3)
-                          ELSE 0.0 END AS e3
-              FROM s5
-            ),
-            s7 AS (
-              SELECT *,
-                     CASE WHEN e3 > 0
-                          THEN (r4 - a3_1 * r3 - a3_2 * r2 - a3_3 * r1)
-                               / e3
-                          ELSE 0.0 END AS k4
-              FROM s6
-            ),
-            s8 AS (
-              SELECT *, a3_1 - k4 * a3_3 AS a4_1,
-                     a3_2 - k4 * a3_2 AS a4_2,
-                     a3_3 - k4 * a3_1 AS a4_3, k4 AS a4_4,
-                     CASE WHEN e3 > 0 THEN e3 * (1 - k4 * k4)
-                          ELSE 0.0 END AS e4
-              FROM s7
-            )
+        "lpc4": _lpc_chain_sql() + r"""
             SELECT doc_id,
                    round(k1, 6) + 0.0 AS k1, round(k2, 6) + 0.0 AS k2,
                    round(k3, 6) + 0.0 AS k3, round(k4, 6) + 0.0 AS k4,

@@ -93,3 +93,31 @@ def lpc4(
         a4_4.alias("a4"),
         F.sqrt(F.greatest(e4, F.lit(0.0))).alias("gain"),
     )
+
+
+def lpc_envelope(
+    coeffs: DataFrame,
+    *,
+    key: str = "doc_id",
+    nfft: int = 16,
+) -> DataFrame:
+    """LPC spectral envelope |H(e^{j w})| = 1 / |A(e^{j w})| with
+    A = 1 + sum_i a_i e^{-j i w} evaluated at the nfft/2+1 DFT
+    frequencies (GetSpectralEnvelope, lpc.go:232-265 — the reference's
+    PLUS-sign convention reproduced as written). Pure trig
+    expressions over the lpc4 coefficient columns."""
+    import math
+
+    d = coeffs.withColumn(
+        "k_idx", F.explode(F.sequence(F.lit(0), F.lit(nfft // 2)))
+    )
+    omega = 2.0 * math.pi * F.col("k_idx").cast("double") / float(nfft)
+    re = F.lit(1.0)
+    im = F.lit(0.0)
+    for i in range(1, 5):
+        ang = F.lit(float(-i)) * omega
+        re = re + F.col(f"a{i}") * F.cos(ang)
+        im = im + F.col(f"a{i}") * F.sin(ang)
+    mag = F.sqrt(re * re + im * im)
+    env = F.when(mag > 0, 1.0 / mag).otherwise(F.lit(0.0))
+    return d.select(key, F.col("k_idx"), env.alias("envelope"))
