@@ -2121,6 +2121,109 @@ def _lpc_chain_sql() -> str:
             )'''
 
 
+def _harmonic_chain_sql() -> str:
+    """Shared WITH-chain computing per-frame refined peaks with
+    harmonic assignment (CTE `hp`: doc_id, frame_idx, bin, freq,
+    mag, harmonic) — used by the harmonic_peaks and
+    harmonic_series oracles."""
+    return r'''
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
+                       AS hi
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+                AND (strt / 8)::BIGINT < 4
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     least(greatest(floor((v.val - fr.lo)
+                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            ),
+            cnts AS (
+              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+              FROM el GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
+                     coalesce(c.c, 0.0) AS m
+              FROM fr
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+            ),
+            nb AS (
+              SELECT doc_id, frame_idx, bin, m,
+                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
+              FROM grid
+              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
+            ),
+            pk AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3,
+                     2.0 * (2.0 * m - y1 - y3) AS denom
+              FROM nb
+              WHERE m > y1 AND m > y3 AND m >= 0.00001
+            ),
+            rp AS (
+              SELECT doc_id, frame_idx, bin, m, y1, y3, denom,
+                     CASE WHEN abs(denom) > 1e-10
+                          THEN (y3 - y1) / denom ELSE 0.0 END AS off
+              FROM pk
+            ),
+            rf AS (
+              SELECT doc_id, frame_idx, bin,
+                     (bin + off) * 1.0 AS freq,
+                     CASE WHEN abs(denom) > 1e-10
+                          THEN m + 0.5*(y1 - 2.0*m + y3)*off*off
+                               + 0.5*(y3 - y1)*off
+                          ELSE m END AS mag
+              FROM rp
+            ),
+            f0 AS (
+              SELECT doc_id, frame_idx, arg_min(freq, bin) AS f0
+              FROM rf GROUP BY 1, 2
+            ),
+            hh AS (
+              SELECT rf.doc_id, rf.frame_idx, rf.bin, rf.freq,
+                     hs.h, abs(rf.freq - f0.f0 * hs.h) AS err
+              FROM rf
+              JOIN f0 USING (doc_id, frame_idx)
+              CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS h) hs
+              WHERE abs(rf.freq - f0.f0 * hs.h) / (f0.f0 * hs.h) < 0.05
+            ),
+            best AS (
+              SELECT doc_id, frame_idx, bin, h,
+                     row_number() OVER (PARTITION BY doc_id, frame_idx,
+                       bin ORDER BY err ASC, h ASC) AS rk
+              FROM hh
+            ),
+            hp AS (
+              SELECT rf.doc_id, rf.frame_idx, rf.bin, rf.freq, rf.mag,
+                     coalesce(b.h - 1, -1)::INT AS harmonic
+              FROM rf
+              LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+                ON b.doc_id = rf.doc_id AND b.frame_idx = rf.frame_idx
+                AND b.bin = rf.bin
+            )'''
+
+
 def _chord_oracle_sql() -> str:
     from sonar_spark.operators.tonal import chord_template_rows
 
@@ -2171,6 +2274,39 @@ def q_lpc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("k_idx").cast("long").alias("k_idx"),
         F.round("envelope", 6).alias("envelope"),
+    )
+
+
+def q_harmonic_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzeHarmonicSeries (spectral_peaks.go:200-268) per frame:
+    harmonic count, fundamental magnitude, total harmonic energy,
+    odd/even energy ratio, decay slope over the harmonic-assigned
+    refined peaks."""
+    from sonar_spark.operators.peaks import (
+        assign_harmonics,
+        harmonic_series_analysis,
+        spectral_peaks,
+    )
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    f0 = peaks.groupBy("doc_id", "frame_idx").agg(
+        F.min_by("refined_freq", "bin").alias("f0")
+    )
+    p = assign_harmonics(
+        peaks.join(f0, ["doc_id", "frame_idx"]), ["doc_id", "frame_idx"]
+    )
+    out = harmonic_series_analysis(p, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "num_harmonics",
+        F.round("fundamental_magnitude", 6).alias("fundamental_magnitude"),
+        F.round("total_harmonic_energy", 6).alias("total_harmonic_energy"),
+        F.round("odd_even_ratio", 6).alias("odd_even_ratio"),
+        F.round("harmonic_decay_slope", 6).alias("harmonic_decay_slope"),
     )
 
 
@@ -2354,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpc4": q_lpc4,
         "chord_detection": q_chord_detection,
         "lpc_envelope": q_lpc_envelope,
+        "harmonic_series": q_harmonic_series,
     }
 
 
@@ -2407,6 +2544,41 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "key_estimation": _key_oracle_sql(),
         "chord_detection": _chord_oracle_sql(),
+        "harmonic_series": _harmonic_chain_sql() + r""",
+            hq AS (SELECT * FROM hp WHERE harmonic >= 0),
+            ag AS (
+              SELECT doc_id, frame_idx,
+                     count(*) AS num_harmonics,
+                     coalesce(max(CASE WHEN harmonic = 0 THEN mag END),
+                              0.0) AS fundamental_magnitude,
+                     sum(mag * mag) AS total_harmonic_energy,
+                     sum(CASE WHEN (harmonic + 1) % 2 = 1
+                         THEN mag * mag ELSE 0.0 END) AS odd_e,
+                     sum(CASE WHEN (harmonic + 1) % 2 = 0
+                         THEN mag * mag ELSE 0.0 END) AS even_e,
+                     count(*)::DOUBLE AS n,
+                     sum((harmonic + 1)::DOUBLE) AS sx,
+                     sum(ln(mag + 1e-10)) AS sy,
+                     sum((harmonic + 1)::DOUBLE * ln(mag + 1e-10)) AS sxy,
+                     sum((harmonic + 1)::DOUBLE * (harmonic + 1)::DOUBLE)
+                       AS sxx
+              FROM hq GROUP BY 1, 2
+            )
+            SELECT doc_id, frame_idx, num_harmonics,
+                   round(fundamental_magnitude, 6) + 0.0
+                     AS fundamental_magnitude,
+                   round(total_harmonic_energy, 6) + 0.0
+                     AS total_harmonic_energy,
+                   round(CASE WHEN even_e > 0 THEN odd_e / even_e
+                         ELSE 'infinity'::DOUBLE END, 6) + 0.0
+                     AS odd_even_ratio,
+                   round(CASE WHEN num_harmonics >= 2
+                         THEN (n * sxy - sx * sy)
+                              / (n * sxx - sx * sx)
+                         ELSE NULL END, 6) + 0.0
+                     AS harmonic_decay_slope
+            FROM ag
+        """,
         "lpc_envelope": _lpc_chain_sql() + r""",
             freqs AS (
               SELECT s8.doc_id, s8.a4_1, s8.a4_2, s8.a4_3, s8.a4_4,
@@ -2724,93 +2896,11 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 0.0), 6) + 0.0 AS hnr_db
             FROM expected e LEFT JOIN agg g USING (doc_id)
         """,
-        "harmonic_peaks": r"""
-            WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
-              FROM documents
-            ),
-            v AS (
-              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
-                     length(unnest(tl))::DOUBLE AS val
-              FROM toks
-            ),
-            f AS (
-              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
-                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
-              FROM v
-              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
-            ),
-            fr AS (
-              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
-                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
-                       AS hi
-              FROM f WHERE strt % 8 = 0 AND cnt = 32
-                AND (strt / 8)::BIGINT < 4
-            ),
-            el AS (
-              SELECT fr.doc_id, fr.frame_idx,
-                     least(greatest(floor((v.val - fr.lo)
-                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
-              FROM fr JOIN v ON v.doc_id = fr.doc_id
-                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
-            ),
-            cnts AS (
-              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
-              FROM el GROUP BY 1, 2, 3
-            ),
-            grid AS (
-              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
-                     coalesce(c.c, 0.0) AS m
-              FROM fr
-              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
-              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
-                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
-            ),
-            nb AS (
-              SELECT doc_id, frame_idx, bin, m,
-                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
-              FROM grid
-              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
-            ),
-            pk AS (
-              SELECT doc_id, frame_idx, bin, m, y1, y3,
-                     2.0 * (2.0 * m - y1 - y3) AS denom
-              FROM nb
-              WHERE m > y1 AND m > y3 AND m >= 0.00001
-            ),
-            rf AS (
-              SELECT doc_id, frame_idx, bin,
-                     (bin + CASE WHEN abs(denom) > 1e-10
-                            THEN (y3 - y1) / denom ELSE 0.0 END) * 1.0
-                       AS freq
-              FROM pk
-            ),
-            f0 AS (
-              SELECT doc_id, frame_idx, arg_min(freq, bin) AS f0
-              FROM rf GROUP BY 1, 2
-            ),
-            hh AS (
-              SELECT rf.doc_id, rf.frame_idx, rf.bin, rf.freq,
-                     hs.h, abs(rf.freq - f0.f0 * hs.h) AS err
-              FROM rf
-              JOIN f0 USING (doc_id, frame_idx)
-              CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS h) hs
-              WHERE abs(rf.freq - f0.f0 * hs.h) / (f0.f0 * hs.h) < 0.05
-            ),
-            best AS (
-              SELECT doc_id, frame_idx, bin, h,
-                     row_number() OVER (PARTITION BY doc_id, frame_idx,
-                       bin ORDER BY err ASC, h ASC) AS rk
-              FROM hh
-            )
-            SELECT rf.doc_id, rf.frame_idx, rf.bin,
-                   round(rf.freq, 6) + 0.0 AS refined_freq,
-                   coalesce(b.h - 1, -1)::INT AS harmonic
-            FROM rf
-            LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
-              ON b.doc_id = rf.doc_id AND b.frame_idx = rf.frame_idx
-              AND b.bin = rf.bin
+        "harmonic_peaks": _harmonic_chain_sql() + r"""
+            SELECT doc_id, frame_idx, bin,
+                   round(freq, 6) + 0.0 AS refined_freq,
+                   harmonic
+            FROM hp
         """,
         "onsets_complex": r"""
             WITH RECURSIVE toks AS (

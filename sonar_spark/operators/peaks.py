@@ -167,6 +167,49 @@ def harmonic_product_f0(
     )
 
 
+def harmonic_series_analysis(
+    peaks: DataFrame,
+    group_cols: list[str],
+    *,
+    harmonic_col: str = "harmonic",
+    mag_col: str = "refined_mag",
+) -> DataFrame:
+    """AnalyzeHarmonicSeries (spectral_peaks.go:200-268) over
+    harmonic-assigned peaks (harmonic >= 0 only; groups with none are
+    absent, matching the reference's empty map): harmonic count,
+    fundamental magnitude (harmonic 0, else 0), total harmonic energy,
+    odd/even energy ratio (+inf when even energy is 0), and the
+    harmonic decay slope (linear regression of ln(mag + 1e-10) vs
+    1-indexed harmonic number; NULL below 2 peaks)."""
+    h = peaks.where(F.col(harmonic_col) >= 0)
+    m = F.col(mag_col).cast("double")
+    e = m * m
+    x = (F.col(harmonic_col) + 1).cast("double")
+    y = F.log(m + 1e-10)
+    odd = F.sum(F.when(F.pmod(F.col(harmonic_col) + 1, F.lit(2)) == 1, e)
+                .otherwise(F.lit(0.0)))
+    even = F.sum(F.when(F.pmod(F.col(harmonic_col) + 1, F.lit(2)) == 0, e)
+                 .otherwise(F.lit(0.0)))
+    n = F.count("*").cast("double")
+    sx, sy = F.sum(x), F.sum(y)
+    sxy, sxx = F.sum(x * y), F.sum(x * x)
+    slope = F.when(
+        F.count("*") >= 2,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx),
+    )
+    return h.groupBy(*group_cols).agg(
+        F.count("*").alias("num_harmonics"),
+        F.coalesce(
+            F.max(F.when(F.col(harmonic_col) == 0, m)), F.lit(0.0)
+        ).alias("fundamental_magnitude"),
+        F.sum(e).alias("total_harmonic_energy"),
+        F.when(even > 0, odd / even)
+        .otherwise(F.lit(float("inf")))
+        .alias("odd_even_ratio"),
+        slope.alias("harmonic_decay_slope"),
+    )
+
+
 def hpcp(
     peaks: DataFrame,
     group_cols: list[str],
