@@ -1992,11 +1992,13 @@ def q_yin_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lpc4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-4 LPC via the unrolled Levinson-Durbin recursion
+    """Order-4 LPC via the Levinson-Durbin recursion
     (speech/lpc.go:83-135) over the token-length series: reflection
     coefficients k1..k4, final LPC coefficients a1..a4, gain =
-    sqrt(E4). Autocorrelation lags are exact integer sums, so both
-    engines run identical double arithmetic."""
+    sqrt(E4). The Spark side runs a vectorized Arrow kernel porting
+    the Go loop's IN-PLACE coefficient update order; the oracle
+    encodes the matching closed form. Autocorrelation lags are exact
+    integer sums, so both engines run identical double arithmetic."""
     from sonar_spark.operators.lpc import lpc4
 
     toks = to_token_length_table(_t(spark, sf_dir, "documents"))
@@ -2035,12 +2037,13 @@ def q_chord_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpc_chain_sql() -> str:
+def _lpc_chain_sql(recursive: bool = False) -> str:
     """Shared WITH-chain computing per-doc order-4 LPC terms (CTE
-    `s8`: k1..k4, a4_1..a4_4, e4) — used by the lpc4 and
-    lpc_envelope oracles."""
-    return r'''
-            WITH toks AS (
+    `s8`: k1..k4, a4_1..a4_4, e4) — used by the lpc4, lpc_envelope,
+    and formant oracles (the latter append a RECURSIVE member for the
+    greedy spacing chain)."""
+    head = "WITH RECURSIVE" if recursive else "WITH"
+    return f"\n            {head} " + r'''toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
               FROM documents
             ),
@@ -2097,8 +2100,10 @@ def _lpc_chain_sql() -> str:
               FROM s4
             ),
             s6 AS (
+              -- in-place ascending-j update (lpc.go:118-121): a3_2
+              -- reads the already-updated a3_1, not the old a2_1
               SELECT *, k3 AS a3_3, a2_1 - k3 * a2_2 AS a3_1,
-                     a2_2 - k3 * a2_1 AS a3_2,
+                     a2_2 - k3 * (a2_1 - k3 * a2_2) AS a3_2,
                      CASE WHEN e2 > 0 THEN e2 * (1 - k3 * k3)
                           ELSE 0.0 END AS e3
               FROM s5
@@ -2112,13 +2117,143 @@ def _lpc_chain_sql() -> str:
               FROM s6
             ),
             s8 AS (
+              -- j=3 reads the already-updated a4_1 (lpc.go:118-121)
               SELECT *, a3_1 - k4 * a3_3 AS a4_1,
                      a3_2 - k4 * a3_2 AS a4_2,
-                     a3_3 - k4 * a3_1 AS a4_3, k4 AS a4_4,
+                     a3_3 - k4 * (a3_1 - k4 * a3_3) AS a4_3, k4 AS a4_4,
                      CASE WHEN e3 > 0 THEN e3 * (1 - k4 * k4)
                           ELSE 0.0 END AS e4
               FROM s7
             )'''
+
+
+def _formant_chain_sql() -> str:
+    """Shared recursive WITH-chain for the formant oracles: extends
+    the LPC chain with the nfft=32 envelope (rounded to 6 dp so both
+    engines' libm agree on every comparison), envelope-peak
+    candidates, half-height bandwidths, confidence, the truncate-4 +
+    confidence>=0.2 validation, and the greedy min-200 Hz spacing
+    chain carried as a LIST through a recursive CTE (<= 4 elements).
+    Ends with CTE `ex` (doc_id, formant_idx, f, bw, amp, conf) and
+    keeps `s8` (LPC terms) in scope for the summary oracle."""
+    return _lpc_chain_sql(recursive=True) + r""",
+            freqs AS (
+              SELECT s8.doc_id, s8.a4_1, s8.a4_2, s8.a4_3, s8.a4_4,
+                     ks.k::BIGINT AS k_idx,
+                     2.0 * pi() * ks.k / 32.0 AS omega
+              FROM s8
+              CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS k) ks
+            ),
+            ev AS (
+              SELECT doc_id, k_idx,
+                     1.0 + a4_1 * cos(-1.0 * omega)
+                         + a4_2 * cos(-2.0 * omega)
+                         + a4_3 * cos(-3.0 * omega)
+                         + a4_4 * cos(-4.0 * omega) AS re,
+                     a4_1 * sin(-1.0 * omega)
+                       + a4_2 * sin(-2.0 * omega)
+                       + a4_3 * sin(-3.0 * omega)
+                       + a4_4 * sin(-4.0 * omega) AS im
+              FROM freqs
+            ),
+            env AS (
+              SELECT doc_id, k_idx,
+                     round(CASE WHEN sqrt(re*re + im*im) > 0
+                           THEN 1.0 / sqrt(re*re + im*im)
+                           ELSE 0.0 END, 6) AS e6
+              FROM ev
+            ),
+            px AS (
+              SELECT doc_id, k_idx, e6,
+                     lag(e6) OVER dw AS prv, lead(e6) OVER dw AS nxt,
+                     max(e6) OVER (PARTITION BY doc_id) AS mx
+              FROM env
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY k_idx)
+            ),
+            pks AS (
+              SELECT doc_id, k_idx AS pk, e6 AS amp, e6 / 2.0 AS half
+              FROM px
+              WHERE k_idx BETWEEN 1 AND 15
+                AND e6 > prv AND e6 > nxt
+                AND mx > 0 AND e6 / mx > 0.1
+                AND k_idx * 250.0 >= 50.0 AND k_idx * 250.0 <= 4000.0
+            ),
+            bwj AS (
+              SELECT p.doc_id, p.pk, p.amp,
+                     coalesce(max(CASE WHEN e.k_idx < p.pk
+                                        AND e.e6 <= p.half
+                                   THEN e.k_idx END), p.pk) AS l,
+                     coalesce(min(CASE WHEN e.k_idx > p.pk
+                                        AND e.e6 <= p.half
+                                   THEN e.k_idx END), p.pk) AS r
+              FROM pks p JOIN env e ON e.doc_id = p.doc_id
+              GROUP BY 1, 2, 3, p.half
+            ),
+            cd AS (
+              SELECT doc_id, pk * 250.0 AS f,
+                     least(greatest((r - l) * 250.0, 50.0), 500.0)
+                       AS bw,
+                     amp
+              FROM bwj
+            ),
+            cf AS (
+              SELECT doc_id, f, bw, amp,
+                     greatest(0.0, least(1.0,
+                       (CASE WHEN f >= 300.0 AND f <= 3500.0 THEN 1.0
+                             WHEN f >= 100.0 AND f <= 5000.0 THEN 0.7
+                             ELSE 0.3 END
+                        * least(amp, 1.0))
+                       * CASE WHEN bw >= 50.0 AND bw <= 300.0 THEN 1.0
+                              WHEN bw >= 30.0 AND bw <= 500.0 THEN 0.8
+                              ELSE 0.5 END)) AS conf,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY f) AS rw
+              FROM cd
+            ),
+            cand AS (
+              SELECT doc_id, f, bw, amp, conf,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY f) AS rn
+              FROM cf WHERE rw <= 4 AND conf >= 0.2
+            ),
+            chain AS (
+              SELECT doc_id, rn,
+                     [struct_pack(f := f, bw := bw, amp := amp,
+                                  conf := conf)] AS kept
+              FROM cand WHERE rn = 1
+              UNION ALL
+              SELECT n.doc_id, n.rn,
+                     CASE
+                       WHEN n.f - c.kept[-1].f >= 200.0
+                         THEN list_append(c.kept,
+                                struct_pack(f := n.f, bw := n.bw,
+                                            amp := n.amp,
+                                            conf := n.conf))
+                       WHEN n.conf > c.kept[-1].conf
+                         THEN list_append(
+                                c.kept[1:length(c.kept) - 1],
+                                struct_pack(f := n.f, bw := n.bw,
+                                            amp := n.amp,
+                                            conf := n.conf))
+                       ELSE c.kept
+                     END
+              FROM chain c JOIN cand n
+                ON n.doc_id = c.doc_id AND n.rn = c.rn + 1
+            ),
+            fin AS (
+              SELECT c.doc_id, c.kept
+              FROM chain c
+              JOIN (SELECT doc_id, max(rn) AS mrn FROM cand
+                    GROUP BY 1) m
+                ON m.doc_id = c.doc_id AND m.mrn = c.rn
+            ),
+            ex AS (
+              SELECT doc_id,
+                     generate_subscripts(kept, 1)::BIGINT
+                       AS formant_idx,
+                     unnest(kept) AS s
+              FROM fin
+            )"""
 
 
 def _harmonic_chain_sql() -> str:
@@ -2274,6 +2409,57 @@ def q_lpc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("k_idx").cast("long").alias("k_idx"),
         F.round("envelope", 6).alias("envelope"),
+    )
+
+
+def _lpc_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared order-4 LPC table over the token-length series (the
+    formant front end, format.go:96-101)."""
+    from sonar_spark.operators.lpc import lpc4
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    return lpc4(vals)
+
+
+def q_formants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formants as LPC-envelope peaks (format.go:148-357): local
+    maxima of the 17-point nfft=32 envelope with relative height
+    > 0.1, half-height bandwidths, piecewise confidence, truncate to
+    the 4 lowest frequencies, confidence >= 0.2, then the greedy
+    min-200 Hz spacing chain with higher-confidence replacement.
+    Analog sample rate 8000 Hz -> 250 Hz bins."""
+    from sonar_spark.operators.formants import formants
+
+    out = formants(_lpc_coeffs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("formant_idx").cast("long").alias("formant_idx"),
+        F.round("frequency", 6).alias("frequency"),
+        F.round("bandwidth", 6).alias("bandwidth"),
+        F.round("amplitude", 6).alias("amplitude"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def q_formant_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc formant summary (format.go:359-425): formant count,
+    vocal-tract length VTL_n = (2n-1)*35000/(4 F_n) averaged over
+    confident formants in [10, 25] cm (default 17.5), and the
+    4-component analysis quality (count/3, avg confidence, residual
+    energy, filter stability)."""
+    from sonar_spark.operators.formants import formant_summary, formants
+
+    coeffs = _lpc_coeffs(spark, sf_dir)
+    out = formant_summary(coeffs, formants(coeffs))
+    return out.select(
+        "doc_id",
+        F.col("num_formants").cast("long").alias("num_formants"),
+        F.round("vtl", 6).alias("vtl"),
+        F.round("quality", 6).alias("quality"),
     )
 
 
@@ -2490,6 +2676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpc4": q_lpc4,
         "chord_detection": q_chord_detection,
         "lpc_envelope": q_lpc_envelope,
+        "formants": q_formants,
+        "formant_summary": q_formant_summary,
         "harmonic_series": q_harmonic_series,
     }
 
@@ -2605,6 +2793,52 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) + 0.0 AS envelope
             FROM ev
         """,
+        "formants": _formant_chain_sql() + r"""
+            SELECT doc_id, formant_idx,
+                   round(s.f, 6) + 0.0 AS frequency,
+                   round(s.bw, 6) + 0.0 AS bandwidth,
+                   round(s.amp, 6) + 0.0 AS amplitude,
+                   round(s.conf, 6) + 0.0 AS confidence
+            FROM ex
+        """,
+        "formant_summary": _formant_chain_sql() + r""",
+            fsum AS (
+              SELECT doc_id, count(*) AS nf,
+                     avg(s.conf) AS avg_conf,
+                     sum(CASE WHEN s.f > 0 AND s.conf > 0.3
+                          AND (2.0 * formant_idx - 1.0) * 35000.0
+                              / (4.0 * s.f) >= 10.0
+                          AND (2.0 * formant_idx - 1.0) * 35000.0
+                              / (4.0 * s.f) <= 25.0
+                         THEN (2.0 * formant_idx - 1.0) * 35000.0
+                              / (4.0 * s.f) END) AS vtl_sum,
+                     count(CASE WHEN s.f > 0 AND s.conf > 0.3
+                            AND (2.0 * formant_idx - 1.0) * 35000.0
+                                / (4.0 * s.f) >= 10.0
+                            AND (2.0 * formant_idx - 1.0) * 35000.0
+                                / (4.0 * s.f) <= 25.0
+                           THEN 1 END) AS vtl_n
+              FROM ex GROUP BY 1
+            )
+            SELECT s8.doc_id,
+                   coalesce(nf, 0)::BIGINT AS num_formants,
+                   round(CASE WHEN coalesce(vtl_n, 0) > 0
+                         THEN vtl_sum / vtl_n
+                         ELSE 17.5 END, 6) + 0.0 AS vtl,
+                   round(CASE WHEN coalesce(nf, 0) = 0 THEN 0.0
+                         ELSE (least(nf / 3.0, 1.0) + avg_conf
+                           + CASE WHEN e4 > 0
+                             THEN greatest(0.0,
+                                    1.0 - least(1.0, e4))
+                             ELSE 1.0 END
+                           + CASE WHEN abs(a4_1) < 1.0
+                                   AND abs(a4_2) < 1.0
+                                   AND abs(a4_3) < 1.0
+                                   AND abs(a4_4) < 1.0
+                             THEN 1.0 ELSE 0.0 END) / 4.0
+                         END, 6) + 0.0 AS quality
+            FROM s8 LEFT JOIN fsum USING (doc_id)
+        """,
         "bandpass": _bandpass_oracle_sql(),
         "bark_bands": _bark_oracle_sql(),
         "hps_f0": r"""
@@ -2661,7 +2895,8 @@ def oracle_sql() -> dict[str, str]:
                 AND b2.frame_idx = a.frame_idx AND b2.bin = a.bin * 2
               JOIN pw b3 ON b3.doc_id = a.doc_id
                 AND b3.frame_idx = a.frame_idx AND b3.bin = a.bin * 3
-              WHERE a.bin BETWEEN 1 AND 7 AND a.bin * 3 <= 15
+              -- downsampleSpectrum zero-fills beyond 16 // 3 = 5
+              WHERE a.bin BETWEEN 1 AND 7 AND a.bin < 16 // 3
             ),
             best AS (
               SELECT doc_id, frame_idx, f0_bin, hps,

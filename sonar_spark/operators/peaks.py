@@ -112,9 +112,10 @@ def harmonic_product_f0(
     max_bin: int = 7,
 ) -> DataFrame:
     """Harmonic product spectrum F0 (harmonic_product.go:32-160):
-    hps[i] = prod_{h=1..H} power[i*h], where the downsampled spectrum
-    is zero beyond len/h (so any i with i*H >= num_bins yields 0 and
-    can never win the strict-> peak scan); f0_bin = argmax of hps in
+    hps[i] = prod_{h=1..H} power[i*h], where downsampleSpectrum
+    (harmonic_product.go:94-124) zero-fills beyond len//h — integer
+    division, so any i >= num_bins // H has hps[i] = 0 upstream and
+    can never win the strict-> peak scan; f0_bin = argmax of hps in
     [min_bin, max_bin] (first wins ties -> smallest bin), 0 when no
     positive value. (The reference's trailing local-max 'verification'
     returns bestBin on both branches — a dead check, reproduced by
@@ -131,7 +132,7 @@ def harmonic_product_f0(
     cand = pw.where(
         (F.col("__b") >= min_bin)
         & (F.col("__b") <= max_bin)
-        & (F.col("__b") * num_harmonics <= num_bins - 1)
+        & (F.col("__b") < num_bins // num_harmonics)
     ).withColumnRenamed("__p", "__p1")
     prod = F.col("__p1")
     for h in range(2, num_harmonics + 1):

@@ -130,6 +130,19 @@ class FeaturizeJob:
         if take:
             t0 = time.time()
             spark = tokens.sparkSession
+            # Dynamic partition overwrite only replaces partitions that
+            # produce rows this run: a pending bucket whose output is
+            # now empty would leave a stale partition from a prior
+            # crashed run (committed files, no marker) in place, count
+            # it into rows_out, and seal it with the marker. Pending
+            # partitions are uncommitted by definition — clear them
+            # before the write.
+            import shutil
+
+            for b in take:
+                stale = os.path.join(self.out_dir, f"__bucket={b}")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
             with_bucket = tokens.withColumn(
                 "__bucket", bucket_of(F.col("doc_id"), self.n_buckets)
             )
