@@ -1991,6 +1991,24 @@ def q_yin_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("f0", 6).alias("f0"))
 
 
+def q_cepstrum_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cepstral F0 (fundamental_estimation.go:96-147): log power
+    spectrum with the 1e-10 floor, real inverse DFT to quefrency,
+    argmax in [2, 8] requiring cep > -1.0 (first-wins ties), f0 =
+    sample_rate / quefrency.  Completes the reference's 3-method
+    fundamental family (autocorr / YIN / cepstrum)."""
+    from sonar_spark.operators.peaks import cepstrum_f0
+
+    grid = _hist_grid(spark, sf_dir)
+    out = cepstrum_f0(grid, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.col("quefrency").cast("long").alias("quefrency"),
+        F.round("f0", 6).alias("f0"),
+    )
+
+
 def q_lpc4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-4 LPC via the Levinson-Durbin recursion
     (speech/lpc.go:83-135) over the token-length series: reflection
@@ -2035,6 +2053,252 @@ def q_chord_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chord_quality",
         F.round("score", 6).alias("score"),
     )
+
+
+def q_chord_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chord detection with bass + inversions — the reference's
+    DEFAULT path (chord_detection.go:586-642 with the :223-237
+    defaults): bass-bonus-weighted template scores, the 0.2 strength
+    gate, detectInversion's bass-matched inversion rescoring, best
+    candidate by capped confidence."""
+    from sonar_spark.operators.peaks import (
+        harmonic_product_f0,
+        hpcp,
+        spectral_peaks,
+    )
+    from sonar_spark.operators.tonal import bass_from_f0, detect_chords_full
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    pcp = hpcp(peaks, ["doc_id", "frame_idx"])
+    f0 = harmonic_product_f0(grid, ["doc_id", "frame_idx"])
+    bass = bass_from_f0(f0, ["doc_id", "frame_idx"])
+    out = detect_chords_full(pcp, bass, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.col("chord_root").cast("long").alias("chord_root"),
+        "chord_quality",
+        F.col("inversion").cast("long").alias("inversion"),
+        F.col("bass_pc").cast("long").alias("bass_pc"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("strength", 6).alias("strength"),
+    )
+
+
+def _doc_hpcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame HPCP over the histogram spectrum (the chroma front
+    end shared by the tonal queries)."""
+    from sonar_spark.operators.peaks import hpcp, spectral_peaks
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    return hpcp(peaks, ["doc_id", "frame_idx"])
+
+
+def q_tonnetz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame Tonnetz centroid (tonnetz.go:138-187): the chroma
+    energy-weighted mean of the fixed fifths/thirds lattice
+    coordinates, (0,0) below the 1e-10 weight floor."""
+    from sonar_spark.operators.chroma import tonnetz_centroids
+
+    out = tonnetz_centroids(
+        _doc_hpcp(spark, sf_dir), ["doc_id", "frame_idx"]
+    )
+    return out.select("doc_id", "frame_idx", "centroid_x", "centroid_y")
+
+
+def q_tonnetz_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Tonnetz trajectory statistics (tonnetz.go:190-237):
+    total distance, max/mean velocity, velocity variance, harmonic
+    stability, path efficiency."""
+    from sonar_spark.operators.chroma import (
+        tonnetz_centroids,
+        tonnetz_movement,
+    )
+
+    traj = tonnetz_centroids(
+        _doc_hpcp(spark, sf_dir), ["doc_id", "frame_idx"]
+    )
+    out = tonnetz_movement(traj)
+    return out.select(
+        "doc_id",
+        F.round("total_distance", 6).alias("total_distance"),
+        F.round("max_velocity", 6).alias("max_velocity"),
+        F.round("mean_velocity", 6).alias("mean_velocity"),
+        F.round("velocity_variance", 6).alias("velocity_variance"),
+        F.round("harmonic_stability", 6).alias("harmonic_stability"),
+        F.round("path_efficiency", 6).alias("path_efficiency"),
+    )
+
+
+def q_chroma_shift_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal circular-shift chroma similarity
+    (chroma_vector.go:189-217, cosine metric) between per-doc mean
+    chroma vectors over a bounded doc slice (120 pairs)."""
+    from sonar_spark.operators.chroma import chroma_shift_optimal
+
+    pcp = _doc_hpcp(spark, sf_dir)
+    m = pcp.groupBy("doc_id", "pitch_class").agg(
+        F.round(F.avg("hpcp"), 6).alias("mv")
+    )
+    ids = m.select("doc_id").distinct().where(F.col("doc_id") < 16)
+    pr = ids.select(F.col("doc_id").alias("qid")).join(
+        ids.select(F.col("doc_id").alias("mid")),
+        F.col("qid") < F.col("mid"),
+    )
+    left = pr.join(m, F.col("doc_id") == F.col("qid")).select(
+        "qid", "mid", "pitch_class", "mv"
+    )
+    right = pr.join(m, F.col("doc_id") == F.col("mid")).select(
+        "qid", "mid", "pitch_class", "mv"
+    )
+    out = chroma_shift_optimal(
+        left, right, ["qid", "mid"], value_col="mv"
+    )
+    return out.select(
+        "qid",
+        "mid",
+        F.col("best_shift").cast("long").alias("best_shift"),
+        F.round("best_similarity", 6).alias("best_similarity"),
+    )
+
+
+def _chord_inv_oracle_sql() -> str:
+    from sonar_spark.operators.tonal import (
+        chord_inversion_rows,
+        chord_template_rows,
+    )
+
+    tpl = ", ".join(
+        f"('{q}', {r}, {pc}, {tv!r}, {w!r})"
+        for q, r, pc, tv, w in chord_template_rows()
+    )
+    inv = ", ".join(
+        f"('{q}', {r}, {i}, {bc}, {w!r})"
+        for q, r, i, bc, w in chord_inversion_rows()
+    )
+    return rf"""
+        {_hpcp_chain_sql()},
+        tpl(quality, root, pc, tv, weight) AS (VALUES {tpl}),
+        inv(quality, root, inv_idx, bass_class, weight)
+          AS (VALUES {inv}),
+        pw AS (
+          SELECT doc_id, frame_idx, bin, m * m AS p FROM grid
+        ),
+        hcand AS (
+          SELECT a.doc_id, a.frame_idx, a.bin AS f0_bin,
+                 a.p * b2.p * b3.p AS hps
+          FROM pw a
+          JOIN pw b2 ON b2.doc_id = a.doc_id
+            AND b2.frame_idx = a.frame_idx AND b2.bin = a.bin * 2
+          JOIN pw b3 ON b3.doc_id = a.doc_id
+            AND b3.frame_idx = a.frame_idx AND b3.bin = a.bin * 3
+          WHERE a.bin BETWEEN 1 AND 7 AND a.bin < 16 // 3
+        ),
+        hbest AS (
+          SELECT doc_id, frame_idx, f0_bin,
+                 row_number() OVER (PARTITION BY doc_id, frame_idx
+                   ORDER BY hps DESC, f0_bin ASC) AS rk
+          FROM hcand WHERE hps > 0
+        ),
+        bass AS (
+          SELECT g.doc_id, g.frame_idx,
+                 CASE WHEN b.f0_bin IS NOT NULL
+                      THEN floor(69.0 + 12.0 * log2(b.f0_bin))::BIGINT
+                           % 12
+                      ELSE 0 END AS bass_pc,
+                 CASE WHEN b.f0_bin IS NOT NULL THEN 1.0
+                      ELSE 0.0 END AS bass_conf
+          FROM (SELECT DISTINCT doc_id, frame_idx FROM grid) g
+          LEFT JOIN (SELECT * FROM hbest WHERE rk = 1) b
+            USING (doc_id, frame_idx)
+        ),
+        raw12 AS (
+          SELECT doc_id, frame_idx, pitch_class,
+                 CASE WHEN energy > 0 THEN raw / energy
+                      ELSE 0.0 END AS hv
+          FROM en
+        ),
+        s AS (
+          SELECT r.doc_id, r.frame_idx, t.quality, t.root,
+                 sum(r.hv * t.tv) * max(t.weight) AS score_raw,
+                 max(t.weight) AS weight
+          FROM raw12 r JOIN tpl t ON t.pc = r.pitch_class
+          GROUP BY 1, 2, 3, 4
+        ),
+        sb AS (
+          SELECT s.*, b.bass_pc, b.bass_conf,
+                 CASE WHEN EXISTS (
+                   SELECT 1 FROM inv i
+                   WHERE i.quality = s.quality AND i.root = s.root
+                     AND i.bass_class = b.bass_pc) THEN 1 ELSE 0 END
+                   AS is_tone
+          FROM s JOIN bass b
+            ON b.doc_id = s.doc_id AND b.frame_idx = s.frame_idx
+        ),
+        cand0 AS (
+          SELECT *, score_raw
+                 + CASE WHEN bass_conf > 0.3 AND is_tone = 1
+                        THEN 0.3 * bass_conf ELSE 0.0 END AS score2
+          FROM sb
+        ),
+        cand AS (SELECT * FROM cand0 WHERE score2 >= 0.2),
+        ivs AS (
+          SELECT c.doc_id, c.frame_idx, c.quality, c.root,
+                 i.inv_idx,
+                 c.score_raw
+                 + CASE WHEN i.inv_idx > 0
+                        THEN 0.5 * c.weight * r.hv
+                        ELSE 0.0 END AS inv_score
+          FROM cand c
+          JOIN inv i ON i.quality = c.quality AND i.root = c.root
+            AND i.bass_class = c.bass_pc
+          JOIN raw12 r ON r.doc_id = c.doc_id
+            AND r.frame_idx = c.frame_idx
+            AND r.pitch_class = i.bass_class
+          WHERE c.bass_conf > 0.3
+        ),
+        biv AS (
+          SELECT doc_id, frame_idx, quality, root, inv_idx, inv_score,
+                 row_number() OVER (PARTITION BY doc_id, frame_idx,
+                   quality, root
+                   ORDER BY inv_score DESC, inv_idx ASC) AS rk
+          FROM ivs WHERE inv_score > 0
+        ),
+        fin AS (
+          SELECT c.doc_id, c.frame_idx, c.quality, c.root, c.bass_pc,
+                 CASE WHEN b.inv_score IS NOT NULL
+                       AND b.inv_score > c.score2
+                      THEN b.inv_idx ELSE 0 END AS inversion,
+                 CASE WHEN b.inv_score IS NOT NULL
+                       AND b.inv_score > c.score2
+                      THEN b.inv_score ELSE c.score2 END AS strength
+          FROM cand c
+          LEFT JOIN (SELECT * FROM biv WHERE rk = 1) b
+            ON b.doc_id = c.doc_id AND b.frame_idx = c.frame_idx
+            AND b.quality = c.quality AND b.root = c.root
+        ),
+        bestc AS (
+          SELECT doc_id, frame_idx, root, quality, inversion, bass_pc,
+                 least(strength, 1.0) AS confidence, strength,
+                 row_number() OVER (PARTITION BY doc_id, frame_idx
+                   ORDER BY least(strength, 1.0) DESC, quality ASC,
+                            root ASC) AS rk
+          FROM fin
+        )
+        SELECT doc_id, frame_idx, root::BIGINT AS chord_root,
+               quality AS chord_quality,
+               inversion::BIGINT AS inversion,
+               bass_pc::BIGINT AS bass_pc,
+               round(confidence, 6) + 0.0 AS confidence,
+               round(strength, 6) + 0.0 AS strength
+        FROM bestc WHERE rk = 1
+    """
 
 
 def _lpc_chain_sql(recursive: bool = False) -> str:
@@ -2125,6 +2389,55 @@ def _lpc_chain_sql(recursive: bool = False) -> str:
                           ELSE 0.0 END AS e4
               FROM s7
             )'''
+
+
+def _grid_chain_sql() -> str:
+    """Shared WITH-chain reproducing _hist_grid in SQL: CTE `grid`
+    (doc_id, frame_idx, bin, m) — the zero-filled 16-bin histogram
+    spectrum of the first 4 W=32/H=8 frames per doc."""
+    return r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     min(val) OVER w AS lo, max(val) OVER w AS rawhi
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, strt, (strt / 8)::BIGINT AS frame_idx, lo,
+                     CASE WHEN rawhi > lo THEN rawhi ELSE lo + 1.0 END
+                       AS hi
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+                AND (strt / 8)::BIGINT < 4
+            ),
+            el AS (
+              SELECT fr.doc_id, fr.frame_idx,
+                     least(greatest(floor((v.val - fr.lo)
+                       / ((fr.hi - fr.lo) / 16.0)), 0), 15) AS bin
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+            ),
+            cnts AS (
+              SELECT doc_id, frame_idx, bin, count(*)::DOUBLE AS c
+              FROM el GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT fr.doc_id, fr.frame_idx, ks.k::BIGINT AS bin,
+                     coalesce(c.c, 0.0) AS m
+              FROM fr
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+              LEFT JOIN cnts c ON c.doc_id = fr.doc_id
+                AND c.frame_idx = fr.frame_idx AND c.bin = ks.k
+            )"""
 
 
 def _formant_chain_sql() -> str:
@@ -2678,6 +2991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpc_envelope": q_lpc_envelope,
         "formants": q_formants,
         "formant_summary": q_formant_summary,
+        "cepstrum_f0": q_cepstrum_f0,
+        "chord_inversions": q_chord_inversions,
+        "tonnetz": q_tonnetz,
+        "tonnetz_movement": q_tonnetz_movement,
+        "chroma_shift_optimal": q_chroma_shift_optimal,
         "harmonic_series": q_harmonic_series,
     }
 
@@ -2732,6 +3050,161 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "key_estimation": _key_oracle_sql(),
         "chord_detection": _chord_oracle_sql(),
+        "chord_inversions": _chord_inv_oracle_sql(),
+        "tonnetz": _hpcp_chain_sql() + r""",
+            raw12 AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     CASE WHEN energy > 0 THEN raw / energy
+                          ELSE 0.0 END AS hv
+              FROM en
+            ),
+            coords(pc, x, y) AS (VALUES
+              (0, 0.0, 0.0), (1, -5.0, sqrt(3.0)),
+              (2, 2.0, -sqrt(3.0) / 2.0), (3, -3.0, sqrt(3.0) / 2.0),
+              (4, 4.0, 0.0), (5, -1.0, sqrt(3.0)),
+              (6, 6.0, -sqrt(3.0) / 2.0), (7, 1.0, sqrt(3.0) / 2.0),
+              (8, -4.0, 0.0), (9, 3.0, sqrt(3.0)),
+              (10, -2.0, -sqrt(3.0) / 2.0),
+              (11, 5.0, sqrt(3.0) / 2.0)),
+            ag AS (
+              SELECT r.doc_id, r.frame_idx,
+                     sum(c.x * r.hv) AS wx, sum(c.y * r.hv) AS wy,
+                     sum(r.hv) AS tw
+              FROM raw12 r JOIN coords c ON c.pc = r.pitch_class
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, frame_idx,
+                   round(CASE WHEN tw > 1e-10 THEN wx / tw
+                         ELSE 0.0 END, 6) + 0.0 AS centroid_x,
+                   round(CASE WHEN tw > 1e-10 THEN wy / tw
+                         ELSE 0.0 END, 6) + 0.0 AS centroid_y
+            FROM ag
+        """,
+        "tonnetz_movement": _hpcp_chain_sql() + r""",
+            raw12 AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     CASE WHEN energy > 0 THEN raw / energy
+                          ELSE 0.0 END AS hv
+              FROM en
+            ),
+            coords(pc, x, y) AS (VALUES
+              (0, 0.0, 0.0), (1, -5.0, sqrt(3.0)),
+              (2, 2.0, -sqrt(3.0) / 2.0), (3, -3.0, sqrt(3.0) / 2.0),
+              (4, 4.0, 0.0), (5, -1.0, sqrt(3.0)),
+              (6, 6.0, -sqrt(3.0) / 2.0), (7, 1.0, sqrt(3.0) / 2.0),
+              (8, -4.0, 0.0), (9, 3.0, sqrt(3.0)),
+              (10, -2.0, -sqrt(3.0) / 2.0),
+              (11, 5.0, sqrt(3.0) / 2.0)),
+            ag AS (
+              SELECT r.doc_id, r.frame_idx,
+                     sum(c.x * r.hv) AS wx, sum(c.y * r.hv) AS wy,
+                     sum(r.hv) AS tw
+              FROM raw12 r JOIN coords c ON c.pc = r.pitch_class
+              GROUP BY 1, 2
+            ),
+            cents AS (
+              SELECT doc_id, frame_idx,
+                     round(CASE WHEN tw > 1e-10 THEN wx / tw
+                           ELSE 0.0 END, 6) + 0.0 AS cx,
+                     round(CASE WHEN tw > 1e-10 THEN wy / tw
+                           ELSE 0.0 END, 6) + 0.0 AS cy
+              FROM ag
+            ),
+            tr AS (
+              SELECT doc_id, frame_idx, cx, cy,
+                     lag(cx) OVER w AS px, lag(cy) OVER w AS py,
+                     first_value(cx) OVER w AS x0,
+                     first_value(cy) OVER w AS y0,
+                     row_number() OVER w AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS nf
+              FROM cents
+              WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+            ),
+            st AS (
+              SELECT doc_id, rn, nf,
+                     round(sqrt((cx - px) * (cx - px)
+                           + (cy - py) * (cy - py)), 6) AS v,
+                     CASE WHEN rn = nf
+                          THEN round(sqrt((cx - x0) * (cx - x0)
+                                + (cy - y0) * (cy - y0)), 6)
+                     END AS disp
+              FROM tr WHERE px IS NOT NULL
+            ),
+            st2 AS (
+              SELECT *, avg(v) OVER (PARTITION BY doc_id) AS mn
+              FROM st
+            ),
+            agg AS (
+              SELECT doc_id, sum(v) AS total_distance,
+                     max(v) AS max_velocity,
+                     max(mn) AS mean_velocity,
+                     avg((v - mn) * (v - mn)) AS velocity_variance,
+                     max(disp) AS disp
+              FROM st2 GROUP BY 1
+            )
+            SELECT doc_id,
+                   round(total_distance, 6) + 0.0 AS total_distance,
+                   round(max_velocity, 6) + 0.0 AS max_velocity,
+                   round(mean_velocity, 6) + 0.0 AS mean_velocity,
+                   round(velocity_variance, 6) + 0.0
+                     AS velocity_variance,
+                   round(1.0 / (1.0 + velocity_variance), 6) + 0.0
+                     AS harmonic_stability,
+                   round(CASE WHEN total_distance > 1e-10
+                         THEN disp / total_distance END, 6) + 0.0
+                     AS path_efficiency
+            FROM agg
+        """,
+        "chroma_shift_optimal": _hpcp_chain_sql() + r""",
+            raw12 AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     CASE WHEN energy > 0 THEN raw / energy
+                          ELSE 0.0 END AS hv
+              FROM en
+            ),
+            m AS (
+              SELECT doc_id, pitch_class, round(avg(hv), 6) AS mv
+              FROM raw12 GROUP BY 1, 2
+            ),
+            ids AS (SELECT DISTINCT doc_id FROM m WHERE doc_id < 16),
+            pr AS (
+              SELECT a.doc_id AS qid, b.doc_id AS mid
+              FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+            ),
+            sh AS (SELECT unnest(generate_series(0, 11)) AS s),
+            dots AS (
+              SELECT p.qid, p.mid, sh.s,
+                     sum(l.mv * r.mv) AS dt,
+                     sum(l.mv * l.mv) AS na,
+                     sum(r.mv * r.mv) AS nb
+              FROM pr p CROSS JOIN sh
+              JOIN m l ON l.doc_id = p.qid
+              JOIN m r ON r.doc_id = p.mid
+                AND r.pitch_class
+                    = (l.pitch_class - sh.s + 12) % 12
+              GROUP BY 1, 2, 3
+            ),
+            sims AS (
+              SELECT qid, mid, s,
+                     1.0 - (CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                            ELSE 1.0 - dt / (sqrt(na) * sqrt(nb))
+                            END) / 2.0 AS sim
+              FROM dots
+            ),
+            b AS (
+              SELECT qid, mid, s, sim,
+                     row_number() OVER (PARTITION BY qid, mid
+                       ORDER BY sim DESC, s ASC) AS rk
+              FROM sims WHERE sim > 0
+            )
+            SELECT p.qid, p.mid,
+                   coalesce(b.s, 0)::BIGINT AS best_shift,
+                   round(coalesce(b.sim, 0.0), 6) + 0.0
+                     AS best_similarity
+            FROM pr p
+            LEFT JOIN (SELECT * FROM b WHERE rk = 1) b
+              ON b.qid = p.qid AND b.mid = p.mid
+        """,
         "harmonic_series": _harmonic_chain_sql() + r""",
             hq AS (SELECT * FROM hp WHERE harmonic >= 0),
             ag AS (
@@ -2792,6 +3265,35 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1.0 / sqrt(re*re + im*im)
                          ELSE 0.0 END, 6) + 0.0 AS envelope
             FROM ev
+        """,
+        "cepstrum_f0": _grid_chain_sql() + r""",
+            lp AS (
+              SELECT doc_id, frame_idx, bin,
+                     ln(greatest(m * m, 1e-10)) AS lp
+              FROM grid
+            ),
+            cep AS (
+              SELECT l.doc_id, l.frame_idx, q.q,
+                     round(sum(l.lp
+                       * cos(2.0 * pi() * l.bin * q.q / 16.0))
+                       / 16.0, 6) AS cep
+              FROM lp l
+              CROSS JOIN (SELECT unnest(generate_series(2, 8)) AS q) q
+              GROUP BY 1, 2, 3
+            ),
+            best AS (
+              SELECT doc_id, frame_idx, q, cep,
+                     row_number() OVER (PARTITION BY doc_id, frame_idx
+                       ORDER BY cep DESC, q ASC) AS rk
+              FROM cep WHERE cep > -1.0
+            )
+            SELECT g.doc_id, g.frame_idx,
+                   coalesce(b.q, 0)::BIGINT AS quefrency,
+                   round(CASE WHEN b.q IS NOT NULL THEN 16.0 / b.q
+                         ELSE 0.0 END, 6) AS f0
+            FROM (SELECT DISTINCT doc_id, frame_idx FROM grid) g
+            LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+              USING (doc_id, frame_idx)
         """,
         "formants": _formant_chain_sql() + r"""
             SELECT doc_id, formant_idx,

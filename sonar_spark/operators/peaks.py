@@ -285,3 +285,76 @@ def hpcp(
         .otherwise(F.lit(0.0))
         .alias("hpcp"),
     )
+
+
+def cepstrum_f0(
+    spec: DataFrame,
+    group_cols: list[str],
+    *,
+    bin_col: str = "bin",
+    mag_col: str = "m",
+    num_bins: int = 16,
+    min_q: int = 2,
+    max_q: int = 8,
+    sample_rate: float = 16.0,
+) -> DataFrame:
+    """Cepstral F0 estimation (fundamental_estimation.go:96-147) over
+    the histogram-as-spectrum analog: log power spectrum with the
+    1e-10 floor (:110-119), real inverse DFT to the quefrency domain
+    cep[q] = (1/N) * sum_k ln(max(p_k, 1e-10)) cos(2 pi k q / N)
+    (:121-125 — ComputeInverseReal of a real symmetric-free input,
+    real part kept), then findCepstralPeak (:239-252): plain argmax
+    over q in [min_q, max_q] requiring cep[q] > -1.0 (the bestValue
+    init), first-wins ties -> smallest q; f0 = sample_rate / q, 0.0
+    when no quefrency qualifies.
+
+    The signal->spectrum front end (Hann window + FFT, :100-108) is
+    replaced by the histogram grid, the repo-wide spectral analog
+    (same substitution as MFCC/HPS).  The cepstrum is rounded to 6 dp
+    BEFORE the argmax so the DuckDB oracle's libm and the JVM agree
+    on every comparison.
+
+    Relational: one grid x quefrency-range join, one groupBy sum per
+    (group, q), one per-group top-1.  Output: group cols + quefrency
+    (int, 0 when none) + f0 (double)."""
+    n = float(num_bins)
+    logp = F.log(F.greatest(F.col(mag_col) * F.col(mag_col), F.lit(1e-10)))
+    qs = spec.select(
+        *group_cols,
+        F.col(bin_col).alias("__k"),
+        logp.alias("__lp"),
+    ).withColumn(
+        "__q", F.explode(F.sequence(F.lit(min_q), F.lit(max_q)))
+    )
+    ang = (
+        F.lit(2.0 * math.pi)
+        * F.col("__k").cast("double")
+        * F.col("__q").cast("double")
+        / F.lit(n)
+    )
+    cep = qs.groupBy(*group_cols, "__q").agg(
+        F.round(F.sum(F.col("__lp") * F.cos(ang)) / n, 6).alias("__cep")
+    )
+    best = topk_per_group(
+        cep.where(F.col("__cep") > -1.0),
+        group_cols,
+        [F.col("__cep").desc(), F.col("__q").asc()],
+        1,
+    )
+    return (
+        spec.select(*group_cols)
+        .distinct()
+        .join(best, group_cols, "left")
+        .select(
+            *group_cols,
+            F.coalesce(F.col("__q"), F.lit(0)).cast("int").alias(
+                "quefrency"
+            ),
+            F.when(
+                F.col("__q").isNotNull(),
+                F.lit(sample_rate) / F.col("__q").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("f0"),
+        )
+    )

@@ -159,3 +159,219 @@ def estimate_key(
         1,
     )
     return best.drop("rank")
+
+
+def chord_inversion_rows() -> list[tuple[str, int, int, int, float]]:
+    """(quality, root, inv_idx, bass_class, weight): one row per
+    chord-template inversion (generateInversions,
+    chord_detection.go:376-404).  Inversion inv's pattern differs
+    from the root-position pattern only at the bass class
+    (root + intervals[inv]) % 12, whose weight is 1.5 instead of 1.0
+    (inv = 0 IS the root-position pattern), so
+    invScore = rootScore + 0.5 * weight * chroma[bass_class] for
+    inv > 0 — the delta form this relational plan uses."""
+    rows = []
+    for quality, (intervals, weight) in CHORD_TEMPLATES.items():
+        for root in range(12):
+            for inv_idx, iv in enumerate(intervals):
+                rows.append(
+                    (quality, root, inv_idx, (root + iv) % 12, weight)
+                )
+    return rows
+
+
+def bass_from_f0(
+    f0: DataFrame,
+    group_cols: list[str],
+    *,
+    f0_col: str = "f0_bin",
+) -> DataFrame:
+    """Bass-note analog of detectBassNote (chord_detection.go:565-584):
+    the reference low-pass pitch-detects and maps the pitch to a
+    chroma class via frequencyToChroma (:928-943, MIDI truncation).
+    Analog: the harmonic-product fundamental bin IS the pitch (same
+    bin-index frequency axis the HPCP uses, ref_freq = 1), the HPS
+    search band [1, 7] is the BassFreqRange analog, and confidence is
+    1.0 whenever a fundamental exists (the HPS found a positive
+    product) else 0.0 — mirroring the <0.3-confidence and
+    out-of-range rejections that both return (0, 0.0)."""
+    f = F.col(f0_col).cast("double")
+    return f0.select(
+        *group_cols,
+        F.when(
+            f > 0,
+            F.pmod(F.floor(F.lit(69.0) + 12.0 * F.log2(f)), F.lit(12)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("bass_pc"),
+        F.when(f > 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("bass_conf"),
+    )
+
+
+def detect_chords_full(
+    chroma: DataFrame,
+    bass: DataFrame,
+    group_cols: list[str],
+    *,
+    class_col: str = "pitch_class",
+    value_col: str = "hpcp",
+    min_strength: float = 0.2,
+    bass_weight: float = 0.3,
+) -> DataFrame:
+    """The reference's DEFAULT chord-detection path
+    (chord_detection.go:586-642 templateMatching with
+    UseBassDetection + UseInversions on, defaults :223-237):
+
+    - base score(quality, root) = weight * dot(chroma, rotated
+      pattern);
+    - bass bonus (+BassWeight * bassConf, :735-750) when the bass
+      class is any chord tone and bassConf > 0.3, added BEFORE the
+      MinChordStrength >= 0.2 gate;
+    - detectInversion (:752-781): among inversions whose expected
+      bass (root + intervals[inv]) % 12 equals the bass class, the
+      best inversion-pattern score (strict >, ascending inv order,
+      best init 0.0); it REPLACES the candidate's score iff it beats
+      the bonus-included score (:625-633) — note the inversion score
+      itself carries no bass bonus, as written;
+    - best candidate per group by confidence = min(score, 1)
+      (:453-455 sorts on the capped value); ties broken quality asc,
+      root asc — the reference iterates an unordered map, so its tie
+      order is unspecified.
+
+    Output: group cols + chord_root, chord_quality, inversion,
+    bass_pc, confidence, strength."""
+    spark = chroma.sparkSession
+    tpl = spark.createDataFrame(
+        chord_template_rows(),
+        "quality string, root int, pc int, tv double, weight double",
+    )
+    inv = spark.createDataFrame(
+        chord_inversion_rows(),
+        "quality string, root int, inv_idx int, bass_class int,"
+        " weight double",
+    )
+    j = chroma.join(F.broadcast(tpl), F.col(class_col) == F.col("pc"))
+    s = j.groupBy(*group_cols, "quality", "root").agg(
+        (
+            F.sum(F.col(value_col).cast("double") * F.col("tv"))
+            * F.max("weight")
+        ).alias("score_raw"),
+        F.max("weight").alias("weight"),
+    )
+    b = bass.select(
+        *[F.col(c).alias(f"__b_{c}") for c in group_cols],
+        "bass_pc",
+        "bass_conf",
+    )
+    bcond = None
+    for c in group_cols:
+        e = F.col(f"__b_{c}") == F.col(c)
+        bcond = e if bcond is None else (bcond & e)
+    sb = s.join(b, bcond, "left").drop(
+        *[f"__b_{c}" for c in group_cols]
+    ).withColumn("bass_conf", F.coalesce("bass_conf", F.lit(0.0)))
+    engaged = F.col("bass_conf") > 0.3
+
+    # chord-tone membership of the bass class, for the bonus
+    tone = (
+        spark.createDataFrame(
+            chord_inversion_rows(),
+            "quality string, root int, inv_idx int, bass_class int,"
+            " weight double",
+        )
+        .select("quality", "root", F.col("bass_class").alias("__tone"))
+        .distinct()
+    )
+    sb2 = sb.join(
+        F.broadcast(tone),
+        ["quality", "root"],
+    ).groupBy(
+        *group_cols, "quality", "root", "score_raw", "weight",
+        "bass_pc", "bass_conf",
+    ).agg(
+        F.max(
+            (F.col("__tone") == F.col("bass_pc")).cast("int")
+        ).alias("__is_tone")
+    )
+    score2 = F.col("score_raw") + F.when(
+        engaged & (F.col("__is_tone") == 1),
+        F.lit(bass_weight) * F.col("bass_conf"),
+    ).otherwise(F.lit(0.0))
+    cand = sb2.withColumn("score2", score2).where(
+        F.col("score2") >= min_strength
+    )
+
+    # inversion scoring: only inversions whose expected bass matches
+    cb = chroma.select(
+        *[F.col(c).alias(f"__c_{c}") for c in group_cols],
+        F.col(class_col).alias("__cpc"),
+        F.col(value_col).cast("double").alias("__cv"),
+    )
+    ccond = F.col("__cpc") == F.col("bass_class")
+    for c in group_cols:
+        ccond = ccond & (F.col(f"__c_{c}") == F.col(c))
+    iv = (
+        cand.where(engaged)
+        .join(F.broadcast(inv.drop("weight")), ["quality", "root"])
+        .where(F.col("bass_class") == F.col("bass_pc"))
+        .join(cb, ccond)
+        .withColumn(
+            "__inv_score",
+            F.col("score_raw")
+            + F.when(
+                F.col("inv_idx") > 0,
+                F.lit(0.5) * F.col("weight") * F.col("__cv"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("__inv_score") > 0)
+    )
+    best_inv = topk_per_group(
+        iv,
+        [*group_cols, "quality", "root"],
+        [F.col("__inv_score").desc(), F.col("inv_idx").asc()],
+        1,
+    ).select(
+        *group_cols, "quality", "root",
+        F.col("inv_idx").alias("__binv"),
+        F.col("__inv_score").alias("__binv_score"),
+    )
+    fin = cand.join(
+        best_inv, [*group_cols, "quality", "root"], "left"
+    )
+    use_inv = F.col("__binv_score").isNotNull() & (
+        F.col("__binv_score") > F.col("score2")
+    )
+    strength = F.when(use_inv, F.col("__binv_score")).otherwise(
+        F.col("score2")
+    )
+    fin = fin.select(
+        *group_cols,
+        "quality",
+        "root",
+        "bass_pc",
+        F.when(use_inv, F.col("__binv")).otherwise(F.lit(0)).alias(
+            "inversion"
+        ),
+        F.least(strength, F.lit(1.0)).alias("confidence"),
+        strength.alias("strength"),
+    )
+    best = topk_per_group(
+        fin,
+        group_cols,
+        [
+            F.col("confidence").desc(),
+            F.col("quality").asc(),
+            F.col("root").asc(),
+        ],
+        1,
+    )
+    return best.drop("rank").select(
+        *group_cols,
+        F.col("root").alias("chord_root"),
+        F.col("quality").alias("chord_quality"),
+        F.col("inversion").cast("int").alias("inversion"),
+        F.col("bass_pc").cast("int").alias("bass_pc"),
+        "confidence",
+        "strength",
+    )
