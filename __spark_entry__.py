@@ -673,14 +673,20 @@ def q_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted fingerprint comparison + FindBestMatches top-3
-    (comparison.go:133-263). Rows-only BY DESIGN: the fingerprint
-    vectors blend 30 kernel-computed frame features (incl. MFCC) with
-    MinHash signatures, which a SQL oracle cannot recompute; every
-    ingredient is oracle-backed separately (frame features via
-    frame_energy/frame_spectral/mfcc_frames, minhash via
-    minhash_dedup, the similarity-statistics aggregate via
-    similarity_stats, top-k via topk_orders) and the weighted scoring
-    arithmetic is unit-tested."""
+    (comparison.go:133-263) — the strict reference-semantics
+    ALL-PAIRS baseline on bounded input (the reference itself
+    brute-forces every catalog entry).  Rows-only BY DESIGN: the
+    fingerprint vectors blend 30 kernel-computed frame features
+    (incl. MFCC) with MinHash signatures over token IDS, which a SQL
+    oracle cannot recompute; every ingredient is oracle-backed
+    separately and the weighted scoring arithmetic is unit-tested.
+    The catalog-scale path is `compare_topk_lsh` (LSH-pruned
+    candidates + the same exact scoring, fully oracle-backed).
+    Measured at sf0.01: 1104/1106 output rows pass the 0.6 threshold
+    on stats cosines alone, so the brute-force OUTPUT is inherently
+    quadratic — no candidate pruning can reproduce it; pruning
+    changes the question to near-dup ranking, which is the variant's
+    documented semantics."""
     toks = to_token_table(_t(spark, sf_dir, "documents"))
     feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8))
     stats = doc_stats(feats)
@@ -693,6 +699,134 @@ def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_id",
         F.round("similarity", 6).alias("similarity"),
         "match_class",
+    )
+
+
+def _explicit_doc_stats(feats: DataFrame) -> DataFrame:
+    """Per-doc (mean, population std) of six frame features with the
+    std expanded to sqrt(max(E[x^2] - E[x]^2, 0)) explicitly and every
+    output rounded to 6 dp — the quantized fingerprint interface that
+    makes the downstream compare arithmetic bit-identical between
+    Spark and the DuckDB oracle."""
+    feats_cols = ["rms_energy", "crest", "mean", "std", "skew", "kurt"]
+    aggs = []
+    for c in feats_cols:
+        aggs.append(F.avg(F.col(c)).alias(f"__m_{c}"))
+        aggs.append(F.avg(F.col(c) * F.col(c)).alias(f"__s2_{c}"))
+    g = feats.groupBy("doc_id", "source").agg(*aggs)
+    sel = [F.col("doc_id"), F.col("source")]
+    for c in feats_cols:
+        sel.append(F.round(F.col(f"__m_{c}"), 6).alias(f"{c}_mean"))
+        sel.append(
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col(f"__s2_{c}")
+                        - F.col(f"__m_{c}") * F.col(f"__m_{c}"),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ).alias(f"{c}_std")
+        )
+    return g.select(*sel)
+
+
+def q_compare_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY §3.3 scale path for fingerprint ranking: MinHash-LSH
+    band join prunes the candidate space (ONE shuffle), exact
+    word-shingle Jaccard verifies survivors (recall 1.0 at the 0.8
+    threshold, the oracle-proven minhash_dedup construction), and the
+    reference's exact weighted compare scoring
+    (comparison.go:133-263) runs ONLY on verified near-dup pairs —
+    linear in the candidate count, no quadratic anywhere.  The
+    all-pairs `compare_topk` remains the strict reference-semantics
+    baseline on bounded input; measured at sf0.01, 1104/1106 of its
+    output rows pass the 0.6 threshold on stats cosines alone, so the
+    brute-force OUTPUT is inherently quadratic — at catalog scale the
+    meaningful ranking surface is this near-dup-candidate variant.
+
+    Scoring groups: energy + moments (availability semantics of
+    comparison.go:168-196 — these fingerprints carry no minhash/MFCC
+    stats columns).  Fully DuckDB-oracle-backed: the oracle
+    recomputes the exact pair set, the frame-feature doc stats, and
+    the weighted cosine blend."""
+    cfg = MinHashConfig(num_hashes=64, bands=32)
+    corpus = _dup_corpus(spark, sf_dir)
+    sigs = minhash_fingerprints(corpus, cfg)
+    cand = lsh_candidate_pairs(sigs, cfg).select("doc_a", "doc_b")
+    words = _dup_corpus_words(spark, sf_dir).select(
+        "doc_id", _shingles4(F.col("words")).alias("sh")
+    )
+    words = words.repartition(8)
+    jp = (
+        cand.join(
+            words.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            words.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast(
+        "double"
+    ) / F.size(F.array_union("sh_a", "sh_b"))
+    verified = jp.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("__j")
+    ).where(F.col("__j") >= 0.8)
+    # both directions in ONE pass over `verified` (a union of two
+    # selects would re-evaluate the whole LSH+shingle subtree twice)
+    sym = verified.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("query_id"),
+                    F.col("doc_b").alias("match_id"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("query_id"),
+                    F.col("doc_a").alias("match_id"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.query_id", "__p.match_id")
+    # features over the token-LENGTH corpus (same planting rule):
+    # lengths are SQL-recomputable, so the oracle re-derives the
+    # fingerprints exactly; the LSH/shingle pruning above runs on the
+    # token-id corpus, which only affects the candidate set that the
+    # exact-Jaccard verification pins down either way
+    lbase = to_token_length_table(_t(spark, sf_dir, "documents"))
+    ldups = lbase.where(
+        (F.col("doc_id").cast("long") % 10 == 0) & (F.col("n_tok") > 3)
+    ).select(
+        F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"),
+        F.slice(F.col("tokens"), 1, F.col("n_tok") - 3).alias("tokens"),
+        (F.col("n_tok") - 3).alias("n_tok"),
+        F.col("source"),
+    )
+    lcopies = lbase.where(F.col("doc_id").cast("long") % 10 == 5).select(
+        F.concat(F.col("doc_id"), F.lit("_copy")).alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+    )
+    lcorpus = lbase.unionByName(ldups).unionByName(lcopies)
+    feats = frame_features_arrow(lcorpus, FrameConfig(window=32, hop=8))
+    fps = _explicit_doc_stats(feats)
+    out = compare_topk(fps, fps, k=3, candidates=sym)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "match_id",
+        F.round("similarity", 6).alias("similarity"),
+        "match_class",
+        F.round("sim_energy", 6).alias("sim_energy"),
+        F.round("sim_moments", 6).alias("sim_moments"),
     )
 
 
@@ -2940,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "align_pairs": q_align_pairs,
         "compare_topk": q_compare_topk,
+        "compare_topk_lsh": q_compare_topk_lsh,
         "normalize_zscore": q_normalize_zscore,
         "moving_stats": q_moving_stats,
         "silence_segments": q_silence_segments,
@@ -4214,6 +4349,175 @@ def oracle_sql() -> dict[str, str]:
         # pairs with word-4-shingle Jaccard >= 0.8 over the planted
         # corpus (inverted-index candidate generation keeps it
         # near-linear); green row == LSH recall 1.0 at threshold
+        "compare_topk_lsh": r"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id::VARCHAR AS doc_id, source, words FROM base
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_dup', source,
+                     words[1:len(words)-3]
+              FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_copy', source, words
+              FROM base WHERE doc_id % 10 = 5
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(words) - 3, 1)),
+                i -> array_to_string(words[i:i+3], ' '))) AS sh
+              FROM w
+            ),
+            inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            scand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM inv a JOIN inv b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            vp AS (
+              SELECT c.doc_a, c.doc_b
+              FROM scand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+              WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                    / len(list_distinct(list_concat(sa.sh, sb.sh))),
+                    6) >= 0.8
+            ),
+            pairs AS (
+              SELECT doc_a AS qid, doc_b AS mid FROM vp
+              UNION ALL
+              SELECT doc_b, doc_a FROM vp
+            ),
+            v AS (
+              SELECT doc_id, source,
+                     generate_subscripts(words, 1) AS pos,
+                     length(unnest(words))::DOUBLE AS val
+              FROM w
+            ),
+            f AS (
+              SELECT doc_id, source, pos - 1 AS strt,
+                     count(*) OVER wd AS cnt, avg(val) OVER wd AS mn
+              FROM v
+              WINDOW wd AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND 31 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, source, strt, mn
+              FROM f WHERE strt % 8 = 0 AND cnt = 32
+            ),
+            cm AS (
+              SELECT fr.doc_id, fr.source, fr.strt, fr.mn,
+                     avg((v.val - fr.mn) * (v.val - fr.mn)) AS m2,
+                     avg((v.val - fr.mn) * (v.val - fr.mn)
+                         * (v.val - fr.mn)) AS m3,
+                     avg((v.val - fr.mn) * (v.val - fr.mn)
+                         * (v.val - fr.mn) * (v.val - fr.mn)) AS m4,
+                     min(v.val) AS fmin, max(v.val) AS fmax
+              FROM fr JOIN v ON v.doc_id = fr.doc_id
+                AND v.pos - 1 BETWEEN fr.strt AND fr.strt + 31
+              GROUP BY 1, 2, 3, 4
+            ),
+            feat AS (
+              SELECT doc_id, source,
+                     sqrt(m2 + mn * mn) AS rms_energy,
+                     CASE WHEN sqrt(m2 + mn * mn) > 0
+                          THEN greatest(abs(fmin), abs(fmax))
+                               / sqrt(m2 + mn * mn)
+                          ELSE 0.0 END AS crest,
+                     mn AS fmean,
+                     sqrt(m2) AS fstd,
+                     CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5)
+                          ELSE 0.0 END AS fskew,
+                     CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0
+                          ELSE 0.0 END AS fkurt
+              FROM cm
+            ),
+            ds AS (
+              SELECT doc_id, source,
+                round(avg(rms_energy), 6) AS e1,
+                round(sqrt(greatest(avg(rms_energy * rms_energy)
+                  - avg(rms_energy) * avg(rms_energy), 0.0)), 6) AS e2,
+                round(avg(crest), 6) AS e3,
+                round(sqrt(greatest(avg(crest * crest)
+                  - avg(crest) * avg(crest), 0.0)), 6) AS e4,
+                round(avg(fmean), 6) AS m1,
+                round(sqrt(greatest(avg(fmean * fmean)
+                  - avg(fmean) * avg(fmean), 0.0)), 6) AS m2_,
+                round(avg(fstd), 6) AS m3_,
+                round(sqrt(greatest(avg(fstd * fstd)
+                  - avg(fstd) * avg(fstd), 0.0)), 6) AS m4_,
+                round(avg(fskew), 6) AS m5,
+                round(sqrt(greatest(avg(fskew * fskew)
+                  - avg(fskew) * avg(fskew), 0.0)), 6) AS m6,
+                round(avg(fkurt), 6) AS m7,
+                round(sqrt(greatest(avg(fkurt * fkurt)
+                  - avg(fkurt) * avg(fkurt), 0.0)), 6) AS m8
+              FROM feat GROUP BY 1, 2
+            ),
+            sc AS (
+              SELECT p.qid AS query_id, p.mid AS match_id,
+                     q.source AS src,
+                     q.e1 * m.e1 + q.e2 * m.e2 + q.e3 * m.e3
+                       + q.e4 * m.e4 AS dote,
+                     sqrt(q.e1 * q.e1 + q.e2 * q.e2 + q.e3 * q.e3
+                       + q.e4 * q.e4)
+                     * sqrt(m.e1 * m.e1 + m.e2 * m.e2 + m.e3 * m.e3
+                       + m.e4 * m.e4) AS dene,
+                     q.m1 * m.m1 + q.m2_ * m.m2_ + q.m3_ * m.m3_
+                       + q.m4_ * m.m4_ + q.m5 * m.m5 + q.m6 * m.m6
+                       + q.m7 * m.m7 + q.m8 * m.m8 AS dotm,
+                     sqrt(q.m1 * q.m1 + q.m2_ * q.m2_ + q.m3_ * q.m3_
+                       + q.m4_ * q.m4_ + q.m5 * q.m5 + q.m6 * q.m6
+                       + q.m7 * q.m7 + q.m8 * q.m8)
+                     * sqrt(m.m1 * m.m1 + m.m2_ * m.m2_
+                       + m.m3_ * m.m3_ + m.m4_ * m.m4_ + m.m5 * m.m5
+                       + m.m6 * m.m6 + m.m7 * m.m7 + m.m8 * m.m8)
+                       AS denm
+              FROM pairs p
+              JOIN ds q ON q.doc_id = p.qid
+              JOIN ds m ON m.doc_id = p.mid
+              WHERE p.qid <> p.mid AND q.source = m.source
+            ),
+            sims AS (
+              SELECT query_id, match_id, src,
+                     CASE WHEN dene > 0 THEN dote / dene
+                          ELSE 0.0 END AS se,
+                     CASE WHEN denm > 0 THEN dotm / denm
+                          ELSE 0.0 END AS sm,
+                     CASE src WHEN 'web' THEN 0.2 WHEN 'books' THEN 0.1
+                              WHEN 'code' THEN 0.3 WHEN 'news' THEN 0.2
+                              ELSE 0.5 END AS we,
+                     CASE src WHEN 'web' THEN 0.2 WHEN 'books' THEN 0.2
+                              WHEN 'code' THEN 0.2 WHEN 'news' THEN 0.3
+                              ELSE 0.5 END AS wm
+              FROM sc
+            ),
+            blend AS (
+              SELECT query_id, match_id, se, sm,
+                     (we * se + wm * sm) / (we + wm) AS sim
+              FROM sims
+            ),
+            ranked AS (
+              SELECT query_id, match_id, se, sm, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, match_id ASC) AS rk
+              FROM blend WHERE sim >= 0.6
+            )
+            SELECT query_id, rk::INT AS rank, match_id,
+                   round(sim, 6) + 0.0 AS similarity,
+                   CASE WHEN sim >= 0.95 THEN 'excellent'
+                        WHEN sim >= 0.85 THEN 'good'
+                        WHEN sim >= 0.75 THEN 'fair'
+                        WHEN sim >= 0.6 THEN 'poor'
+                        ELSE 'no_match' END AS match_class,
+                   round(se, 6) + 0.0 AS sim_energy,
+                   round(sm, 6) + 0.0 AS sim_moments
+            FROM ranked WHERE rk <= 3
+        """,
         "minhash_dedup": r"""
             WITH base AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS words

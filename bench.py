@@ -126,6 +126,7 @@ def main() -> None:
         "percentile_methods",
         "entropy_variants",
         "minhash_dedup",
+        "compare_topk_lsh",
         "align_pairs",
         "ngram_jaccard",
         "ivf_knn",

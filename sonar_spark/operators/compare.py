@@ -63,50 +63,69 @@ def compare_topk(
     k: int | None = None,
     content_filter: bool = True,
     broadcast_catalog: bool = True,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """query/catalog: doc_stats output joined with minhash column
-    (doc_id, source, <feature>_mean/_std ..., minhash array<long>).
+    """query/catalog: doc_stats output, optionally joined with a
+    minhash column (doc_id, source, <feature>_mean/_std ...,
+    [minhash array<long>]).
+
+    `candidates` (query_id, match_id) restricts scoring to the given
+    pair set — the SURVEY §3.3 scale path where an LSH band join
+    prunes the otherwise-quadratic pair space (the reference itself
+    brute-forces every catalog entry, comparison.go:197-263; the
+    all-pairs default reproduces that as the small-catalog baseline).
+    With candidates the plan is: pair set (one LSH shuffle upstream)
+    -> two hash joins to attach both fingerprints -> scoring — linear
+    in the candidate count, no quadratic anywhere.
 
     Output: query_id, match_id, rank, similarity, match_class,
-    sim_energy, sim_moments, sim_minhash."""
+    sim_energy, sim_moments[, sim_minhash][, sim_mfcc]."""
     k = k or cfg.max_candidates
-    # MFCC group participates when the fingerprints carry the
-    # per-coefficient stats (availability semantics of
-    # comparison.go:168-196: only present feature groups are scored)
+    # MFCC / minhash groups participate when the fingerprints carry
+    # them (availability semantics of comparison.go:168-196: only
+    # present feature groups are scored)
     has_mfcc = all(c in query.columns for c in MFCC_STATS)
+    has_minhash = "minhash" in query.columns
     stat_cols = ENERGY_STATS + MOMENT_STATS + (MFCC_STATS if has_mfcc else [])
     qcols = (
         [F.col("doc_id").alias("query_id"), F.col("source").alias("q_source")]
         + [F.col(c).alias(f"q_{c}") for c in stat_cols]
-        + [F.col("minhash").alias("q_minhash")]
+        + ([F.col("minhash").alias("q_minhash")] if has_minhash else [])
     )
     ccols = (
         [F.col("doc_id").alias("match_id"), F.col("source").alias("c_source")]
         + [F.col(c).alias(f"c_{c}") for c in stat_cols]
-        + [F.col("minhash").alias("c_minhash")]
+        + ([F.col("minhash").alias("c_minhash")] if has_minhash else [])
     )
     q = query.select(*qcols)
     c = catalog.select(*ccols)
-    if broadcast_catalog:
-        c = F.broadcast(c)
     cond = F.col("query_id") != F.col("match_id")
     if content_filter:
         # early-exit analog: pushed into the join, never scored
         cond = cond & (F.col("q_source") == F.col("c_source"))
-    j = q.join(c, cond)
+    if candidates is not None:
+        pairs = candidates.select("query_id", "match_id")
+        j = pairs.join(q, "query_id").join(c, "match_id").where(cond)
+    else:
+        if broadcast_catalog:
+            c = F.broadcast(c)
+        j = q.join(c, cond)
 
-    sim_minhash = F.aggregate(
-        F.zip_with("q_minhash", "c_minhash", lambda x, y: (x == y).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.size("q_minhash")
     groups = [
         ("energy", cosine_similarity(
             _stats_vec("q_", ENERGY_STATS), _stats_vec("c_", ENERGY_STATS))),
         ("moments", cosine_similarity(
             _stats_vec("q_", MOMENT_STATS), _stats_vec("c_", MOMENT_STATS))),
-        ("minhash", sim_minhash),
     ]
+    if has_minhash:
+        sim_minhash = F.aggregate(
+            F.zip_with(
+                "q_minhash", "c_minhash", lambda x, y: (x == y).cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / F.size("q_minhash")
+        groups.append(("minhash", sim_minhash))
     if has_mfcc:
         groups.append(("mfcc", cosine_similarity(
             _stats_vec("q_", MFCC_STATS), _stats_vec("c_", MFCC_STATS))))
