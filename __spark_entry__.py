@@ -1941,12 +1941,13 @@ def q_key_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hpcp_chain_sql() -> str:
+def _hpcp_chain_sql(recursive: bool = False) -> str:
     """Shared WITH-chain computing the per-frame HPCP table (CTE
     `en`: doc_id, frame_idx, pitch_class, raw, energy) — used by
-    the hpcp oracle and the key-estimation oracle."""
-    return r'''
-            WITH toks AS (
+    the hpcp, key-estimation, chord, tonnetz, and chroma-sequence
+    oracles (the DP oracles append RECURSIVE members)."""
+    head = "WITH RECURSIVE" if recursive else "WITH"
+    return f"\n            {head} " + r'''toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
               FROM documents
             ),
@@ -1990,9 +1991,10 @@ def _hpcp_chain_sql() -> str:
             ),
             nb AS (
               SELECT doc_id, frame_idx, bin, m,
-                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
+                     lag(m) OVER wnb AS y1, lead(m) OVER wnb AS y3
               FROM grid
-              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
+              WINDOW wnb AS (PARTITION BY doc_id, frame_idx
+                            ORDER BY bin)
             ),
             pk AS (
               SELECT doc_id, frame_idx, bin, m, y1, y3,
@@ -2300,6 +2302,172 @@ def q_chroma_shift_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_shift").cast("long").alias("best_shift"),
         F.round("best_similarity", 6).alias("best_similarity"),
     )
+
+
+def _chroma_pairs(spark: SparkSession, sf_dir: str):
+    """Bounded doc-pair chroma-sequence tables for the sequence
+    similarity queries: per-frame 6-dp-rounded HPCP (quantized
+    interface), docs limited to id < 16 with >= 2 frames (the DTW
+    traceback degenerates on single-frame sequences: path length 0
+    -> 0/0, the reference's NaN)."""
+    pcp = _doc_hpcp(spark, sf_dir).select(
+        "doc_id", "frame_idx", "pitch_class",
+        F.round("hpcp", 6).alias("cv"),
+    )
+    nf = pcp.groupBy("doc_id").agg(
+        (F.countDistinct("frame_idx")).alias("__nf")
+    )
+    keep = nf.where((F.col("__nf") >= 2) & (F.col("doc_id") < 16)).select(
+        "doc_id"
+    )
+    pcp = pcp.join(keep, "doc_id")
+    ids = keep.select("doc_id")
+    pr = ids.select(F.col("doc_id").alias("qid")).join(
+        ids.select(F.col("doc_id").alias("mid")),
+        F.col("qid") < F.col("mid"),
+    )
+    return pcp, pr
+
+
+def q_chroma_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma sequence similarity, matrix-aggregate methods
+    (chroma_similarity.go:110-197 direct, :162-194 binary, :361-396
+    QMax, :399-445 OTI) over bounded doc pairs."""
+    from sonar_spark.operators.chroma import chroma_cross_similarity
+
+    pcp, pr = _chroma_pairs(spark, sf_dir)
+    left = pr.join(pcp, F.col("doc_id") == F.col("qid")).select(
+        "qid", "mid", "frame_idx", "pitch_class", "cv"
+    )
+    right = pr.join(pcp, F.col("doc_id") == F.col("mid")).select(
+        "qid", "mid", "frame_idx", "pitch_class", "cv"
+    )
+    out = chroma_cross_similarity(
+        left, right, ["qid", "mid"], value_col="cv"
+    )
+    return out.select(
+        "qid",
+        "mid",
+        F.round("sim_direct", 6).alias("sim_direct"),
+        F.round("sim_binary", 6).alias("sim_binary"),
+        F.round("qmax", 6).alias("qmax"),
+        F.col("oti_shift").cast("long").alias("oti_shift"),
+        F.round("oti_similarity", 6).alias("oti_similarity"),
+    )
+
+
+def _chroma_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, mid, qseq, rseq) nested chroma sequences for the DP
+    methods."""
+    pcp, pr = _chroma_pairs(spark, sf_dir)
+    vec = pcp.groupBy("doc_id", "frame_idx").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pitch_class", "cv"))),
+            lambda s: s["cv"],
+        ).alias("vec")
+    )
+    seq = vec.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("frame_idx", "vec"))),
+            lambda s: s["vec"],
+        ).alias("seq")
+    )
+    return (
+        pr.join(
+            seq.select(
+                F.col("doc_id").alias("qid"), F.col("seq").alias("qseq")
+            ),
+            "qid",
+        )
+        .join(
+            seq.select(
+                F.col("doc_id").alias("mid"), F.col("seq").alias("rseq")
+            ),
+            "mid",
+        )
+        .select("qid", "mid", "qseq", "rseq")
+    )
+
+
+def q_chroma_seq_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW chroma sequence similarity (chroma_similarity.go:270-353):
+    cosine-distance cost matrix, unconstrained min-path accumulation
+    (the 50-frame Sakoe band never binds at these sizes), traceback
+    path length, similarity = exp(-corner/path)."""
+    from sonar_spark.operators.chroma import chroma_dp_similarity
+
+    out = chroma_dp_similarity(
+        _chroma_seq_pairs(spark, sf_dir), ["qid", "mid"], method="dtw"
+    )
+    return out.select(
+        "qid",
+        "mid",
+        F.round("score", 6).alias("dtw_cost"),
+        F.col("path_len").cast("long").alias("path_len"),
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
+def q_chroma_seq_sw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman local alignment over chroma sequences
+    (chroma_similarity.go:198-267): cosine-similarity scoring with
+    0.1 gap penalties, first-strict-max cell, traceback path length,
+    similarity = maxScore / pathLen."""
+    from sonar_spark.operators.chroma import chroma_dp_similarity
+
+    out = chroma_dp_similarity(
+        _chroma_seq_pairs(spark, sf_dir), ["qid", "mid"], method="sw"
+    )
+    return out.select(
+        "qid",
+        "mid",
+        F.round("score", 6).alias("max_score"),
+        F.col("path_len").cast("long").alias("path_len"),
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
+def _chroma_cells_sql(shifts: bool) -> str:
+    """CTE fragment (appended to the HPCP chain) producing the
+    bounded-pair chroma cross tables: hv6 (rounded per-frame HPCP),
+    keep/pr (doc pairs, id < 16, >= 2 frames), and cellj — per
+    (pair[, shift], query frame, ref frame) dot/norm sums."""
+    shift_src = (
+        "CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS s) sh"
+        if shifts
+        else "CROSS JOIN (SELECT 0 AS s) sh"
+    )
+    return rf""",
+            hv6 AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     round(CASE WHEN energy > 0 THEN raw / energy
+                           ELSE 0.0 END, 6) AS cv
+              FROM en
+            ),
+            keep AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, count(DISTINCT frame_idx) AS nf
+                FROM hv6 GROUP BY 1) x
+              WHERE nf >= 2 AND doc_id < 16
+            ),
+            pr AS (
+              SELECT a.doc_id AS qid, b.doc_id AS mid
+              FROM keep a JOIN keep b ON a.doc_id < b.doc_id
+            ),
+            cellj AS (
+              SELECT p.qid, p.mid, sh.s, l.frame_idx AS li,
+                     r.frame_idx AS rj,
+                     sum(l.cv * r.cv) AS dt,
+                     sum(l.cv * l.cv) AS na,
+                     sum(r.cv * r.cv) AS nb
+              FROM pr p
+              {shift_src}
+              JOIN hv6 l ON l.doc_id = p.qid
+              JOIN hv6 r ON r.doc_id = p.mid
+                AND r.pitch_class
+                    = (l.pitch_class - sh.s + 12) % 12
+              GROUP BY 1, 2, 3, 4, 5
+            )"""
 
 
 def _chord_inv_oracle_sql() -> str:
@@ -3129,6 +3297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cepstrum_f0": q_cepstrum_f0,
         "chord_inversions": q_chord_inversions,
         "tonnetz": q_tonnetz,
+        "chroma_seq_stats": q_chroma_seq_stats,
+        "chroma_seq_dtw": q_chroma_seq_dtw,
+        "chroma_seq_sw": q_chroma_seq_sw,
         "tonnetz_movement": q_tonnetz_movement,
         "chroma_shift_optimal": q_chroma_shift_optimal,
         "harmonic_series": q_harmonic_series,
@@ -3289,6 +3460,225 @@ def oracle_sql() -> dict[str, str]:
                          THEN disp / total_distance END, 6) + 0.0
                      AS path_efficiency
             FROM agg
+        """,
+        "chroma_seq_stats": _hpcp_chain_sql() + _chroma_cells_sql(True) + r""",
+            sims AS (
+              SELECT qid, mid, s, li, rj,
+                     1.0 - (CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                            ELSE 1.0 - dt / (sqrt(na) * sqrt(nb))
+                            END) / 2.0 AS sim
+              FROM cellj
+            ),
+            direct AS (
+              SELECT qid, mid, avg(sim) AS sim_direct,
+                     avg(CASE WHEN sim > 0.4 THEN 1.0 ELSE 0.0 END)
+                       AS sim_binary,
+                     max(sim) AS qmax
+              FROM sims WHERE s = 0 GROUP BY 1, 2
+            ),
+            pershift AS (
+              SELECT qid, mid, s,
+                     sum(CASE WHEN abs(li - rj) <= 10 THEN sim
+                         ELSE 0.0 END) / count(*) AS av
+              FROM sims GROUP BY 1, 2, 3
+            ),
+            ob AS (
+              SELECT qid, mid, s, av,
+                     row_number() OVER (PARTITION BY qid, mid
+                       ORDER BY av DESC, s ASC) AS rk
+              FROM pershift WHERE av > 0
+            )
+            SELECT d.qid, d.mid,
+                   round(sim_direct, 6) + 0.0 AS sim_direct,
+                   round(sim_binary, 6) + 0.0 AS sim_binary,
+                   round(qmax, 6) + 0.0 AS qmax,
+                   coalesce(o.s, 0)::BIGINT AS oti_shift,
+                   round(coalesce(o.av, 0.0), 6) + 0.0
+                     AS oti_similarity
+            FROM direct d
+            LEFT JOIN (SELECT * FROM ob WHERE rk = 1) o
+              ON o.qid = d.qid AND o.mid = d.mid
+        """,
+        "chroma_seq_dtw": _hpcp_chain_sql(recursive=True)
+        + _chroma_cells_sql(False) + r""",
+            cells AS (
+              SELECT qid, mid, li AS i, rj AS j,
+                     CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                          ELSE 1.0 - dt / (sqrt(na) * sqrt(nb))
+                     END AS c
+              FROM cellj
+            ),
+            dims AS (
+              SELECT qid, mid, max(i) + 1 AS q, max(j) + 1 AS r
+              FROM cells GROUP BY 1, 2
+            ),
+            -- row-major DP: state list st holds acc[0..t] (1-based)
+            dp AS (
+              SELECT c.qid, c.mid, 0 AS t, [c.c] AS st
+              FROM cells c WHERE c.i = 0 AND c.j = 0
+              UNION ALL
+              SELECT d.qid, d.mid, d.t + 1,
+                     list_append(d.st,
+                       CASE WHEN cl.i = 0
+                              THEN d.st[d.t + 1] + cl.c
+                            WHEN cl.j = 0
+                              THEN d.st[d.t + 2 - dm.r] + cl.c
+                            ELSE cl.c + least(
+                              d.st[d.t + 2 - dm.r],
+                              d.st[d.t + 1],
+                              d.st[d.t + 1 - dm.r])
+                       END)
+              FROM dp d
+              JOIN dims dm ON dm.qid = d.qid AND dm.mid = d.mid
+              JOIN cells cl ON cl.qid = d.qid AND cl.mid = d.mid
+                AND cl.i = (d.t + 1) // dm.r
+                AND cl.j = (d.t + 1) % dm.r
+            ),
+            fin AS (
+              SELECT d.qid, d.mid, d.st, dm.q, dm.r
+              FROM dp d
+              JOIN dims dm ON dm.qid = d.qid AND dm.mid = d.mid
+              WHERE d.t = dm.q * dm.r - 1
+            ),
+            -- traceback (chroma_similarity.go:500-527); acc[a][b] is
+            -- st[a*r + b + 1]
+            tb AS (
+              SELECT qid, mid, st, q, r,
+                     q - 1 AS i, r - 1 AS j, 0 AS plen
+              FROM fin
+              UNION ALL
+              SELECT t.qid, t.mid, t.st, t.q, t.r,
+                     CASE WHEN t.i = 0 THEN t.i
+                          WHEN t.j = 0 THEN t.i - 1
+                          WHEN t.st[(t.i - 1) * t.r + t.j]
+                                 <= t.st[(t.i - 1) * t.r + t.j + 1]
+                           AND t.st[(t.i - 1) * t.r + t.j]
+                                 <= t.st[t.i * t.r + t.j]
+                            THEN t.i - 1
+                          WHEN t.st[(t.i - 1) * t.r + t.j + 1]
+                                 <= t.st[t.i * t.r + t.j]
+                            THEN t.i - 1
+                          ELSE t.i END,
+                     CASE WHEN t.i = 0 THEN t.j - 1
+                          WHEN t.j = 0 THEN t.j
+                          WHEN t.st[(t.i - 1) * t.r + t.j]
+                                 <= t.st[(t.i - 1) * t.r + t.j + 1]
+                           AND t.st[(t.i - 1) * t.r + t.j]
+                                 <= t.st[t.i * t.r + t.j]
+                            THEN t.j - 1
+                          WHEN t.st[(t.i - 1) * t.r + t.j + 1]
+                                 <= t.st[t.i * t.r + t.j]
+                            THEN t.j
+                          ELSE t.j - 1 END,
+                     t.plen + 1
+              FROM tb t WHERE t.i > 0 OR t.j > 0
+            )
+            SELECT qid, mid,
+                   round(st[q * r], 6) + 0.0 AS dtw_cost,
+                   plen::BIGINT AS path_len,
+                   round(exp(-(st[q * r] / plen)), 6) + 0.0
+                     AS similarity
+            FROM tb WHERE i = 0 AND j = 0
+        """,
+        "chroma_seq_sw": _hpcp_chain_sql(recursive=True)
+        + _chroma_cells_sql(False) + r""",
+            cells AS (
+              SELECT qid, mid, li AS i, rj AS j,
+                     1.0 - (CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                            ELSE 1.0 - dt / (sqrt(na) * sqrt(nb))
+                            END) / 2.0 AS sim
+              FROM cellj
+            ),
+            dims AS (
+              SELECT qid, mid, max(i) + 1 AS q, max(j) + 1 AS r
+              FROM cells GROUP BY 1, 2
+            ),
+            -- row-major SW DP over the computed (non-boundary) cells
+            -- (chroma_similarity.go:198-267): st = scores, ds = the
+            -- traceback directions (1 diag / 2 up / 3 left / 0 none)
+            dp AS (
+              SELECT c.qid, c.mid, 0 AS t,
+                     [greatest(0.0, c.sim)] AS st,
+                     [CASE WHEN greatest(0.0, c.sim) = c.sim THEN 1
+                           WHEN greatest(0.0, c.sim) = -0.1 THEN 2
+                           ELSE 0 END] AS ds
+              FROM cells c WHERE c.i = 0 AND c.j = 0
+              UNION ALL
+              SELECT d.qid, d.mid, d.t + 1,
+                     list_append(d.st, x.mv),
+                     list_append(d.ds,
+                       CASE WHEN x.mv = x.mt THEN 1
+                            WHEN x.mv = x.de THEN 2
+                            WHEN x.mv = x.ins THEN 3
+                            ELSE 0 END)
+              FROM dp d
+              JOIN dims dm ON dm.qid = d.qid AND dm.mid = d.mid
+              JOIN cells cl ON cl.qid = d.qid AND cl.mid = d.mid
+                AND cl.i = (d.t + 1) // dm.r
+                AND cl.j = (d.t + 1) % dm.r
+              CROSS JOIN LATERAL (
+                SELECT
+                  CASE WHEN cl.i > 0 AND cl.j > 0
+                       THEN d.st[d.t + 1 - dm.r] ELSE 0.0 END
+                    + cl.sim AS mt,
+                  CASE WHEN cl.i > 0
+                       THEN d.st[d.t + 2 - dm.r] ELSE 0.0 END
+                    - 0.1 AS de,
+                  CASE WHEN cl.j > 0
+                       THEN d.st[d.t + 1] ELSE 0.0 END - 0.1 AS ins,
+                  greatest(0.0,
+                    CASE WHEN cl.i > 0 AND cl.j > 0
+                         THEN d.st[d.t + 1 - dm.r] ELSE 0.0 END
+                      + cl.sim,
+                    CASE WHEN cl.i > 0
+                         THEN d.st[d.t + 2 - dm.r] ELSE 0.0 END
+                      - 0.1,
+                    CASE WHEN cl.j > 0
+                         THEN d.st[d.t + 1] ELSE 0.0 END - 0.1) AS mv
+              ) x
+            ),
+            fin AS (
+              SELECT d.qid, d.mid, d.st, d.ds, dm.q, dm.r,
+                     list_max(d.st) AS maxv,
+                     list_position(d.st, list_max(d.st)) AS pos
+              FROM dp d
+              JOIN dims dm ON dm.qid = d.qid AND dm.mid = d.mid
+              WHERE d.t = dm.q * dm.r - 1
+            ),
+            -- traceback (chroma_similarity.go:472-497), Go-1-based
+            -- (mi, mj); scores(i, j) = st[(i-1)*r + j]
+            tb AS (
+              SELECT qid, mid, st, ds, q, r, maxv,
+                     ((pos - 1) // r) + 1 AS i,
+                     ((pos - 1) % r) + 1 AS j,
+                     0 AS plen, FALSE AS halt
+              FROM fin WHERE maxv > 0
+              UNION ALL
+              SELECT t.qid, t.mid, t.st, t.ds, t.q, t.r, t.maxv,
+                     CASE t.ds[(t.i - 1) * t.r + t.j]
+                          WHEN 1 THEN t.i - 1
+                          WHEN 2 THEN t.i - 1
+                          ELSE t.i END,
+                     CASE t.ds[(t.i - 1) * t.r + t.j]
+                          WHEN 1 THEN t.j - 1
+                          WHEN 3 THEN t.j - 1
+                          ELSE t.j END,
+                     t.plen + 1,
+                     t.ds[(t.i - 1) * t.r + t.j] = 0
+              FROM tb t
+              WHERE NOT t.halt AND t.i > 0 AND t.j > 0
+                AND t.st[(t.i - 1) * t.r + t.j] > 0
+            ),
+            last AS (
+              SELECT qid, mid, maxv, plen,
+                     row_number() OVER (PARTITION BY qid, mid
+                       ORDER BY plen DESC) AS rk
+              FROM tb
+            )
+            SELECT qid, mid, round(maxv, 6) + 0.0 AS max_score,
+                   plen::BIGINT AS path_len,
+                   round(maxv / plen, 6) + 0.0 AS similarity
+            FROM last WHERE rk = 1
         """,
         "chroma_shift_optimal": _hpcp_chain_sql() + r""",
             raw12 AS (
