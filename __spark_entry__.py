@@ -2427,6 +2427,268 @@ def q_chroma_seq_sw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _peaks_for_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sonar_spark.operators.peaks import spectral_peaks
+
+    grid = _hist_grid(spark, sf_dir)
+    return spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+
+
+def q_harmonic_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-based harmonic tracking (harmonic_tracking.go:214-337):
+    greedy frame-to-frame track continuation (0.6/0.3 exp continuity
+    score, strict-first argmax > 0.2, used-peak exclusion), births at
+    magnitude >= 0.3 under the as-written active-track quirk, tracks
+    < 3 points dropped.  Output: per-point track assignments."""
+    from sonar_spark.operators.tracking import harmonic_tracks
+
+    out = harmonic_tracks(_peaks_for_tracking(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("track_id").cast("long").alias("track_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round("freq", 6).alias("freq"),
+        F.round("mag", 6).alias("mag"),
+        F.col("point_idx").cast("long").alias("point_idx"),
+    )
+
+
+def q_harmonic_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-track statistics (harmonic_tracking.go:534-560 +
+    :561-650): duration (hop 8 / analog rate 8 -> frames), sample
+    stddev and linear-regression slope of the frequency and
+    amplitude series, continuity 1/(1 + mean|df| + mean|da|),
+    salience avg_amp * ln(duration + 1)."""
+    from sonar_spark.operators.tracking import harmonic_tracks
+    from pyspark.sql import Window
+
+    pts = harmonic_tracks(_peaks_for_tracking(spark, sf_dir))
+    w = Window.partitionBy("doc_id", "track_id").orderBy("point_idx")
+    d = pts.select(
+        "doc_id",
+        "track_id",
+        "point_idx",
+        "frame_idx",
+        "freq",
+        "mag",
+        (F.col("freq") - F.lag("freq").over(w)).alias("__df"),
+        (F.col("mag") - F.lag("mag").over(w)).alias("__dm"),
+    )
+    m = d.groupBy("doc_id", "track_id").agg(
+        F.count("*").alias("n"),
+        F.min("frame_idx").alias("__sf"),
+        F.max("frame_idx").alias("__ef"),
+        F.avg("freq").alias("__fmean"),
+        F.avg("mag").alias("__amean"),
+        F.sum(F.col("point_idx").cast("double")).alias("__sx"),
+        F.sum("freq").alias("__syf"),
+        F.sum(F.col("point_idx").cast("double") * F.col("freq")).alias(
+            "__sxyf"
+        ),
+        F.sum("mag").alias("__sya"),
+        F.sum(F.col("point_idx").cast("double") * F.col("mag")).alias(
+            "__sxya"
+        ),
+        F.sum(
+            F.col("point_idx").cast("double")
+            * F.col("point_idx").cast("double")
+        ).alias("__sxx"),
+        F.avg(F.abs("__df")).alias("__fvar"),
+        F.avg(F.abs("__dm")).alias("__avar"),
+    )
+    j = d.join(
+        m.select(
+            "doc_id", "track_id", F.col("__fmean").alias("__fm2"),
+            F.col("__amean").alias("__am2"),
+        ),
+        ["doc_id", "track_id"],
+    ).groupBy("doc_id", "track_id").agg(
+        F.sum(
+            (F.col("freq") - F.col("__fm2"))
+            * (F.col("freq") - F.col("__fm2"))
+        ).alias("__ssf"),
+        F.sum(
+            (F.col("mag") - F.col("__am2"))
+            * (F.col("mag") - F.col("__am2"))
+        ).alias("__ssa"),
+    )
+    r = m.join(j, ["doc_id", "track_id"])
+    n = F.col("n").cast("double")
+    dur = (F.col("__ef") - F.col("__sf")).cast("double") * 8.0 / 8.0
+    denom = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope_f = F.when(
+        (F.col("n") >= 2) & (denom != 0),
+        (n * F.col("__sxyf") - F.col("__sx") * F.col("__syf")) / denom,
+    ).otherwise(F.lit(0.0))
+    slope_a = F.when(
+        (F.col("n") >= 2) & (denom != 0),
+        (n * F.col("__sxya") - F.col("__sx") * F.col("__sya")) / denom,
+    ).otherwise(F.lit(0.0))
+    std_f = F.when(
+        F.col("n") > 1, F.sqrt(F.col("__ssf") / (n - 1.0))
+    ).otherwise(F.lit(0.0))
+    std_a = F.when(
+        F.col("n") > 1, F.sqrt(F.col("__ssa") / (n - 1.0))
+    ).otherwise(F.lit(0.0))
+    cont = F.when(
+        F.col("n") >= 2,
+        1.0 / (1.0 + F.col("__fvar") + F.col("__avar")),
+    ).otherwise(F.lit(0.0))
+    sal = F.col("__amean") * F.log(dur + 1.0)
+    return r.select(
+        "doc_id",
+        F.col("track_id").cast("long").alias("track_id"),
+        F.col("n").cast("long").alias("n_points"),
+        F.col("__sf").cast("long").alias("start_frame"),
+        F.col("__ef").cast("long").alias("end_frame"),
+        F.round(dur, 6).alias("duration"),
+        F.round(std_f, 6).alias("freq_stddev"),
+        F.round(slope_f, 6).alias("freq_slope"),
+        F.round(std_a, 6).alias("amp_stddev"),
+        F.round(slope_a, 6).alias("amp_slope"),
+        F.round(cont, 6).alias("continuity"),
+        F.round(sal, 6).alias("salience"),
+    )
+
+
+def _tracking_chain_sql() -> str:
+    """Recursive WITH-chain reproducing the harmonic-tracking state
+    machine in SQL: one recursion step per (frame, track) or
+    (frame, peak) slot, state = (phase, index, track list, used-peak
+    list, assignment log, next id) carried as LIST/STRUCT columns.
+    Ends with CTE `kept` (doc_id, track_id, frame_idx, freq, mag,
+    point_idx) — tracks with >= 3 points."""
+    return _harmonic_chain_sql(recursive=True) + r""",
+            tpk AS (
+              SELECT doc_id, frame_idx,
+                     list(struct_pack(pf := round(freq, 6),
+                                      pm := round(mag, 6))
+                          ORDER BY round(mag, 6) DESC,
+                                   round(freq, 6) ASC) AS plist
+              FROM hp GROUP BY 1, 2  -- tpk
+            ),
+            tdims AS (
+              SELECT doc_id, max(frame_idx)::INT AS maxf
+              FROM tpk GROUP BY 1
+            ),
+            pkl AS (
+              SELECT d.doc_id, fs.f::INT AS f,
+                     coalesce(p.plist,
+                       []::STRUCT(pf DOUBLE, pm DOUBLE)[]) AS plist
+              FROM tdims d
+              CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(0, d.maxf)) AS f) fs
+              LEFT JOIN tpk p ON p.doc_id = d.doc_id
+                AND p.frame_idx = fs.f
+            ),
+            sm AS (
+              SELECT d.doc_id, d.maxf, 0 AS f, 0 AS ph, 0 AS idx,
+                     []::STRUCT(tid INT, lastf DOUBLE, lasta DOUBLE,
+                                endf INT)[] AS tr,
+                     []::BIGINT[] AS used,
+                     []::STRUCT(tid INT, fr INT, pf DOUBLE,
+                                pm DOUBLE)[] AS asg,
+                     1 AS nid
+              FROM tdims d
+              UNION ALL
+              SELECT s.doc_id, s.maxf,
+                     CASE WHEN adv_p THEN s.f + 1 ELSE s.f END,
+                     CASE WHEN adv_t THEN 1
+                          WHEN adv_p THEN 0 ELSE s.ph END,
+                     CASE WHEN adv_t OR adv_p THEN 0
+                          ELSE s.idx + 1 END,
+                     CASE WHEN claim THEN
+                            s.tr[1:s.idx]
+                            || [struct_pack(tid := t.tid,
+                                 lastf := p.plist[best].pf,
+                                 lasta := p.plist[best].pm,
+                                 endf := s.f)]
+                            || s.tr[s.idx + 2:]
+                          WHEN birth THEN
+                            list_append(s.tr,
+                              struct_pack(tid := s.nid,
+                                lastf := q1.pf, lasta := q1.pm,
+                                endf := s.f))
+                          ELSE s.tr END,
+                     CASE WHEN adv_p THEN []::BIGINT[]
+                          WHEN claim THEN list_append(s.used, best)
+                          ELSE s.used END,
+                     CASE WHEN claim THEN
+                            list_append(s.asg,
+                              struct_pack(tid := t.tid, fr := s.f,
+                                pf := p.plist[best].pf,
+                                pm := p.plist[best].pm))
+                          WHEN birth THEN
+                            list_append(s.asg,
+                              struct_pack(tid := s.nid, fr := s.f,
+                                pf := q1.pf, pm := q1.pm))
+                          ELSE s.asg END,
+                     CASE WHEN birth THEN s.nid + 1 ELSE s.nid END
+              FROM sm s
+              JOIN pkl p ON p.doc_id = s.doc_id AND p.f = s.f
+              CROSS JOIN LATERAL (
+                SELECT
+                  s.ph = 0 AND s.idx >= len(s.tr) AS adv_t,
+                  s.ph = 1 AND s.idx >= len(p.plist) AS adv_p,
+                  s.tr[s.idx + 1] AS t,
+                  p.plist[s.idx + 1] AS q1,
+                  CASE WHEN s.ph = 0 AND s.idx < len(s.tr)
+                        AND (s.tr[s.idx + 1]).endf = s.f - 1
+                        AND len(p.plist) > 0
+                       THEN list_transform(p.plist, q ->
+                         round(0.6 * exp(-abs(q.pf
+                             - (s.tr[s.idx + 1]).lastf) / 50.0)
+                           + 0.3 * exp(-abs(q.pm
+                             - (s.tr[s.idx + 1]).lasta) / 20.0), 6))
+                       ELSE []::DOUBLE[] END AS scores,
+                  s.ph = 1 AND s.idx < len(p.plist)
+                    AND NOT list_contains(s.used, s.idx + 1)
+                    AND (p.plist[s.idx + 1]).pm >= 0.3
+                    AND len(list_filter(s.tr,
+                          t2 -> t2.endf = s.f - 1)) < 20 AS birth
+              ) x0
+              CROSS JOIN LATERAL (
+                SELECT
+                  CASE WHEN len(x0.scores) > 0
+                        AND list_max(x0.scores) > 0.2
+                       THEN list_position(x0.scores,
+                              list_max(x0.scores))
+                       ELSE 0 END AS best
+              ) x1
+              CROSS JOIN LATERAL (
+                SELECT x1.best > 0
+                    AND NOT list_contains(s.used, x1.best) AS claim
+              ) x2
+              WHERE s.f <= s.maxf
+            ),
+            tfinal AS (
+              SELECT doc_id, asg FROM sm WHERE f = maxf + 1
+            ),
+            tflat AS (
+              SELECT doc_id, unnest(asg) AS a FROM tfinal
+            ),
+            tpts AS (
+              SELECT doc_id, a.tid AS track_id, a.fr AS frame_idx,
+                     a.pf AS freq, a.pm AS mag
+              FROM tflat
+            ),
+            tkeep AS (
+              SELECT doc_id, track_id FROM tpts
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            kept AS (
+              SELECT t.doc_id, t.track_id, t.frame_idx, t.freq,
+                     t.mag,
+                     row_number() OVER (PARTITION BY t.doc_id,
+                       t.track_id ORDER BY t.frame_idx) - 1
+                       AS point_idx
+              FROM tpts t JOIN tkeep k
+                ON k.doc_id = t.doc_id AND k.track_id = t.track_id
+            )"""
+
+
 def _chroma_cells_sql(shifts: bool) -> str:
     """CTE fragment (appended to the HPCP chain) producing the
     bounded-pair chroma cross tables: hv6 (rounded per-frame HPCP),
@@ -2871,13 +3133,13 @@ def _formant_chain_sql() -> str:
             )"""
 
 
-def _harmonic_chain_sql() -> str:
+def _harmonic_chain_sql(recursive: bool = False) -> str:
     """Shared WITH-chain computing per-frame refined peaks with
     harmonic assignment (CTE `hp`: doc_id, frame_idx, bin, freq,
     mag, harmonic) — used by the harmonic_peaks and
     harmonic_series oracles."""
-    return r'''
-            WITH toks AS (
+    head = "WITH RECURSIVE" if recursive else "WITH"
+    return f"\n            {head} " + r'''toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
               FROM documents
             ),
@@ -2921,9 +3183,10 @@ def _harmonic_chain_sql() -> str:
             ),
             nb AS (
               SELECT doc_id, frame_idx, bin, m,
-                     lag(m) OVER w AS y1, lead(m) OVER w AS y3
+                     lag(m) OVER wnb AS y1, lead(m) OVER wnb AS y3
               FROM grid
-              WINDOW w AS (PARTITION BY doc_id, frame_idx ORDER BY bin)
+              WINDOW wnb AS (PARTITION BY doc_id, frame_idx
+                            ORDER BY bin)
             ),
             pk AS (
               SELECT doc_id, frame_idx, bin, m, y1, y3,
@@ -3298,6 +3561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chord_inversions": q_chord_inversions,
         "tonnetz": q_tonnetz,
         "chroma_seq_stats": q_chroma_seq_stats,
+        "harmonic_tracks": q_harmonic_tracks,
+        "harmonic_track_stats": q_harmonic_track_stats,
         "chroma_seq_dtw": q_chroma_seq_dtw,
         "chroma_seq_sw": q_chroma_seq_sw,
         "tonnetz_movement": q_tonnetz_movement,
@@ -3460,6 +3725,78 @@ def oracle_sql() -> dict[str, str]:
                          THEN disp / total_distance END, 6) + 0.0
                      AS path_efficiency
             FROM agg
+        """,
+        "harmonic_tracks": _tracking_chain_sql() + r"""
+            SELECT doc_id, track_id::BIGINT AS track_id,
+                   frame_idx::BIGINT AS frame_idx,
+                   round(freq, 6) + 0.0 AS freq,
+                   round(mag, 6) + 0.0 AS mag,
+                   point_idx::BIGINT AS point_idx
+            FROM kept
+        """,
+        "harmonic_track_stats": _tracking_chain_sql() + r""",
+            dd AS (
+              SELECT doc_id, track_id, point_idx, frame_idx, freq,
+                     mag,
+                     freq - lag(freq) OVER wt AS df,
+                     mag - lag(mag) OVER wt AS dm
+              FROM kept
+              WINDOW wt AS (PARTITION BY doc_id, track_id
+                            ORDER BY point_idx)
+            ),
+            m1 AS (
+              SELECT doc_id, track_id, count(*) AS n,
+                     min(frame_idx) AS sf, max(frame_idx) AS ef,
+                     avg(freq) AS fmean, avg(mag) AS amean,
+                     sum(point_idx::DOUBLE) AS sx,
+                     sum(freq) AS syf,
+                     sum(point_idx::DOUBLE * freq) AS sxyf,
+                     sum(mag) AS sya,
+                     sum(point_idx::DOUBLE * mag) AS sxya,
+                     sum(point_idx::DOUBLE * point_idx::DOUBLE)
+                       AS sxx,
+                     avg(abs(df)) AS fvar, avg(abs(dm)) AS avar
+              FROM dd GROUP BY 1, 2
+            ),
+            m2 AS (
+              SELECT d.doc_id, d.track_id,
+                     sum((d.freq - m.fmean) * (d.freq - m.fmean))
+                       AS ssf,
+                     sum((d.mag - m.amean) * (d.mag - m.amean))
+                       AS ssa
+              FROM dd d JOIN m1 m ON m.doc_id = d.doc_id
+                AND m.track_id = d.track_id
+              GROUP BY 1, 2
+            )
+            SELECT m.doc_id, m.track_id::BIGINT AS track_id,
+                   m.n::BIGINT AS n_points,
+                   m.sf::BIGINT AS start_frame,
+                   m.ef::BIGINT AS end_frame,
+                   round((m.ef - m.sf)::DOUBLE * 8.0 / 8.0, 6) + 0.0
+                     AS duration,
+                   round(CASE WHEN m.n > 1
+                         THEN sqrt(s.ssf / (m.n::DOUBLE - 1.0))
+                         ELSE 0.0 END, 6) + 0.0 AS freq_stddev,
+                   round(CASE WHEN m.n >= 2
+                          AND m.n::DOUBLE * m.sxx - m.sx * m.sx <> 0
+                         THEN (m.n::DOUBLE * m.sxyf - m.sx * m.syf)
+                           / (m.n::DOUBLE * m.sxx - m.sx * m.sx)
+                         ELSE 0.0 END, 6) + 0.0 AS freq_slope,
+                   round(CASE WHEN m.n > 1
+                         THEN sqrt(s.ssa / (m.n::DOUBLE - 1.0))
+                         ELSE 0.0 END, 6) + 0.0 AS amp_stddev,
+                   round(CASE WHEN m.n >= 2
+                          AND m.n::DOUBLE * m.sxx - m.sx * m.sx <> 0
+                         THEN (m.n::DOUBLE * m.sxya - m.sx * m.sya)
+                           / (m.n::DOUBLE * m.sxx - m.sx * m.sx)
+                         ELSE 0.0 END, 6) + 0.0 AS amp_slope,
+                   round(CASE WHEN m.n >= 2
+                         THEN 1.0 / (1.0 + m.fvar + m.avar)
+                         ELSE 0.0 END, 6) + 0.0 AS continuity,
+                   round(m.amean * ln((m.ef - m.sf)::DOUBLE
+                     * 8.0 / 8.0 + 1.0), 6) + 0.0 AS salience
+            FROM m1 m JOIN m2 s ON s.doc_id = m.doc_id
+              AND s.track_id = m.track_id
         """,
         "chroma_seq_stats": _hpcp_chain_sql() + _chroma_cells_sql(True) + r""",
             sims AS (
