@@ -898,6 +898,123 @@ def q_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs.select("doc_id", "seg_start", "seg_end", "run_len")
 
 
+def _doc_frame_rz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame rms + zcr (W=16, H=4), 6-dp rounded (quantized
+    interface for the threshold comparisons in VAD/attack-decay)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = frame_features_arrow(
+        to_token_length_table(docs), FrameConfig(window=16, hop=4)
+    )
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        F.round("rms_energy", 6).alias("rms_energy"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
+def q_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments (silence_detection.go:78-135): frames
+    with rms >= per-doc mean AND zcr in [0, 0.9], grouped into runs
+    >= 3 — the compound-predicate dual of silence detection."""
+    from sonar_spark.operators.sessionize import detect_voice_activity
+
+    fr = _doc_frame_rz(spark, sf_dir)
+    stats = fr.groupBy("doc_id").agg(F.avg("rms_energy").alias("__mu"))
+    flagged = fr.join(F.broadcast(stats), "doc_id")
+    segs = detect_voice_activity(
+        flagged,
+        energy_thr=F.col("__mu"),
+        zcr_low=0.0,
+        zcr_high=0.9,
+        min_run=3,
+    )
+    return segs.select(
+        "doc_id",
+        F.col("seg_start").cast("long").alias("seg_start"),
+        F.col("seg_end").cast("long").alias("seg_end"),
+        F.col("run_len").cast("long").alias("run_len"),
+    )
+
+
+def q_attack_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attack/decay times around energy onsets (attack_decay.go:
+    21-189 with the 10-frame lookback of extractors/speech.go:
+    734-739): frames from the last half-peak-level frame before each
+    peak / to the first after, NULL when no crossing inside the
+    window."""
+    from pyspark.sql import Window
+    from sonar_spark.operators.temporal import attack_decay
+
+    fr = _doc_frame_rz(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    mu = Window.partitionBy("doc_id")
+    peaks = (
+        fr.withColumn("__prev", F.lag("rms_energy").over(w))
+        .withColumn("__next", F.lead("rms_energy").over(w))
+        .withColumn("__thr", 1.05 * F.avg("rms_energy").over(mu))
+        .where(
+            (F.col("rms_energy") > F.col("__prev"))
+            & (
+                F.col("rms_energy")
+                >= F.coalesce(F.col("__next"), F.lit(float("-inf")))
+            )
+            & (F.col("rms_energy") > F.col("__thr"))
+        )
+        .select("doc_id", "frame_idx", "rms_energy")
+    )
+    out = attack_decay(fr, peaks, lookback=10, level=0.5)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round("peak_value", 6).alias("peak_value"),
+        F.col("attack_frames").cast("long").alias("attack_frames"),
+        F.col("decay_frames").cast("long").alias("decay_frames"),
+    )
+
+
+def q_consistency_trials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment consistency trials (stats/alignment.go:710-801):
+    each planted-lag pair re-aligned 3 times under a deterministic
+    ~1% sin perturbation of series_b.  Construction expectation: the
+    chirp-marked exact-subseries construction keeps the xcorr peak
+    at lag -3 in every trial, so offset_std = offset_range = 0 and
+    consistency = 1 for every pair with >= 24 frames."""
+    from sonar_spark.operators.align import consistency_trials
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = frame_features_arrow(
+        to_token_length_table(docs), FrameConfig(window=8, hop=2)
+    )
+    series = build_doc_series(feats, "rms_energy")
+    marked = series.withColumn(
+        "series",
+        F.zip_with(
+            "series",
+            F.sequence(F.lit(0), F.size("series") - 1),
+            lambda v, i: v
+            + 3.0
+            * F.sin(F.lit(0.37) * i.cast("double") * i.cast("double")),
+        ),
+    )
+    pairs = marked.where(F.size("series") >= 24).select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("series").alias("series_a"),
+        F.slice(F.col("series"), 4, F.size("series") - 3).alias(
+            "series_b"
+        ),
+    )
+    out = consistency_trials(pairs, AlignmentConfig(max_lag=8))
+    return out.select(
+        "pair_id",
+        F.col("n_trials").cast("long").alias("n_trials"),
+        F.round("offset_mean", 6).alias("offset_mean"),
+        F.round("offset_std", 6).alias("offset_std"),
+        F.round("offset_range", 6).alias("offset_range"),
+        F.round("consistency", 6).alias("consistency"),
+    )
+
+
 def q_onsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Onset detection: local maxima of frame rms above 1.5x per-doc
     mean (DetectOnsetsEnergy + peak picker, onset_detection.go:59-94,
@@ -3562,6 +3679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tonnetz": q_tonnetz,
         "chroma_seq_stats": q_chroma_seq_stats,
         "harmonic_tracks": q_harmonic_tracks,
+        "vad_segments": q_vad_segments,
+        "attack_decay": q_attack_decay,
+        "consistency_trials": q_consistency_trials,
         "harmonic_track_stats": q_harmonic_track_stats,
         "chroma_seq_dtw": q_chroma_seq_dtw,
         "chroma_seq_sw": q_chroma_seq_sw,
@@ -3725,6 +3845,131 @@ def oracle_sql() -> dict[str, str]:
                          THEN disp / total_distance END, 6) + 0.0
                      AS path_efficiency
             FROM agg
+        """,
+        "consistency_trials": r"""
+            SELECT doc_id::VARCHAR AS pair_id, 3::BIGINT AS n_trials,
+                   -3.0 AS offset_mean, 0.0 AS offset_std,
+                   0.0 AS offset_range, 1.0 AS consistency
+            FROM (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n
+              FROM documents
+            ) WHERE n >= 54
+        """,
+        "vad_segments": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms,
+                     avg(val) OVER w AS mn
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            frz AS (
+              SELECT doc_id, strt, (strt / 4)::BIGINT AS frame_idx,
+                     round(rms, 6) AS rms, mn
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            zc AS (
+              SELECT f.doc_id, f.frame_idx,
+                     round(sum(CASE WHEN sign(vc.val - f.mn)
+                                 != sign(vp.val - f.mn)
+                               THEN 1 ELSE 0 END)::DOUBLE / 15.0, 6)
+                       AS zcr
+              FROM frz f
+              JOIN v vc ON vc.doc_id = f.doc_id
+                AND vc.pos - 1 BETWEEN f.strt + 1 AND f.strt + 15
+              JOIN v vp ON vp.doc_id = f.doc_id
+                AND vp.pos = vc.pos - 1
+              GROUP BY 1, 2
+            ),
+            ff AS (
+              SELECT f.doc_id, f.frame_idx, f.rms, z.zcr
+              FROM frz f JOIN zc z ON z.doc_id = f.doc_id
+                AND z.frame_idx = f.frame_idx
+            ),
+            mu AS (SELECT doc_id, avg(rms) AS m FROM ff GROUP BY 1),
+            fl AS (
+              SELECT ff.doc_id, frame_idx,
+                     CASE WHEN rms >= m AND zcr >= 0.0
+                           AND zcr <= 0.9 THEN 1 ELSE 0 END AS act
+              FROM ff JOIN mu ON ff.doc_id = mu.doc_id
+            ),
+            seg AS (
+              SELECT doc_id, frame_idx, act,
+                     sum(CASE WHEN prev IS NULL OR act != prev THEN 1
+                         ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY frame_idx
+                             ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM (
+                SELECT doc_id, frame_idx, act,
+                       lag(act) OVER (PARTITION BY doc_id
+                         ORDER BY frame_idx) AS prev
+                FROM fl
+              )
+            )
+            SELECT doc_id, min(frame_idx) AS seg_start,
+                   max(frame_idx) AS seg_end, count(*) AS run_len
+            FROM seg WHERE act = 1
+            GROUP BY doc_id, seg_id HAVING count(*) >= 3
+        """,
+        "attack_decay": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx,
+                     round(rms, 6) AS rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            xe AS (
+              SELECT doc_id, frame_idx, rms,
+                     lag(rms) OVER dw AS prv, lead(rms) OVER dw AS nxt,
+                     1.05 * avg(rms) OVER (PARTITION BY doc_id) AS thr
+              FROM fr
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY frame_idx)
+            ),
+            pk AS (
+              SELECT doc_id, frame_idx, rms AS peak_v
+              FROM xe
+              WHERE rms > prv AND rms >= coalesce(nxt, -1e308)
+                AND rms > thr
+            )
+            SELECT p.doc_id, p.frame_idx,
+                   round(p.peak_v, 6) + 0.0 AS peak_value,
+                   p.frame_idx - max(CASE WHEN b.frame_idx
+                       BETWEEN p.frame_idx - 10 AND p.frame_idx - 1
+                       AND b.rms <= p.peak_v * 0.5
+                     THEN b.frame_idx END) AS attack_frames,
+                   min(CASE WHEN b.frame_idx
+                       BETWEEN p.frame_idx + 1 AND p.frame_idx + 10
+                       AND b.rms <= p.peak_v * 0.5
+                     THEN b.frame_idx END) - p.frame_idx
+                     AS decay_frames
+            FROM pk p JOIN fr b ON b.doc_id = p.doc_id
+            GROUP BY 1, 2, 3
         """,
         "harmonic_tracks": _tracking_chain_sql() + r"""
             SELECT doc_id, track_id::BIGINT AS track_id,

@@ -155,24 +155,34 @@ def entropy_variants(
     """(group, rule, num_bins, shannon, renyi2, tsallis2, hartley,
     min_entropy, norm_shannon) per group x bin rule."""
     d = df.select(group, F.col(value).cast("double").alias("v"))
-    base = d.groupBy(group).agg(
-        F.count("*").alias("n"),
-        F.avg("v").alias("mu"),
-        # calculateMoments (:236-275): variance is the n-1 form
-        F.var_samp("v").alias("var"),
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-    )
-    # ONE sorted pass computes skewness AND the reference's
-    # direct-index quartiles (entropy.go:341-349 — NOT interpolated):
-    # row_number over the group sort, per-group stats broadcast in,
-    # then a single aggregation (order statistics via max(when))
+    # ONE sorted pass computes everything the bin rules need: the
+    # base moments arrive as full-partition window aggregates over
+    # the same exchange that sorts for row_number, so the old
+    # separate moments aggregation + join collapses into this scan
+    # (events are scanned exactly twice overall: once here, once for
+    # bin assignment).  Quartiles are the reference's direct-index
+    # sorted[int(.25n)] / sorted[int(.75n)] picks
+    # (entropy.go:341-349 — NOT interpolated); variance is the n-1
+    # form of calculateMoments (:236-275).
     wo = Window.partitionBy(group).orderBy("v")
-    r = d.withColumn("rn", F.row_number().over(wo)).join(
-        F.broadcast(base), group
+    wg = Window.partitionBy(group)
+    r = d.select(
+        group,
+        "v",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+        F.avg("v").over(wg).alias("mu"),
+        F.var_samp("v").over(wg).alias("var"),
+        F.min("v").over(wg).alias("lo"),
+        F.max("v").over(wg).alias("hi"),
     )
     nn = F.col("n").cast("double")
-    mom = r.groupBy(group).agg(
+    stats = r.groupBy(group).agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.max("var").alias("var"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
         F.when(
             F.max("var") > 0,
             F.sum(
@@ -192,7 +202,6 @@ def entropy_variants(
             F.when(F.col("rn") == F.floor(0.75 * nn) + 1, F.col("v"))
         ).alias("q3"),
     )
-    stats = base.join(mom, group)
 
     per_rule = stats.select(
         group,
