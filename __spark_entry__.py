@@ -2341,6 +2341,332 @@ def q_chord_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chroma_cqt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQT chromagram (chroma_cqt.go:69-269): Gaussian-windowed
+    complex-exponential kernels at log-spaced frequencies (the
+    precomputed kernel matrix as a plan-time literal table), frame
+    dots, energy fold to 12 chroma classes, unit-sum normalization —
+    the log-frequency alternative to the STFT chroma pivot."""
+    from sonar_spark.operators.chroma import chroma_cqt
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    out = chroma_cqt(vals)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("pitch_class").cast("long").alias("pitch_class"),
+        F.round("chroma", 6).alias("chroma"),
+    )
+
+
+def _chroma_cqt_oracle_sql() -> str:
+    from sonar_spark.operators.chroma import chroma_cqt_kernel_rows
+
+    kern = ", ".join(
+        f"({k}, {cls}, {n}, {cw!r}, {sw!r})"
+        for k, cls, n, cw, sw in chroma_cqt_kernel_rows()
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                 length(unnest(tl))::DOUBLE AS val
+          FROM toks
+        ),
+        kern(k, cls, n, cw, sw) AS (VALUES {kern}),
+        nfr AS (
+          SELECT doc_id,
+                 greatest(trunc((count(*) - 8) / 8.0)::BIGINT, 1)
+                   AS nf
+          FROM v GROUP BY 1
+        ),
+        frames AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, (nf - 1)::INT))::BIGINT
+                   AS frame_idx
+          FROM nfr
+        ),
+        fk AS (
+          SELECT f.doc_id, f.frame_idx, kern.k, kern.cls, kern.n,
+                 kern.cw, kern.sw
+          FROM frames f CROSS JOIN kern
+        ),
+        dot AS (
+          SELECT fk.doc_id, fk.frame_idx, fk.k, fk.cls,
+                 sum(coalesce(v.val, 0.0) * fk.cw) AS re,
+                 -sum(coalesce(v.val, 0.0) * fk.sw) AS im
+          FROM fk
+          LEFT JOIN v ON v.doc_id = fk.doc_id
+            AND v.pos = fk.frame_idx * 8 + fk.n
+          GROUP BY 1, 2, 3, 4
+        ),
+        en AS (
+          SELECT doc_id, frame_idx, cls,
+                 sum(sqrt(re * re + im * im)
+                     * sqrt(re * re + im * im)) AS ce
+          FROM dot GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT doc_id, frame_idx, cls, ce,
+                 sum(ce) OVER (PARTITION BY doc_id, frame_idx)
+                   AS te
+          FROM en
+        ),
+        cls12 AS (
+          SELECT f.doc_id, f.frame_idx,
+                 unnest(generate_series(0, 11))::BIGINT
+                   AS pitch_class
+          FROM frames f
+        )
+        SELECT c.doc_id, c.frame_idx, c.pitch_class,
+               round(coalesce(
+                 CASE WHEN t.te > 1e-10 THEN t.ce / t.te
+                      ELSE t.ce END, 0.0), 6) + 0.0 AS chroma
+        FROM cls12 c
+        LEFT JOIN tot t ON t.doc_id = c.doc_id
+          AND t.frame_idx = c.frame_idx
+          AND t.cls = c.pitch_class
+    """
+
+
+def q_pitch_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prominent pitch classes from the per-doc profile
+    (ExtractPitchClasses, pitch_class.go:73-103): energy >= 0.05,
+    salience vs circular neighbors, confidence min(1, e*s)."""
+    from sonar_spark.operators.chroma import (
+        pitch_class_profile,
+        profile_pitch_classes,
+    )
+
+    prof = pitch_class_profile(_doc_hpcp(spark, sf_dir))
+    out = profile_pitch_classes(prof)
+    return out.select(
+        "doc_id",
+        F.col("pitch_class").cast("long").alias("pitch_class"),
+        F.round("energy", 6).alias("energy"),
+        F.round("salience", 6).alias("salience"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+def q_key_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch-class profile measures + key relationships
+    (pitch_class.go:39-70, 133-154, 384-473): entropy, circular
+    centroid/spread, uniformity, circle-of-fifths correlation,
+    tonic-dominant, triadic and diatonic strengths."""
+    from sonar_spark.operators.chroma import (
+        key_relationships,
+        pitch_class_profile,
+    )
+
+    prof = pitch_class_profile(_doc_hpcp(spark, sf_dir))
+    out = key_relationships(prof)
+    cols = [
+        "entropy", "centroid", "spread", "uniformity",
+        "fifth_correlation", "tonic_dominant_strength",
+        "major_triad_strength", "minor_triad_strength",
+        "diatonic_strength",
+    ]
+    return out.select(
+        "doc_id", *[F.round(c, 6).alias(c) for c in cols]
+    )
+
+
+def _pcp_oracle_sql(which: str) -> str:
+    """SQL mirror of the pitch-class profile operators — every
+    12-term sum unrolled in the same i = 0..11 order as the Spark
+    expressions, so both engines run identical double arithmetic."""
+    import math as _m
+
+    from sonar_spark.operators.chroma import (
+        CHROMATIC_PCS,
+        DIATONIC_PCS,
+        FIFTHS_ORDER,
+        MAJOR_TRIAD,
+        MINOR_TRIAD,
+        fifths_template,
+    )
+
+    def p(i):
+        return f"p{i}"
+
+    prof = (
+        _hpcp_chain_sql()
+        + r""",
+            raw12 AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     CASE WHEN energy > 0 THEN raw / energy
+                          ELSE 0.0 END AS hv
+              FROM en
+            ),
+            ps AS (
+              SELECT doc_id, pitch_class, sum(hv) AS s,
+                     sum(sum(hv)) OVER (PARTITION BY doc_id) AS tot
+              FROM raw12 GROUP BY 1, 2
+            ),
+            pn AS (
+              SELECT doc_id, pitch_class,
+                     round(CASE WHEN tot > 1e-10 THEN s / tot
+                           ELSE s END, 6) AS p
+              FROM ps
+            ),
+            prof AS (
+              SELECT doc_id, """
+        + ", ".join(
+            f"max(CASE WHEN pitch_class = {i} THEN p END) AS p{i}"
+            for i in range(12)
+        )
+        + " FROM pn GROUP BY 1)"
+    )
+    if which == "classes":
+        rows = []
+        for pc in range(12):
+            nb = f"(({p((pc + 11) % 12)} + {p((pc + 1) % 12)}) / 2.0)"
+            sal = f"CASE WHEN {nb} > 1e-10 THEN {p(pc)} / {nb} ELSE {p(pc)} END"
+            rows.append(
+                f"SELECT doc_id, {pc}::BIGINT AS pitch_class,"
+                f" round({p(pc)}, 6) + 0.0 AS energy,"
+                f" round({sal}, 6) + 0.0 AS salience,"
+                f" round(least(1.0, {p(pc)} * ({sal})), 6) + 0.0"
+                f" AS confidence FROM prof WHERE {p(pc)} >= 0.05"
+            )
+        return prof + " " + " UNION ALL ".join(rows)
+
+    def ssum(terms):
+        return "(" + " + ".join(terms) + ")"
+
+    ent = (
+        "-"
+        + ssum(
+            [
+                f"CASE WHEN {p(i)} > 1e-10 THEN {p(i)} * log2({p(i)})"
+                f" ELSE 0.0 END"
+                for i in range(12)
+            ]
+        )
+        + " + 0.0"
+    )
+    ssin = ssum(
+        [f"{p(i)} * {_m.sin(2.0 * _m.pi * i / 12.0)!r}" for i in range(12)]
+    )
+    scos = ssum(
+        [f"{p(i)} * {_m.cos(2.0 * _m.pi * i / 12.0)!r}" for i in range(12)]
+    )
+    ang = f"atan2({ssin}, {scos})"
+    cen = (
+        f"(CASE WHEN {ang} < 0 THEN {ang} + {2.0 * _m.pi!r}"
+        f" ELSE {ang} END * 12.0 / {2.0 * _m.pi!r})"
+    )
+
+    def circ(i):
+        return (
+            f"least(abs({float(i)!r} - c), 12.0 - abs({float(i)!r} - c))"
+        )
+
+    swd = ssum([f"{p(i)} * {circ(i)} * {circ(i)}" for i in range(12)])
+    tw = ssum([p(i) for i in range(12)])
+    spread = (
+        f"CASE WHEN {tw} > 1e-10 THEN sqrt({swd} / {tw}) ELSE 0.0 END"
+    )
+    mu = 1.0 / 12.0
+    varu = (
+        ssum([f"({p(i)} - {mu!r}) * ({p(i)} - {mu!r})" for i in range(12)])
+        + " / 12.0"
+    )
+    unif = f"1.0 - sqrt({varu} / {mu * mu!r})"
+    tmpl = fifths_template()
+    ordered = [p(pc) for pc in FIFTHS_ORDER]
+    mean_b = sum(tmpl) / 12.0
+    mean_a = f"({ssum(ordered)} / 12.0)"
+    num = ssum(
+        [
+            f"({ordered[i]} - ma) * {tmpl[i] - mean_b!r}"
+            for i in range(12)
+        ]
+    )
+    ssa = ssum(
+        [f"({ordered[i]} - ma) * ({ordered[i]} - ma)" for i in range(12)]
+    )
+    ssb = sum((t - mean_b) ** 2 for t in tmpl)
+    fifth = (
+        f"CASE WHEN sqrt({ssa} * {ssb!r}) > 1e-10"
+        f" THEN {num} / sqrt({ssa} * {ssb!r}) ELSE 0.0 END"
+    )
+    td = (
+        "greatest("
+        + ", ".join(f"{p(t)} * {p((t + 7) % 12)}" for t in range(12))
+        + ", 0.0)"
+    )
+
+    def triad(iv):
+        terms = []
+        for root in range(12):
+            prod = " * ".join(p((root + x) % 12) for x in iv)
+            terms.append(f"pow({prod}, {1.0 / len(iv)!r})")
+        return "greatest(" + ", ".join(terms) + ", 0.0)"
+
+    dterms = []
+    for root in range(12):
+        dia = ssum([p((root + x) % 12) for x in DIATONIC_PCS])
+        ch = ssum([p((root + x) % 12) for x in CHROMATIC_PCS])
+        dterms.append(
+            f"CASE WHEN {dia} + {ch} > 1e-10"
+            f" THEN {dia} / ({dia} + {ch}) ELSE 0.0 END"
+        )
+    dstr = "greatest(" + ", ".join(dterms) + ", 0.0)"
+    return (
+        prof
+        + f""",
+        cenx AS (SELECT *, {cen} AS c FROM prof),
+        ma AS (SELECT *, {mean_a} AS ma FROM cenx)
+        SELECT doc_id,
+               round({ent}, 6) + 0.0 AS entropy,
+               round(c, 6) + 0.0 AS centroid,
+               round({spread}, 6) + 0.0 AS spread,
+               round({unif}, 6) + 0.0 AS uniformity,
+               round({fifth}, 6) + 0.0 AS fifth_correlation,
+               round({td}, 6) + 0.0 AS tonic_dominant_strength,
+               round({triad(MAJOR_TRIAD)}, 6) + 0.0
+                 AS major_triad_strength,
+               round({triad(MINOR_TRIAD)}, 6) + 0.0
+                 AS minor_triad_strength,
+               round({dstr}, 6) + 0.0 AS diatonic_strength
+        FROM ma
+    """
+    )
+
+
+def q_inharmonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-deviation inharmonicity per frame
+    (tonal/inharmonicity.go:218-467): amplitude-weighted B
+    coefficient over tolerance-gated harmonic peaks around the
+    lowest-refined-peak fundamental, sample stddev of deviations,
+    count/strength confidence."""
+    from sonar_spark.operators.peaks import inharmonicity, spectral_peaks
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    out = inharmonicity(grid, peaks, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.round("f0", 6).alias("f0"),
+        F.col("n_harmonics").cast("long").alias("n_harmonics"),
+        F.round("inharmonicity", 6).alias("inharmonicity"),
+        F.round("inharm_stddev", 6).alias("inharm_stddev"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
 def _doc_hpcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame HPCP over the histogram spectrum (the chroma front
     end shared by the tonal queries)."""
@@ -3680,6 +4006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chroma_seq_stats": q_chroma_seq_stats,
         "harmonic_tracks": q_harmonic_tracks,
         "vad_segments": q_vad_segments,
+        "inharmonicity": q_inharmonicity,
+        "chroma_cqt": q_chroma_cqt,
+        "pitch_class_profile": q_pitch_class_profile,
+        "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
         "harmonic_track_stats": q_harmonic_track_stats,
@@ -3845,6 +4175,84 @@ def oracle_sql() -> dict[str, str]:
                          THEN disp / total_distance END, 6) + 0.0
                      AS path_efficiency
             FROM agg
+        """,
+        "chroma_cqt": _chroma_cqt_oracle_sql(),
+        "pitch_class_profile": _pcp_oracle_sql("classes"),
+        "key_relationships": _pcp_oracle_sql("relationships"),
+        "inharmonicity": _harmonic_chain_sql() + r""",
+            f06 AS (
+              SELECT doc_id, frame_idx, round(f0, 6) AS f0
+              FROM f0 WHERE round(f0, 6) BETWEEN 1.0 AND 15.0
+            ),
+            hx AS (
+              SELECT f.doc_id, f.frame_idx, f.f0, hs.h,
+                     f.f0 * hs.h AS ideal
+              FROM f06 f
+              CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS h)
+                hs
+              WHERE f.f0 * hs.h <= 15.0
+            ),
+            hw AS (
+              SELECT *,
+                     trunc(greatest(ideal - 0.05 * ideal, 0.0))::INT
+                       AS sb,
+                     trunc(least(ideal + 0.05 * ideal, 15.0))::INT
+                       AS eb
+              FROM hx
+            ),
+            hc AS (
+              SELECT w.doc_id, w.frame_idx, w.f0, w.h, w.ideal,
+                     g.bin, g.m,
+                     row_number() OVER (PARTITION BY w.doc_id,
+                       w.frame_idx, w.h
+                       ORDER BY g.m DESC, g.bin ASC) AS rk
+              FROM hw w JOIN grid g ON g.doc_id = w.doc_id
+                AND g.frame_idx = w.frame_idx
+                AND g.bin BETWEEN w.sb AND w.eb
+            ),
+            hb AS (SELECT * FROM hc WHERE rk = 1),
+            hv AS (
+              SELECT b.doc_id, b.frame_idx, b.f0, b.h::DOUBLE AS hd,
+                     b.m, (b.bin::DOUBLE - b.ideal) / b.ideal AS dev
+              FROM hb b
+              JOIN grid gl ON gl.doc_id = b.doc_id
+                AND gl.frame_idx = b.frame_idx AND gl.bin = b.bin - 1
+              JOIN grid gr ON gr.doc_id = b.doc_id
+                AND gr.frame_idx = b.frame_idx AND gr.bin = b.bin + 1
+              WHERE b.bin BETWEEN 1 AND 14 AND b.m > gl.m
+                AND b.m > gr.m AND b.m > 0.01
+                AND abs((b.bin::DOUBLE - b.ideal) / b.ideal) < 0.05
+            ),
+            ia AS (
+              SELECT doc_id, frame_idx, f0, count(*) AS nh,
+                     sum(m * dev * hd * hd) AS nm,
+                     sum(m * hd * hd * hd * hd) AS dn,
+                     avg(dev) AS dmean, avg(m) AS amean
+              FROM hv GROUP BY 1, 2, 3
+              HAVING count(*) >= 3
+            ),
+            is2 AS (
+              SELECT v.doc_id, v.frame_idx,
+                     sum((v.dev - a.dmean) * (v.dev - a.dmean))
+                       AS ssd,
+                     count(*) AS n2
+              FROM hv v JOIN ia a ON a.doc_id = v.doc_id
+                AND a.frame_idx = v.frame_idx
+              GROUP BY 1, 2
+            )
+            SELECT a.doc_id, a.frame_idx,
+                   round(a.f0, 6) + 0.0 AS f0,
+                   a.nh::BIGINT AS n_harmonics,
+                   round(CASE WHEN a.dn > 0 THEN a.nm / a.dn
+                         ELSE 0.0 END, 6) + 0.0 AS inharmonicity,
+                   round(CASE WHEN s.n2 > 1
+                         THEN sqrt(s.ssd / (s.n2::DOUBLE - 1.0))
+                         ELSE 0.0 END, 6) + 0.0 AS inharm_stddev,
+                   round(least(1.0,
+                     a.nh::DOUBLE / 20.0 * a.amean), 6) + 0.0
+                     AS confidence
+            FROM ia a JOIN is2 s ON s.doc_id = a.doc_id
+              AND s.frame_idx = a.frame_idx
         """,
         "consistency_trials": r"""
             SELECT doc_id::VARCHAR AS pair_id, 3::BIGINT AS n_trials,

@@ -499,3 +499,322 @@ def chroma_dp_similarity(
             yield out
 
     return pairs.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------- ChromaCQT
+
+CQT_SR = 32.0          # analog sample rate on the token axis
+CQT_FMIN = 2.0         # 2 octaves below CQT_FMAX
+CQT_FMAX = 8.0
+CQT_BPO = 12           # bins per octave (semitone resolution)
+CQT_Q = 2.0            # quality factor (analog of the 25.0 default,
+                       # scaled so kernels fit <= 100-token series)
+CQT_HOP = 8
+CQT_TUNING = 440.0
+
+
+def chroma_cqt_kernel_rows():
+    """Plan-time CQT kernel literals (chroma_cqt.go:96-165).
+
+    The reference FFTs each Gaussian-windowed complex-exponential
+    kernel and dots it against the frame FFT; by Parseval that
+    equals fftSize * the time-domain inner product, and the
+    unit-sum chroma normalization (:241-254) cancels the constant,
+    so the analog evaluates the dot in the time domain directly.
+    Kernel recipe per CQT bin k (f = fmin * 2^(k/bpo)):
+    length int(Q*sr/f), +1 if even, clamped to [3, sr/2] (:147-165
+    — the odd-ensure precedes the clamp, as written); center = L/2;
+    w(n) = exp(-(n-c)^2 / (2 sigma^2)) with sigma = sr/(2 pi f/Q);
+    conj(kernel)(n) = w e^{-i phi}, phi = 2 pi f (n-c)/sr.  Chroma
+    class = round(69 + 12 log2(f/440)) mod 12 (:257-269).
+
+    Returns (k, chroma_class, n, cw, sw) with cw = w cos(phi),
+    sw = w sin(phi) — dot re = sum x*cw, im = -sum x*sw.  The same
+    Python doubles are embedded in the Spark plan and the DuckDB
+    VALUES list, so both engines use bit-identical kernels."""
+    import math as _m
+
+    num_octaves = _m.log2(CQT_FMAX / CQT_FMIN)
+    total_bins = int(num_octaves * CQT_BPO)
+    rows = []
+    for k in range(total_bins):
+        f = CQT_FMIN * (2.0 ** (k / CQT_BPO))
+        L = int(CQT_Q * CQT_SR / f)
+        if L % 2 == 0:
+            L += 1
+        L = max(3, min(L, int(CQT_SR / 2)))
+        midi = 69.0 + 12.0 * _m.log2(f / CQT_TUNING)
+        # Go math.Round: half away from zero
+        cls = int(_m.floor(midi + 0.5)) if midi >= 0 else -int(
+            _m.floor(-midi + 0.5)
+        )
+        cls %= 12
+        if cls < 0:
+            cls += 12
+        bw = f / CQT_Q
+        sigma = CQT_SR / (2.0 * _m.pi * bw)
+        c = L // 2
+        for n in range(L):
+            t = float(n - c)
+            w = _m.exp(-(t * t) / (2.0 * sigma * sigma))
+            phi = 2.0 * _m.pi * f * t / CQT_SR
+            rows.append((k, cls, n, w * _m.cos(phi), w * _m.sin(phi)))
+    return rows
+
+
+def chroma_cqt(
+    vals: DataFrame,
+    *,
+    key: str = "doc_id",
+    pos: str = "pos",
+    val: str = "v",
+    hop: int = CQT_HOP,
+) -> DataFrame:
+    """CQT chromagram (chroma_cqt.go:69-269) over a positional value
+    series: numFrames = max((n - hop) / hop, 1) frames at hop
+    spacing (:168-172), per-frame CQT magnitudes via the literal
+    kernel table (one broadcast join — the kernel is a plan-time
+    constant, exactly the reference's precomputed kernel matrix),
+    energy fold to 12 chroma classes, unit-sum normalization.
+
+    Output: key, frame_idx, pitch_class (0-11, zero-filled), chroma.
+    """
+    spark = vals.sparkSession
+    kern = spark.createDataFrame(
+        chroma_cqt_kernel_rows(),
+        "k int, cls int, n int, cw double, sw double",
+    )
+    d = vals.select(
+        key, F.col(pos).alias("__p"), F.col(val).cast("double").alias("__v")
+    )
+    nfr = d.groupBy(key).agg(
+        F.greatest(
+            ((F.count("*") - hop) / hop).cast("long"), F.lit(1)
+        ).alias("__nf")
+    )
+    frames = nfr.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), (F.col("__nf") - 1).cast("int"))),
+    ).select(key, "frame_idx")
+    fk = frames.crossJoin(F.broadcast(kern))
+    jcond = F.col("__p") == F.col("frame_idx") * hop + F.col("n")
+    dd = d.select(
+        F.col(key).alias("__k2"), "__p", "__v"
+    )
+    j = fk.join(
+        dd, (F.col("__k2") == F.col(key)) & jcond, "left"
+    ).fillna({"__v": 0.0})
+    cq = j.groupBy(key, "frame_idx", "k", "cls").agg(
+        F.sum(F.col("__v") * F.col("cw")).alias("__re"),
+        (-F.sum(F.col("__v") * F.col("sw"))).alias("__im"),
+    )
+    mag = F.sqrt(F.col("__re") * F.col("__re") + F.col("__im") * F.col("__im"))
+    en = cq.select(
+        key, "frame_idx", "cls", (mag * mag).alias("__e")
+    ).groupBy(key, "frame_idx", "cls").agg(F.sum("__e").alias("__ce"))
+    tot = Window.partitionBy(key, "frame_idx")
+    norm = en.withColumn("__tot", F.sum("__ce").over(tot)).select(
+        key,
+        "frame_idx",
+        F.col("cls").alias("pitch_class"),
+        F.when(
+            F.col("__tot") > 1e-10, F.col("__ce") / F.col("__tot")
+        ).otherwise(F.col("__ce")).alias("chroma"),
+    )
+    classes = frames.withColumn(
+        "pitch_class", F.explode(F.sequence(F.lit(0), F.lit(11)))
+    )
+    return classes.join(norm, [key, "frame_idx", "pitch_class"], "left").select(
+        key,
+        "frame_idx",
+        "pitch_class",
+        F.coalesce("chroma", F.lit(0.0)).alias("chroma"),
+    )
+
+
+# ------------------------------------------- pitch-class profile
+
+FIFTHS_ORDER = [0, 7, 2, 9, 4, 11, 6, 1, 8, 3, 10, 5]
+DIATONIC_PCS = [0, 2, 4, 5, 7, 9, 11]
+CHROMATIC_PCS = [1, 3, 6, 8, 10]
+MAJOR_TRIAD = [0, 4, 7]
+MINOR_TRIAD = [0, 3, 7]
+
+
+def fifths_template() -> list[float]:
+    """exp(-0.3 i) declining template (pitch_class.go:395-399)."""
+    import math as _m
+
+    return [_m.exp(-float(i) * 0.3) for i in range(12)]
+
+
+def pitch_class_profile(
+    chroma: DataFrame,
+    *,
+    key: str = "doc_id",
+    class_col: str = "pitch_class",
+    value_col: str = "hpcp",
+) -> DataFrame:
+    """Per-key pitch-class profile (CreateProfile,
+    pitch_class.go:39-70): chroma summed across frames, unit-sum
+    normalized (>1e-10 guard), 6-dp rounded (quantized interface).
+    Output: key + p0..p11 wide columns."""
+    s = chroma.groupBy(key, class_col).agg(
+        F.sum(F.col(value_col).cast("double")).alias("__s")
+    )
+    tot = Window.partitionBy(key)
+    p = s.withColumn("__tot", F.sum("__s").over(tot)).select(
+        key,
+        class_col,
+        F.round(
+            F.when(
+                F.col("__tot") > 1e-10, F.col("__s") / F.col("__tot")
+            ).otherwise(F.col("__s")),
+            6,
+        ).alias("__p"),
+    )
+    return p.groupBy(key).pivot(class_col, list(range(12))).agg(
+        F.first("__p")
+    ).select(
+        key, *[F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"p{i}")
+               for i in range(12)]
+    )
+
+
+def profile_pitch_classes(
+    prof: DataFrame,
+    *,
+    key: str = "doc_id",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """ExtractPitchClasses (pitch_class.go:73-103): classes with
+    profile energy >= threshold, salience = energy / mean of the two
+    circular neighbors (energy itself when the neighbor mean
+    <= 1e-10), confidence = min(1, energy * salience)."""
+    rows = []
+    for pc in range(12):
+        e = F.col(f"p{pc}")
+        nb = (F.col(f"p{(pc + 11) % 12}") + F.col(f"p{(pc + 1) % 12}")) / 2.0
+        sal = F.when(nb > 1e-10, e / nb).otherwise(e)
+        rows.append(
+            F.struct(
+                F.lit(pc).alias("pitch_class"),
+                e.alias("energy"),
+                sal.alias("salience"),
+                F.least(F.lit(1.0), e * sal).alias("confidence"),
+            )
+        )
+    ex = prof.select(key, F.explode(F.array(*rows)).alias("__r")).select(
+        key,
+        F.col("__r.pitch_class").alias("pitch_class"),
+        F.col("__r.energy").alias("energy"),
+        F.col("__r.salience").alias("salience"),
+        F.col("__r.confidence").alias("confidence"),
+    )
+    return ex.where(F.col("energy") >= threshold)
+
+
+def key_relationships(
+    prof: DataFrame,
+    *,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Profile-derived measures (pitch_class.go:39-70 derived stats +
+    AnalyzeKeyRelationships :133-154): Shannon entropy, circular
+    centroid/spread, uniformity, circle-of-fifths Pearson against
+    the exp(-0.3 i) template, max tonic-dominant product, max
+    geometric-mean major/minor triad strengths, max diatonic energy
+    fraction — every 12-term sum unrolled in the reference's loop
+    order (i = 0..11), so the DuckDB oracle's identical unrolling is
+    bit-identical."""
+    import math as _m
+
+    def p(i):
+        return F.col(f"p{i}")
+
+    def ssum(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    entropy = -ssum(
+        [
+            F.when(p(i) > 1e-10, p(i) * F.log2(p(i))).otherwise(F.lit(0.0))
+            for i in range(12)
+        ]
+    ) + F.lit(0.0)
+    ssin = ssum(
+        [p(i) * _m.sin(2.0 * _m.pi * i / 12.0) for i in range(12)]
+    )
+    scos = ssum(
+        [p(i) * _m.cos(2.0 * _m.pi * i / 12.0) for i in range(12)]
+    )
+    ang = F.atan2(ssin, scos)
+    centroid = (
+        F.when(ang < 0, ang + 2.0 * _m.pi).otherwise(ang)
+        * 12.0
+        / (2.0 * _m.pi)
+    )
+    d = prof.withColumn("__c", centroid)
+
+    def circ(i):
+        ad = F.abs(F.lit(float(i)) - F.col("__c"))
+        return F.least(ad, 12.0 - ad)
+
+    swd = ssum([p(i) * circ(i) * circ(i) for i in range(12)])
+    tw = ssum([p(i) for i in range(12)])
+    spread = F.when(tw > 1e-10, F.sqrt(swd / tw)).otherwise(F.lit(0.0))
+    mean_u = 1.0 / 12.0
+    var_u = ssum([(p(i) - mean_u) * (p(i) - mean_u) for i in range(12)]) / 12.0
+    uniformity = 1.0 - F.sqrt(var_u / (mean_u * mean_u))
+
+    tmpl = fifths_template()
+    ordered = [p(pc) for pc in FIFTHS_ORDER]
+    mean_a = ssum(ordered) / 12.0
+    mean_b = sum(tmpl) / 12.0
+    num = ssum(
+        [(ordered[i] - mean_a) * (tmpl[i] - mean_b) for i in range(12)]
+    )
+    ssa = ssum([(ordered[i] - mean_a) * (ordered[i] - mean_a) for i in range(12)])
+    ssb = sum((t - mean_b) ** 2 for t in tmpl)
+    den = F.sqrt(ssa * F.lit(ssb))
+    fifth_corr = F.when(den > 1e-10, num / den).otherwise(F.lit(0.0))
+
+    tonic_dom = F.greatest(
+        *[p(t) * p((t + 7) % 12) for t in range(12)], F.lit(0.0)
+    )
+
+    def triad(intervals):
+        terms = []
+        for root in range(12):
+            prod = p((root + intervals[0]) % 12)
+            for iv in intervals[1:]:
+                prod = prod * p((root + iv) % 12)
+            terms.append(F.pow(prod, 1.0 / len(intervals)))
+        return F.greatest(*terms, F.lit(0.0))
+
+    def diatonic():
+        terms = []
+        for root in range(12):
+            dia = ssum([p((root + iv) % 12) for iv in DIATONIC_PCS])
+            chrm = ssum([p((root + iv) % 12) for iv in CHROMATIC_PCS])
+            terms.append(
+                F.when(dia + chrm > 1e-10, dia / (dia + chrm)).otherwise(
+                    F.lit(0.0)
+                )
+            )
+        return F.greatest(*terms, F.lit(0.0))
+
+    return d.select(
+        key,
+        entropy.alias("entropy"),
+        F.col("__c").alias("centroid"),
+        spread.alias("spread"),
+        uniformity.alias("uniformity"),
+        fifth_corr.alias("fifth_correlation"),
+        tonic_dom.alias("tonic_dominant_strength"),
+        triad(MAJOR_TRIAD).alias("major_triad_strength"),
+        triad(MINOR_TRIAD).alias("minor_triad_strength"),
+        diatonic().alias("diatonic_strength"),
+    )

@@ -358,3 +358,156 @@ def cepstrum_f0(
             .alias("f0"),
         )
     )
+
+
+def inharmonicity(
+    spec: DataFrame,
+    peaks: DataFrame,
+    group_cols: list[str],
+    *,
+    bin_col: str = "bin",
+    mag_col: str = "m",
+    num_bins: int = 16,
+    max_harmonics: int = 20,
+    min_harmonics: int = 3,
+    tolerance: float = 0.05,
+    min_strength: float = 0.01,
+    min_f0: float = 1.0,
+    max_f0: float = 15.0,
+) -> DataFrame:
+    """Spectral-deviation inharmonicity (tonal/inharmonicity.go:
+    218-467, the default method with the :150-163 parameters):
+
+    - F0 = the lowest-bin refined peak (the harmonic family's
+      convention, spectral_peaks.go:200-215), gated to the analog
+      band [min_f0, max_f0] (the reference's 80-2000 Hz);
+    - for each harmonic h with ideal = F0*h <= max_f0: argmax of the
+      raw magnitude within +-tolerance*ideal bins (int-truncated
+      window, first-wins ties), kept iff it is a strict interior
+      local maximum, magnitude > min_strength, and
+      |bin - ideal|/ideal < tolerance (findHarmonicPeak :377-419 +
+      analyzeHarmonicStructure :341-366);
+    - frames with fewer than min_harmonics accepted harmonics are
+      dropped (the reference errors, :368-371);
+    - B = sum(amp * dev * h^2) / sum(amp * h^4) (amplitude-weighted,
+      expected deviation 0 for the general model, :422-447);
+      stddev = sample stddev of deviations; confidence =
+      min(1, (n/maxHarmonics) * mean(amp)) (:640-652).
+
+    Relational: one explode over h, one bounded range join against
+    the spectrum, two window checks, one aggregation."""
+    f0df = (
+        peaks.groupBy(*group_cols)
+        .agg(F.round(F.min_by("refined_freq", bin_col), 6).alias("f0"))
+        .where((F.col("f0") >= min_f0) & (F.col("f0") <= max_f0))
+    )
+    h = f0df.withColumn(
+        "h", F.explode(F.sequence(F.lit(1), F.lit(max_harmonics)))
+    ).withColumn("ideal", F.col("f0") * F.col("h").cast("double")).where(
+        F.col("ideal") <= max_f0
+    )
+    tol_bins = F.lit(tolerance) * F.col("ideal")
+    sb = F.greatest(F.col("ideal") - tol_bins, F.lit(0.0)).cast("int")
+    eb = F.least(
+        F.col("ideal") + tol_bins, F.lit(float(num_bins - 1))
+    ).cast("int")
+    h = h.withColumn("__sb", sb).withColumn("__eb", eb)
+    g = spec.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col(bin_col).alias("__b"),
+        F.col(mag_col).alias("__m"),
+    )
+    on = (F.col("__b") >= F.col("__sb")) & (F.col("__b") <= F.col("__eb"))
+    for c in group_cols:
+        on = on & (F.col(f"__g_{c}") == F.col(c))
+    cand = h.join(g, on)
+    best = topk_per_group(
+        cand,
+        [*group_cols, "h"],
+        [F.col("__m").desc(), F.col("__b").asc()],
+        1,
+    ).drop("rank")
+    # strict interior local-maximum verification over the spectrum
+    gl = spec.select(
+        *[F.col(c).alias(f"__l_{c}") for c in group_cols],
+        F.col(bin_col).alias("__lb"),
+        F.col(mag_col).alias("__lm"),
+    )
+    onl = F.col("__lb") == F.col("__b") - 1
+    onr_ = F.col("__lb") == F.col("__b") + 1
+    for c in group_cols:
+        onl = onl & (F.col(f"__l_{c}") == F.col(c))
+        onr_ = onr_ & (F.col(f"__l_{c}") == F.col(c))
+    gl2 = spec.select(
+        *[F.col(c).alias(f"__r_{c}") for c in group_cols],
+        F.col(bin_col).alias("__rb"),
+        F.col(mag_col).alias("__rm"),
+    )
+    onr = F.col("__rb") == F.col("__b") + 1
+    for c in group_cols:
+        onr = onr & (F.col(f"__r_{c}") == F.col(c))
+    v = (
+        best.join(gl, onl)
+        .join(gl2, onr)
+        .where(
+            (F.col("__b") >= 1)
+            & (F.col("__b") <= num_bins - 2)
+            & (F.col("__m") > F.col("__lm"))
+            & (F.col("__m") > F.col("__rm"))
+            & (F.col("__m") > min_strength)
+        )
+    )
+    dev = (F.col("__b").cast("double") - F.col("ideal")) / F.col("ideal")
+    acc = v.select(
+        *group_cols,
+        "f0",
+        F.col("h").cast("double").alias("hn"),
+        F.col("__m").alias("amp"),
+        dev.alias("dev"),
+    ).where(F.abs(F.col("dev")) < tolerance)
+    ag = acc.groupBy(*group_cols, "f0").agg(
+        F.count("*").alias("n_harmonics"),
+        F.sum(
+            F.col("amp") * F.col("dev") * F.col("hn") * F.col("hn")
+        ).alias("__num"),
+        F.sum(
+            F.col("amp")
+            * F.col("hn")
+            * F.col("hn")
+            * F.col("hn")
+            * F.col("hn")
+        ).alias("__den"),
+        F.avg("dev").alias("__dmean"),
+        F.avg("amp").alias("__amean"),
+    ).where(F.col("n_harmonics") >= min_harmonics)
+    ss = acc.join(
+        ag.select(*group_cols, F.col("__dmean").alias("__dm2")),
+        group_cols,
+    ).groupBy(*group_cols).agg(
+        F.sum(
+            (F.col("dev") - F.col("__dm2"))
+            * (F.col("dev") - F.col("__dm2"))
+        ).alias("__ssd"),
+        F.count("*").alias("__n2"),
+    )
+    r = ag.join(ss, group_cols)
+    b_coef = F.when(
+        F.col("__den") > 0, F.col("__num") / F.col("__den")
+    ).otherwise(F.lit(0.0))
+    stddev = F.when(
+        F.col("__n2") > 1,
+        F.sqrt(F.col("__ssd") / (F.col("__n2").cast("double") - 1.0)),
+    ).otherwise(F.lit(0.0))
+    conf = F.least(
+        F.lit(1.0),
+        (F.col("n_harmonics").cast("double") / float(max_harmonics))
+        * F.col("__amean"),
+    )
+    return r.select(
+        *group_cols,
+        "f0",
+        F.col("n_harmonics").cast("int").alias("n_harmonics"),
+        b_coef.alias("inharmonicity"),
+        stddev.alias("inharm_stddev"),
+        conf.alias("confidence"),
+    )
