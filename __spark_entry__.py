@@ -1015,6 +1015,47 @@ def q_consistency_trials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pause_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pause durations (extractors/speech.go:587-639): silence
+    threshold = the 10th-percentile frame energy (direct index
+    sorted[n/10]), runs of energy <= threshold, duration =
+    run_len * frame_time (analog hop 4 / rate 80 -> 0.05 s), pauses
+    kept only when > 0.1 s — including a trailing run."""
+    from pyspark.sql import Window
+    from sonar_spark.operators.sessionize import segment_runs
+
+    fr = _doc_frame_rz(spark, sf_dir).select(
+        "doc_id", "frame_idx", "rms_energy"
+    )
+    wo = Window.partitionBy("doc_id").orderBy("rms_energy", "frame_idx")
+    wn = Window.partitionBy("doc_id")
+    thr = fr.select(
+        "doc_id",
+        "rms_energy",
+        F.row_number().over(wo).alias("__rn"),
+        F.count("*").over(wn).alias("__n"),
+    ).where(
+        F.col("__rn") == F.floor(F.col("__n") / 10) + 1
+    ).select("doc_id", F.col("rms_energy").alias("__thr"))
+    flagged = fr.join(F.broadcast(thr), "doc_id").withColumn(
+        "in_pause", (F.col("rms_energy") <= F.col("__thr")).cast("int")
+    )
+    segs = segment_runs(
+        flagged, key="doc_id", order="frame_idx", flag="in_pause",
+        min_run=1,
+    )
+    frame_time = 0.05
+    out = segs.where(F.col("in_pause") == 1).withColumn(
+        "duration", F.col("run_len").cast("double") * F.lit(frame_time)
+    ).where(F.col("duration") > 0.1)
+    return out.select(
+        "doc_id",
+        F.col("seg_start").cast("long").alias("seg_start"),
+        F.col("run_len").cast("long").alias("run_len"),
+        F.round("duration", 6).alias("duration"),
+    )
+
+
 def q_onsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Onset detection: local maxima of frame rms above 1.5x per-doc
     mean (DetectOnsetsEnergy + peak picker, onset_detection.go:59-94,
@@ -4012,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
+        "pause_durations": q_pause_durations,
         "harmonic_track_stats": q_harmonic_track_stats,
         "chroma_seq_dtw": q_chroma_seq_dtw,
         "chroma_seq_sw": q_chroma_seq_sw,
@@ -4253,6 +4295,65 @@ def oracle_sql() -> dict[str, str]:
                      AS confidence
             FROM ia a JOIN is2 s ON s.doc_id = a.doc_id
               AND s.frame_idx = a.frame_idx
+        """,
+        "pause_durations": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx,
+                     round(rms, 6) AS rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            thr AS (
+              SELECT doc_id, rms AS t FROM (
+                SELECT doc_id, rms,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY rms, frame_idx) AS rn,
+                       count(*) OVER (PARTITION BY doc_id) AS n
+                FROM fr
+              ) WHERE rn = n // 10 + 1
+            ),
+            fl AS (
+              SELECT fr.doc_id, frame_idx,
+                     CASE WHEN rms <= t THEN 1 ELSE 0 END AS pz
+              FROM fr JOIN thr ON fr.doc_id = thr.doc_id
+            ),
+            seg AS (
+              SELECT doc_id, frame_idx, pz,
+                     sum(CASE WHEN prev IS NULL OR pz != prev THEN 1
+                         ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY frame_idx
+                             ROWS UNBOUNDED PRECEDING) AS seg_id
+              FROM (
+                SELECT doc_id, frame_idx, pz,
+                       lag(pz) OVER (PARTITION BY doc_id
+                         ORDER BY frame_idx) AS prev
+                FROM fl
+              )
+            ),
+            runs AS (
+              SELECT doc_id, min(frame_idx) AS seg_start,
+                     count(*) AS run_len
+              FROM seg WHERE pz = 1
+              GROUP BY doc_id, seg_id
+            )
+            SELECT doc_id, seg_start, run_len,
+                   round(run_len::DOUBLE * 0.05, 6) + 0.0 AS duration
+            FROM runs WHERE run_len::DOUBLE * 0.05 > 0.1
         """,
         "consistency_trials": r"""
             SELECT doc_id::VARCHAR AS pair_id, 3::BIGINT AS n_trials,

@@ -1,0 +1,143 @@
+"""Property tests for the chroma/tonal round-3 operators: Tonnetz
+projection, circular-shift similarity, sequence-similarity DP
+kernels, CQT kernel table, pitch-class profile, harmonic tracking."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sonar_spark.operators.chroma import (
+    TONNETZ_COORDS,
+    _dp_kernel,
+    chroma_cqt_kernel_rows,
+    chroma_shift_optimal,
+    tonnetz_centroids,
+)
+from sonar_spark.operators.tracking import track_peaks_sequence
+
+
+def test_tonnetz_pure_pitch_class_centroid(spark):
+    """All energy on one pitch class -> centroid at its coordinate."""
+    rows = []
+    for pc in range(12):
+        for c in range(12):
+            rows.append((pc, 0, c, 1.0 if c == pc else 0.0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, pitch_class int, hpcp double"
+    )
+    out = {
+        r["doc_id"]: (r["centroid_x"], r["centroid_y"])
+        for r in tonnetz_centroids(df, ["doc_id", "frame_idx"]).collect()
+    }
+    for pc, x, y in TONNETZ_COORDS:
+        assert out[pc][0] == pytest.approx(x, abs=1e-6)
+        assert out[pc][1] == pytest.approx(y, abs=1e-6)
+
+
+def test_shift_optimal_recovers_transposition(spark):
+    """cv2 = cv1 rotated by s -> best shift s with similarity ~1."""
+    rng = np.random.default_rng(3)
+    base = rng.random(12) + 0.1
+    shift = 5
+    # shifted[i] = base[(i+shift)%12] must equal cv2[i] -> cv2 is
+    # base advanced by shift
+    cv2 = [base[(i + shift) % 12] for i in range(12)]
+    rows_l = [(0, 0, c, float(base[c])) for c in range(12)]
+    rows_r = [(0, 0, c, float(cv2[c])) for c in range(12)]
+    l = spark.createDataFrame(
+        rows_l, "qid long, mid long, pitch_class int, chroma double"
+    )
+    r = spark.createDataFrame(
+        rows_r, "qid long, mid long, pitch_class int, chroma double"
+    )
+    out = chroma_shift_optimal(l, r, ["qid", "mid"]).collect()[0]
+    assert out["best_shift"] == shift
+    assert out["best_similarity"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dp_kernels_identical_sequences():
+    """Identical sequences: DTW corner cost ~0 -> similarity ~1; SW
+    max score ~= len * 1.0 along the diagonal."""
+    rng = np.random.default_rng(11)
+    seq = [rng.random(12) + 0.05 for _ in range(4)]
+    dtw = _dp_kernel("dtw")
+    sw = _dp_kernel("sw")
+    cost, plen, sim = dtw(seq, seq)
+    assert cost == pytest.approx(0.0, abs=1e-9)
+    assert sim == pytest.approx(1.0, abs=1e-9)
+    score, splen, ssim = sw(seq, seq)
+    assert score == pytest.approx(4.0, abs=1e-6)  # 4 matches of sim 1
+    assert splen == 4
+    assert ssim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_dtw_traceback_path_length_bounds():
+    rng = np.random.default_rng(5)
+    a = [rng.random(12) for _ in range(3)]
+    b = [rng.random(12) for _ in range(4)]
+    dtw = _dp_kernel("dtw")
+    _, plen, _ = dtw(a, b)
+    # path visits between max(Q,R)-? and Q+R-2 cells (excl. (0,0))
+    assert 3 <= plen <= 5
+
+
+def test_cqt_kernel_shapes():
+    rows = chroma_cqt_kernel_rows()
+    ks = {}
+    for k, cls, n, cw, sw in rows:
+        ks.setdefault(k, []).append((n, cw, sw))
+    assert len(ks) == 24
+    for k, taps in ks.items():
+        L = len(taps)
+        assert 3 <= L <= 16
+        # center tap: w=1, phi=0 -> cw=1, sw=0 (odd lengths only)
+        if L % 2 == 1:
+            c = L // 2
+            tap = dict((n, (cw, sw)) for n, cw, sw in taps)[c]
+            assert tap[0] == pytest.approx(1.0)
+            assert tap[1] == pytest.approx(0.0)
+
+
+def test_tracking_single_stable_peak():
+    """One peak per frame at a stable frequency -> one track through
+    all frames."""
+    frames = [(f, [(5.0, 2.0)]) for f in range(4)]
+    tracks = track_peaks_sequence(frames)
+    assert len(tracks) == 1
+    tid, pts = tracks[0]
+    assert tid == 1
+    assert [p[0] for p in pts] == [0, 1, 2, 3]
+
+
+def test_tracking_used_peak_blocks_second_track():
+    """Two tracks wanting the same peak: the earlier-created track
+    claims it; the later one is not continued (usedPeaks exclusion,
+    harmonic_tracking.go:316-325)."""
+    frames = [
+        (0, [(5.0, 2.0), (5.1, 1.9)]),  # two births
+        (1, [(5.05, 2.0)]),             # single peak both want
+        (2, [(5.05, 2.0)]),
+        (3, [(5.05, 2.0)]),
+    ]
+    tracks = track_peaks_sequence(frames)
+    # track 1 claims the shared peak every frame -> 4 points; track 2
+    # dies with 1 point (< MinTrackLength) and is filtered
+    assert len(tracks) == 1
+    assert tracks[0][0] == 1
+    assert len(tracks[0][1]) == 4
+
+
+def test_tracking_short_tracks_filtered():
+    frames = [
+        (0, [(5.0, 2.0)]),
+        (1, [(5.0, 2.0)]),
+        (2, []),  # gap kills continuation permanently
+        (3, [(5.0, 2.0)]),
+    ]
+    tracks = track_peaks_sequence(frames)
+    # 2-point track and 1-point track both < 3 -> none kept
+    assert tracks == []
