@@ -239,6 +239,14 @@ def detect_chords_full(
       root asc — the reference iterates an unordered map, so its tie
       order is unspecified.
 
+    Physical plan: the chroma front end is scanned ONCE — the single
+    template aggregation computes the weighted dot product, the
+    bass-class chroma value (for the inversion delta), and chord-tone
+    membership of the bass class together, so inversion rescoring
+    needs only the tiny broadcast inversion table, no second chroma
+    pass (an earlier draft re-joined chroma twice and re-derived the
+    whole HPCP subtree 5x — 53 exchanges at sf0.01).
+
     Output: group cols + chord_root, chord_quality, inversion,
     bass_pc, confidence, strength."""
     spark = chroma.sparkSession
@@ -251,97 +259,89 @@ def detect_chords_full(
         "quality string, root int, inv_idx int, bass_class int,"
         " weight double",
     )
-    j = chroma.join(F.broadcast(tpl), F.col(class_col) == F.col("pc"))
-    s = j.groupBy(*group_cols, "quality", "root").agg(
-        (
-            F.sum(F.col(value_col).cast("double") * F.col("tv"))
-            * F.max("weight")
-        ).alias("score_raw"),
-        F.max("weight").alias("weight"),
-    )
     b = bass.select(
         *[F.col(c).alias(f"__b_{c}") for c in group_cols],
         "bass_pc",
-        "bass_conf",
+        F.coalesce("bass_conf", F.lit(0.0)).alias("bass_conf"),
     )
     bcond = None
     for c in group_cols:
         e = F.col(f"__b_{c}") == F.col(c)
         bcond = e if bcond is None else (bcond & e)
-    sb = s.join(b, bcond, "left").drop(
-        *[f"__b_{c}" for c in group_cols]
-    ).withColumn("bass_conf", F.coalesce("bass_conf", F.lit(0.0)))
-    engaged = F.col("bass_conf") > 0.3
-
-    # chord-tone membership of the bass class, for the bonus
-    tone = (
-        spark.createDataFrame(
-            chord_inversion_rows(),
-            "quality string, root int, inv_idx int, bass_class int,"
-            " weight double",
-        )
-        .select("quality", "root", F.col("bass_class").alias("__tone"))
-        .distinct()
-    )
-    sb2 = sb.join(
-        F.broadcast(tone),
-        ["quality", "root"],
-    ).groupBy(
-        *group_cols, "quality", "root", "score_raw", "weight",
-        "bass_pc", "bass_conf",
+    cb = chroma.join(b, bcond).drop(*[f"__b_{c}" for c in group_cols])
+    j = cb.join(F.broadcast(tpl), F.col(class_col) == F.col("pc"))
+    # ONE aggregation: weighted dot, chroma value at the bass class,
+    # and whether the bass class is a chord tone of (quality, root)
+    s = j.groupBy(
+        *group_cols, "quality", "root", "bass_pc", "bass_conf"
     ).agg(
+        (
+            F.sum(F.col(value_col).cast("double") * F.col("tv"))
+            * F.max("weight")
+        ).alias("score_raw"),
+        F.max("weight").alias("weight"),
         F.max(
-            (F.col("__tone") == F.col("bass_pc")).cast("int")
-        ).alias("__is_tone")
+            F.when(
+                F.col(class_col) == F.col("bass_pc"),
+                F.col(value_col).cast("double"),
+            )
+        ).alias("__c_bass"),
+        F.max(
+            F.when(
+                (F.col(class_col) == F.col("bass_pc"))
+                & (F.col("tv") == 1.0),
+                1,
+            ).otherwise(0)
+        ).alias("__is_tone"),
     )
+    engaged = F.col("bass_conf") > 0.3
     score2 = F.col("score_raw") + F.when(
         engaged & (F.col("__is_tone") == 1),
         F.lit(bass_weight) * F.col("bass_conf"),
     ).otherwise(F.lit(0.0))
-    cand = sb2.withColumn("score2", score2).where(
+    cand = s.withColumn("score2", score2).where(
         F.col("score2") >= min_strength
     )
 
-    # inversion scoring: only inversions whose expected bass matches
-    cb = chroma.select(
-        *[F.col(c).alias(f"__c_{c}") for c in group_cols],
-        F.col(class_col).alias("__cpc"),
-        F.col(value_col).cast("double").alias("__cv"),
+    # inversion scoring against the tiny broadcast inversion table:
+    # the pattern differs from root position only by +0.5*weight at
+    # the bass class, already captured as __c_bass above.  The best
+    # inversion is folded into ONE aggregation right after the
+    # broadcast join (max on (score, -inv) = strict-max with
+    # first-inversion ties), so the candidate subtree is evaluated
+    # exactly once — no join-back.
+    inv_score = F.col("score_raw") + F.when(
+        F.col("inv_idx") > 0,
+        F.lit(0.5) * F.col("weight") * F.col("__c_bass"),
+    ).otherwise(F.lit(0.0))
+    valid = (
+        engaged
+        & (F.col("bass_class") == F.col("bass_pc"))
+        & (inv_score > 0)
     )
-    ccond = F.col("__cpc") == F.col("bass_class")
-    for c in group_cols:
-        ccond = ccond & (F.col(f"__c_{c}") == F.col(c))
-    iv = (
-        cand.where(engaged)
-        .join(F.broadcast(inv.drop("weight")), ["quality", "root"])
-        .where(F.col("bass_class") == F.col("bass_pc"))
-        .join(cb, ccond)
-        .withColumn(
-            "__inv_score",
-            F.col("score_raw")
-            + F.when(
-                F.col("inv_idx") > 0,
-                F.lit(0.5) * F.col("weight") * F.col("__cv"),
-            ).otherwise(F.lit(0.0)),
+    fin = (
+        cand.join(F.broadcast(inv.drop("weight")), ["quality", "root"])
+        .groupBy(
+            *group_cols, "quality", "root", "bass_pc", "score2"
         )
-        .where(F.col("__inv_score") > 0)
+        .agg(
+            F.max(
+                F.when(
+                    valid,
+                    F.struct(
+                        inv_score.alias("s"),
+                        (-F.col("inv_idx")).alias("negi"),
+                    ),
+                )
+            ).alias("__bi")
+        )
     )
-    best_inv = topk_per_group(
-        iv,
-        [*group_cols, "quality", "root"],
-        [F.col("__inv_score").desc(), F.col("inv_idx").asc()],
-        1,
-    ).select(
-        *group_cols, "quality", "root",
-        F.col("inv_idx").alias("__binv"),
-        F.col("__inv_score").alias("__binv_score"),
+    use_inv = F.col("__bi").isNotNull() & (
+        F.col("__bi.s") > F.col("score2")
     )
-    fin = cand.join(
-        best_inv, [*group_cols, "quality", "root"], "left"
-    )
-    use_inv = F.col("__binv_score").isNotNull() & (
-        F.col("__binv_score") > F.col("score2")
-    )
+    fin = fin.withColumn(
+        "__binv", (-F.col("__bi.negi")).cast("int")
+    ).withColumn("__binv_score", F.col("__bi.s"))
     strength = F.when(use_inv, F.col("__binv_score")).otherwise(
         F.col("score2")
     )
