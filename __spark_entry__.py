@@ -677,9 +677,11 @@ def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL-PAIRS baseline on bounded input (the reference itself
     brute-forces every catalog entry).  Rows-only BY DESIGN: the
     fingerprint vectors blend 30 kernel-computed frame features
-    (incl. MFCC) with MinHash signatures over token IDS, which a SQL
-    oracle cannot recompute; every ingredient is oracle-backed
-    separately and the weighted scoring arithmetic is unit-tested.
+    (incl. MFCC), the mean chroma vector (compareChromaFeatures,
+    comparison.go:673-688), and MinHash signatures over token IDS,
+    which a SQL oracle cannot recompute; every ingredient is
+    oracle-backed separately and the weighted scoring + quality
+    metric arithmetic is unit-tested.
     The catalog-scale path is `compare_topk_lsh` (LSH-pruned
     candidates + the same exact scoring, fully oracle-backed).
     Measured at sf0.01: 1104/1106 output rows pass the 0.6 threshold
@@ -691,7 +693,24 @@ def q_compare_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8))
     stats = doc_stats(feats)
     sigs = minhash_fingerprints(toks, MinHashConfig()).select("doc_id", "minhash")
-    fps = stats.join(sigs, "doc_id")
+    # per-doc mean chroma vector -> the compareChromaFeatures group
+    # (comparison.go:673-688), completing the 5-group availability set
+    pcp = _doc_hpcp(spark, sf_dir)
+    mc = (
+        pcp.groupBy("doc_id", "pitch_class")
+        .agg(F.avg("hpcp").alias("__m"))
+        .groupBy("doc_id")
+        .pivot("pitch_class", list(range(12)))
+        .agg(F.first("__m"))
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            *[
+                F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"chroma{i}")
+                for i in range(12)
+            ],
+        )
+    )
+    fps = stats.join(sigs, "doc_id").join(mc, "doc_id")
     out = compare_topk(fps, fps, k=3)
     return out.select(
         "query_id",
@@ -709,12 +728,12 @@ def _explicit_doc_stats(feats: DataFrame) -> DataFrame:
     makes the downstream compare arithmetic bit-identical between
     Spark and the DuckDB oracle."""
     feats_cols = ["rms_energy", "crest", "mean", "std", "skew", "kurt"]
-    aggs = []
+    aggs = [F.count("*").alias("n_frames")]
     for c in feats_cols:
         aggs.append(F.avg(F.col(c)).alias(f"__m_{c}"))
         aggs.append(F.avg(F.col(c) * F.col(c)).alias(f"__s2_{c}"))
     g = feats.groupBy("doc_id", "source").agg(*aggs)
-    sel = [F.col("doc_id"), F.col("source")]
+    sel = [F.col("doc_id"), F.col("source"), F.col("n_frames")]
     for c in feats_cols:
         sel.append(F.round(F.col(f"__m_{c}"), 6).alias(f"{c}_mean"))
         sel.append(
@@ -827,6 +846,10 @@ def q_compare_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_class",
         F.round("sim_energy", 6).alias("sim_energy"),
         F.round("sim_moments", 6).alias("sim_moments"),
+        F.round("sim_noise", 6).alias("sim_noise"),
+        F.round("data_availability", 6).alias("data_availability"),
+        F.round("temporal_alignment", 6).alias("temporal_alignment"),
+        F.round("confidence", 6).alias("confidence"),
     )
 
 
@@ -5918,7 +5941,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cm
             ),
             ds AS (
-              SELECT doc_id, source,
+              SELECT doc_id, source, count(*) AS nf,
                 round(avg(rms_energy), 6) AS e1,
                 round(sqrt(greatest(avg(rms_energy * rms_energy)
                   - avg(rms_energy) * avg(rms_energy), 0.0)), 6) AS e2,
@@ -5942,6 +5965,7 @@ def oracle_sql() -> dict[str, str]:
             sc AS (
               SELECT p.qid AS query_id, p.mid AS match_id,
                      q.source AS src,
+                     q.nf::DOUBLE AS qn, m.nf::DOUBLE AS cn,
                      q.e1 * m.e1 + q.e2 * m.e2 + q.e3 * m.e3
                        + q.e4 * m.e4 AS dote,
                      sqrt(q.e1 * q.e1 + q.e2 * q.e2 + q.e3 * q.e3
@@ -5964,7 +5988,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE p.qid <> p.mid AND q.source = m.source
             ),
             sims AS (
-              SELECT query_id, match_id, src,
+              SELECT query_id, match_id, src, qn, cn,
                      CASE WHEN dene > 0 THEN dote / dene
                           ELSE 0.0 END AS se,
                      CASE WHEN denm > 0 THEN dotm / denm
@@ -5978,12 +6002,19 @@ def oracle_sql() -> dict[str, str]:
               FROM sc
             ),
             blend AS (
-              SELECT query_id, match_id, se, sm,
-                     (we * se + wm * sm) / (we + wm) AS sim
+              SELECT query_id, match_id, se, sm, qn, cn,
+                     (we * se + wm * sm) / (we + wm) AS sim,
+                     least(1.0, sqrt((pow(se - (se + sm) / 2.0, 2)
+                       + pow(sm - (se + sm) / 2.0, 2)) / 1.0))
+                       AS noise,
+                     CASE WHEN greatest(qn, cn) > 0
+                          THEN 1.0 - least(1.0,
+                            abs(qn - cn) / greatest(qn, cn))
+                          ELSE 1.0 END AS talign
               FROM sims
             ),
             ranked AS (
-              SELECT query_id, match_id, se, sm, sim,
+              SELECT query_id, match_id, se, sm, sim, noise, talign,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY sim DESC, match_id ASC) AS rk
               FROM blend WHERE sim >= 0.6
@@ -5996,7 +6027,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sim >= 0.6 THEN 'poor'
                         ELSE 'no_match' END AS match_class,
                    round(se, 6) + 0.0 AS sim_energy,
-                   round(sm, 6) + 0.0 AS sim_moments
+                   round(sm, 6) + 0.0 AS sim_moments,
+                   round(noise, 6) + 0.0 AS sim_noise,
+                   round(2.0 / 6.0, 6) + 0.0 AS data_availability,
+                   round(talign, 6) + 0.0 AS temporal_alignment,
+                   round(greatest(0.0, least(1.0,
+                     0.5 + CASE WHEN sim > 0.8 THEN 0.3
+                                WHEN sim > 0.6 THEN 0.2
+                                ELSE 0.0 END
+                     + 0.1 + 0.1 + 2.0 / 6.0 * 0.1
+                     - noise * 0.1)), 6) + 0.0 AS confidence
             FROM ranked WHERE rk <= 3
         """,
         "minhash_dedup": r"""

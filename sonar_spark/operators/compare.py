@@ -37,6 +37,10 @@ MOMENT_STATS = [
 # extractMFCCStatistics comparison role (comparison.go:774-800 +
 # compareSequenceStats :827-842); used when present in the input
 MFCC_STATS = [f"mfcc{i}_{s}" for i in range(6) for s in ("mean", "std")]
+# per-doc mean chroma vector — the compareChromaFeatures role
+# (comparison.go:673-688: cosine of the mean chroma vectors); used
+# when present in the input
+CHROMA_STATS = [f"chroma{i}" for i in range(12)]
 
 
 def _stats_vec(prefix: str, cols: list[str]) -> Column:
@@ -85,17 +89,26 @@ def compare_topk(
     # them (availability semantics of comparison.go:168-196: only
     # present feature groups are scored)
     has_mfcc = all(c in query.columns for c in MFCC_STATS)
+    has_chroma = all(c in query.columns for c in CHROMA_STATS)
     has_minhash = "minhash" in query.columns
-    stat_cols = ENERGY_STATS + MOMENT_STATS + (MFCC_STATS if has_mfcc else [])
+    stat_cols = (
+        ENERGY_STATS
+        + MOMENT_STATS
+        + (MFCC_STATS if has_mfcc else [])
+        + (CHROMA_STATS if has_chroma else [])
+    )
+    has_nf = "n_frames" in query.columns
     qcols = (
         [F.col("doc_id").alias("query_id"), F.col("source").alias("q_source")]
         + [F.col(c).alias(f"q_{c}") for c in stat_cols]
         + ([F.col("minhash").alias("q_minhash")] if has_minhash else [])
+        + ([F.col("n_frames").alias("q_n_frames")] if has_nf else [])
     )
     ccols = (
         [F.col("doc_id").alias("match_id"), F.col("source").alias("c_source")]
         + [F.col(c).alias(f"c_{c}") for c in stat_cols]
         + ([F.col("minhash").alias("c_minhash")] if has_minhash else [])
+        + ([F.col("n_frames").alias("c_n_frames")] if has_nf else [])
     )
     q = query.select(*qcols)
     c = catalog.select(*ccols)
@@ -117,6 +130,9 @@ def compare_topk(
         ("moments", cosine_similarity(
             _stats_vec("q_", MOMENT_STATS), _stats_vec("c_", MOMENT_STATS))),
     ]
+    if has_chroma:
+        groups.append(("chroma", cosine_similarity(
+            _stats_vec("q_", CHROMA_STATS), _stats_vec("c_", CHROMA_STATS))))
     if has_minhash:
         sim_minhash = F.aggregate(
             F.zip_with(
@@ -149,19 +165,54 @@ def compare_topk(
         weights[0] * groups[0][1],
     ) / wsum
 
-    # quality metrics (comparison.go:892-1037): noise = dispersion of
-    # the per-group similarities; confidence = similarity damped by
-    # noise (only present groups participate)
+    # quality metrics (comparison.go:892-1037, the reference
+    # formulas): noise = min(1, sqrt(SAMPLE variance of the per-group
+    # similarities)) (estimateNoiseLevel :939-960, gonum sample
+    # variance); availability/coverage = present groups / 6 feature
+    # types (:896-919); temporal alignment from the duration analog
+    # n_frames when the fingerprints carry it (:922-929, 0.5
+    # otherwise per the unknown-default convention); confidence =
+    # the tiered formula of calculateConfidence (:1011-1037) with
+    # content-type match true under the content filter.
     mean_g = sum((s for _, s in groups[1:]), groups[0][1]) / float(ng)
-    noise = F.sqrt(
-        sum(
-            (F.pow(s - mean_g, 2) for _, s in groups[1:]),
-            F.pow(groups[0][1] - mean_g, 2),
+    if ng > 1:
+        noise = F.least(
+            F.lit(1.0),
+            F.sqrt(
+                sum(
+                    (F.pow(s - mean_g, 2) for _, s in groups[1:]),
+                    F.pow(groups[0][1] - mean_g, 2),
+                )
+                / float(ng - 1)
+            ),
         )
-        / float(ng)
-    )
+    else:
+        noise = F.lit(0.0)
+    availability = F.lit(ng / 6.0)
+    has_frames = "n_frames" in query.columns
+    if has_frames:
+        qn = F.col("q_n_frames").cast("double")
+        cn = F.col("c_n_frames").cast("double")
+        mx = F.greatest(qn, cn)
+        temporal_alignment = F.when(
+            mx > 0,
+            1.0 - F.least(F.lit(1.0), F.abs(qn - cn) / mx),
+        ).otherwise(F.lit(1.0))
+    else:
+        temporal_alignment = F.lit(0.5)
     confidence = F.greatest(
-        F.lit(0.0), F.least(F.lit(1.0), sim * (1.0 - noise))
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5)
+            + F.when(sim > 0.8, F.lit(0.3))
+            .when(sim > 0.6, F.lit(0.2))
+            .otherwise(F.lit(0.0))
+            + F.lit(0.1 if content_filter else 0.0)
+            + F.lit(ng * 0.05)
+            + availability * 0.1
+            - noise * 0.1,
+        ),
     )
     scored = j.select(
         "query_id",
@@ -169,6 +220,9 @@ def compare_topk(
         *[s.alias(f"sim_{name}") for name, s in groups],
         sim.alias("similarity"),
         noise.alias("sim_noise"),
+        availability.alias("data_availability"),
+        availability.alias("feature_coverage"),
+        temporal_alignment.alias("temporal_alignment"),
         confidence.alias("confidence"),
     ).where(F.col("similarity") >= cfg.similarity_threshold)
     ranked = topk_per_group(

@@ -141,3 +141,43 @@ def test_tracking_short_tracks_filtered():
     tracks = track_peaks_sequence(frames)
     # 2-point track and 1-point track both < 3 -> none kept
     assert tracks == []
+
+
+def test_compare_topk_chroma_group_and_quality(spark):
+    """compare_topk wires a chroma group (cosine of mean chroma
+    vectors, comparison.go:673-688) when chroma0..11 are present, and
+    emits the reference quality metrics (:892-960, :1011-1037)."""
+    import pyspark.sql.functions as F
+
+    from sonar_spark.operators.compare import (
+        CHROMA_STATS,
+        ENERGY_STATS,
+        MOMENT_STATS,
+        compare_topk,
+    )
+
+    base = {c: 1.0 for c in ENERGY_STATS + MOMENT_STATS}
+    rows = []
+    for d, cv in (("a", [1.0] * 12), ("b", [1.0] * 12),
+                  ("c", [1.0, 0.0] * 6)):
+        r = {"doc_id": d, "source": "web", "n_frames": 10, **base}
+        for i, v in enumerate(cv):
+            r[f"chroma{i}"] = v
+        rows.append(r)
+    df = spark.createDataFrame(rows)
+    out = compare_topk(df, df, k=3).collect()
+    got = {(r["query_id"], r["match_id"]): r for r in out}
+    # identical vectors: chroma cosine 1
+    assert got[("a", "b")]["sim_chroma"] == pytest.approx(1.0)
+    # [1..] vs alternating: cos = 6 / (sqrt(12)*sqrt(6))
+    exp = 6.0 / (math.sqrt(12.0) * math.sqrt(6.0))
+    assert got[("a", "c")]["sim_chroma"] == pytest.approx(exp)
+    r = got[("a", "b")]
+    # all groups equal -> sample-variance noise 0; ng=3 (no minhash,
+    # no mfcc); availability 3/6; equal n_frames -> alignment 1
+    assert r["sim_noise"] == pytest.approx(0.0)
+    assert r["data_availability"] == pytest.approx(3.0 / 6.0)
+    assert r["temporal_alignment"] == pytest.approx(1.0)
+    # confidence = 0.5 + 0.3 (sim>0.8) + 0.1 (content) + 3*0.05
+    #   + 0.5*0.1 - 0 = 1.0 clamped
+    assert r["confidence"] == pytest.approx(1.0)
