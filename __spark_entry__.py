@@ -2308,6 +2308,30 @@ def q_yin_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("f0", 6).alias("f0"))
 
 
+def q_pitch_nsdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSDF pitch detection (tonal/pitch_detection.go:485-553 with
+    the :767-875 post-processing): normalized square difference peaks
+    above 0.3, best-candidate pitch/confidence, clarity vs the
+    runner-up, strength, band-weighted salience, the 0.5 confidence
+    gate — the 4th fundamental method next to autocorr/YIN/cepstrum."""
+    from sonar_spark.operators.temporal import pitch_nsdf
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    out = pitch_nsdf(vals)
+    return out.select(
+        "doc_id",
+        F.round("pitch", 6).alias("pitch"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("clarity", 6).alias("clarity"),
+        F.round("strength", 6).alias("strength"),
+        F.round("salience", 6).alias("salience"),
+    )
+
+
 def q_cepstrum_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cepstral F0 (fundamental_estimation.go:96-147): log power
     spectrum with the 1e-10 floor, real inverse DFT to quefrency,
@@ -2498,6 +2522,34 @@ def _chroma_cqt_oracle_sql() -> str:
           AND t.frame_idx = c.frame_idx
           AND t.cls = c.pitch_class
     """
+
+
+def q_harmonic_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral harmonic-ratio analysis
+    (tonal/harmonic_ratio.go:464-513): F0 from the top-5 peak
+    candidates by harmonic-fit score, peak classification via
+    round-to-nearest-harmonic tolerance, 10 log10(harmonic/noise)
+    energy ratio (60 dB noise-free cap) — the spectral method next
+    to the existing autocorrelation HNR."""
+    from sonar_spark.operators.peaks import (
+        harmonic_ratio_spectral,
+        spectral_peaks,
+    )
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    out = harmonic_ratio_spectral(peaks, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.round("f0", 6).alias("f0"),
+        F.round("harmonic_ratio", 6).alias("harmonic_ratio"),
+        F.round("harmonic_energy", 6).alias("harmonic_energy"),
+        F.round("noise_energy", 6).alias("noise_energy"),
+        F.round("total_energy", 6).alias("total_energy"),
+    )
 
 
 def q_pitch_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4065,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "formants": q_formants,
         "formant_summary": q_formant_summary,
         "cepstrum_f0": q_cepstrum_f0,
+        "pitch_nsdf": q_pitch_nsdf,
         "chord_inversions": q_chord_inversions,
         "tonnetz": q_tonnetz,
         "chroma_seq_stats": q_chroma_seq_stats,
@@ -4073,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inharmonicity": q_inharmonicity,
         "chroma_cqt": q_chroma_cqt,
         "pitch_class_profile": q_pitch_class_profile,
+        "harmonic_ratio": q_harmonic_ratio,
         "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
@@ -4242,6 +4296,77 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "chroma_cqt": _chroma_cqt_oracle_sql(),
+        "harmonic_ratio": _harmonic_chain_sql() + r""",
+            vph AS (
+              SELECT doc_id, frame_idx, round(freq, 6) AS f,
+                     round(mag, 6) AS m
+              FROM rf WHERE round(freq, 6) BETWEEN 1.0 AND 15.0
+            ),
+            crk AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id,
+                frame_idx ORDER BY m DESC, f ASC) AS cr
+              FROM vph
+            ),
+            hcand AS (
+              SELECT doc_id, frame_idx, f AS cf, cr
+              FROM crk WHERE cr <= 5
+            ),
+            hx AS (
+              SELECT c.doc_id, c.frame_idx, c.cf, c.cr, hs.h,
+                     c.cf * hs.h AS expd
+              FROM hcand c
+              CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS h)
+                hs
+              WHERE hs.h <= floor(15.0 / c.cf)::INT
+            ),
+            cl AS (
+              SELECT x.doc_id, x.frame_idx, x.cf, x.cr, x.h, x.expd,
+                     p.f, p.m,
+                     row_number() OVER (PARTITION BY x.doc_id,
+                       x.frame_idx, x.cf, x.cr, x.h
+                       ORDER BY abs(p.f - x.expd) ASC, p.f ASC) AS rk
+              FROM hx x JOIN vph p ON p.doc_id = x.doc_id
+                AND p.frame_idx = x.frame_idx
+            ),
+            scw AS (
+              SELECT doc_id, frame_idx, cf, cr,
+                     sum(CASE WHEN abs(f - expd) < 0.1 * expd
+                         THEN (1.0 - abs(f - expd) / (0.1 * expd)) * m
+                         ELSE 0.0 END) AS score
+              FROM cl WHERE rk = 1 GROUP BY 1, 2, 3, 4
+            ),
+            bf AS (
+              SELECT doc_id, frame_idx, cf AS f0
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id,
+                  frame_idx ORDER BY score DESC, cr ASC) AS rb
+                FROM scw
+              ) WHERE rb = 1
+            ),
+            enh AS (
+              SELECT p.doc_id, p.frame_idx, b.f0,
+                     sum(p.m * p.m) AS total_energy,
+                     sum(CASE WHEN round(p.f / b.f0, 0) > 0
+                          AND abs(p.f - b.f0 * round(p.f / b.f0, 0))
+                            < 0.1 * (b.f0 * round(p.f / b.f0, 0))
+                         THEN p.m * p.m ELSE 0.0 END)
+                       AS harmonic_energy
+              FROM vph p JOIN bf b ON b.doc_id = p.doc_id
+                AND b.frame_idx = p.frame_idx
+              GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, frame_idx, round(f0, 6) + 0.0 AS f0,
+                   round(CASE WHEN total_energy - harmonic_energy > 0
+                         THEN 10.0 * log10(harmonic_energy
+                           / (total_energy - harmonic_energy))
+                         ELSE 60.0 END, 6) + 0.0 AS harmonic_ratio,
+                   round(harmonic_energy, 6) + 0.0
+                     AS harmonic_energy,
+                   round(total_energy - harmonic_energy, 6) + 0.0
+                     AS noise_energy,
+                   round(total_energy, 6) + 0.0 AS total_energy
+            FROM enh
+        """,
         "pitch_class_profile": _pcp_oracle_sql("classes"),
         "key_relationships": _pcp_oracle_sql("relationships"),
         "inharmonicity": _harmonic_chain_sql() + r""",
@@ -4904,6 +5029,99 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1.0 / sqrt(re*re + im*im)
                          ELSE 0.0 END, 6) + 0.0 AS envelope
             FROM ev
+        """,
+        "pitch_nsdf": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            hn AS (
+              SELECT doc_id, (count(*) // 2)::INT AS h
+              FROM v GROUP BY 1
+            ),
+            taus AS (
+              SELECT doc_id, h,
+                     unnest(generate_series(0, h - 1)) AS tau
+              FROM hn WHERE h >= 1
+            ),
+            s AS (
+              SELECT t.doc_id, t.tau,
+                     sum(a.val * b.val) AS acf,
+                     sum(a.val * a.val) AS m1,
+                     sum(b.val * b.val) AS m2
+              FROM taus t
+              JOIN v a ON a.doc_id = t.doc_id AND a.pos < t.h
+              JOIN v b ON b.doc_id = t.doc_id
+                AND b.pos = a.pos + t.tau
+              GROUP BY 1, 2
+            ),
+            nd AS (
+              SELECT doc_id, tau,
+                     CASE WHEN m1 + m2 > 0
+                          THEN 2.0 * acf / (m1 + m2)
+                          ELSE 0.0 END AS nd
+              FROM s
+            ),
+            px AS (
+              SELECT doc_id, tau, nd,
+                     lag(nd) OVER w AS pv, lead(nd) OVER w AS nx
+              FROM nd
+              WINDOW w AS (PARTITION BY doc_id ORDER BY tau)
+            ),
+            cand AS (
+              SELECT doc_id, tau, nd AS conf, 32.0 / tau AS f,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY nd DESC, tau ASC) AS rn
+              FROM px
+              WHERE tau >= 1 AND nd > pv AND nd > nx AND nd > 0.3
+                AND 32.0 / tau >= 1.0 AND 32.0 / tau <= 16.0
+            ),
+            agg AS (
+              SELECT doc_id,
+                     max(CASE WHEN rn = 1 THEN f END) AS pitch0,
+                     max(CASE WHEN rn = 1 THEN conf END) AS c1,
+                     max(CASE WHEN rn = 2 THEN conf END) AS c2
+              FROM cand WHERE rn <= 2 GROUP BY 1
+            ),
+            res AS (
+              SELECT d.doc_id,
+                     coalesce(a.pitch0, 0.0) AS pitch,
+                     coalesce(a.c1, 0.0) AS conf, a.c1, a.c2
+              FROM (SELECT DISTINCT doc_id FROM v) d
+              LEFT JOIN agg a USING (doc_id)
+            ),
+            m AS (
+              SELECT doc_id, pitch, conf,
+                     CASE WHEN c2 IS NOT NULL AND conf > 0
+                          THEN (conf - c2) / conf
+                          WHEN c1 IS NOT NULL THEN conf
+                          ELSE 0.0 END AS clarity,
+                     (conf + conf) / 2.0 AS strength,
+                     least(
+                       CASE WHEN pitch < 0.4 OR pitch > 4.0
+                            THEN (CASE WHEN pitch >= 0.8
+                                    AND pitch <= 3.2
+                                  THEN conf * 1.2 ELSE conf END) * 0.8
+                            ELSE CASE WHEN pitch >= 0.8
+                                   AND pitch <= 3.2
+                                 THEN conf * 1.2 ELSE conf END
+                       END, 1.0) AS salience
+              FROM res
+            )
+            SELECT doc_id,
+                   round(CASE WHEN conf < 0.5 THEN 0.0
+                         ELSE pitch END, 6) + 0.0 AS pitch,
+                   round(CASE WHEN conf < 0.5 THEN 0.0
+                         ELSE conf END, 6) + 0.0 AS confidence,
+                   round(clarity, 6) + 0.0 AS clarity,
+                   round(strength, 6) + 0.0 AS strength,
+                   round(salience, 6) + 0.0 AS salience
+            FROM m
         """,
         "cepstrum_f0": _grid_chain_sql() + r""",
             lp AS (

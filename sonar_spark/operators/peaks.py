@@ -511,3 +511,118 @@ def inharmonicity(
         stddev.alias("inharm_stddev"),
         conf.alias("confidence"),
     )
+
+
+def harmonic_ratio_spectral(
+    peaks: DataFrame,
+    group_cols: list[str],
+    *,
+    freq_col: str = "refined_freq",
+    mag_col: str = "refined_mag",
+    min_freq: float = 1.0,
+    max_freq: float = 15.0,
+    max_harmonics: int = 20,
+    tolerance: float = 0.1,
+    n_candidates: int = 5,
+) -> DataFrame:
+    """Spectral harmonic-ratio analysis
+    (tonal/harmonic_ratio.go:464-513 with the :130-146 parameters):
+
+    - valid peaks = refined spectral peaks inside [min_freq,
+      max_freq] (the reference's 80-8000 Hz band on the bin axis);
+    - F0 from peaks (estimateF0FromPeaks :599-631): the top-5 peaks
+      by magnitude are F0 candidates; each is scored
+      sum_h (1 - dist/tol) * mag of the closest peak within
+      tolerance*expected of each harmonic h <= min(trunc(max_freq /
+      f0), 20) (evaluateF0Candidate :634-662); best by strict max in
+      magnitude-rank order;
+    - a peak is harmonic iff |freq - f0*round(freq/f0)| <
+      tolerance * f0 * round(freq/f0) (isHarmonic :680-692,
+      half-away-from-zero round);
+    - ratio = 10 log10(harmonicE / noiseE) over peak-magnitude
+      energies, 60 dB when noiseE = 0 (:494-501).
+
+    Inputs pre-rounded to 6 dp (quantized interface).  Output: group
+    cols + f0, harmonic_ratio, harmonic_energy, noise_energy,
+    total_energy."""
+    vp = peaks.select(
+        *group_cols,
+        F.round(F.col(freq_col), 6).alias("__f"),
+        F.round(F.col(mag_col), 6).alias("__m"),
+    ).where((F.col("__f") >= min_freq) & (F.col("__f") <= max_freq))
+    crank = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(
+            F.col("__m").desc(), F.col("__f").asc()
+        )
+    )
+    cands = vp.withColumn("__cr", crank).where(
+        F.col("__cr") <= n_candidates
+    ).select(
+        *[F.col(c).alias(f"__c_{c}") for c in group_cols],
+        F.col("__f").alias("__cf"),
+        F.col("__cr"),
+    )
+    h = cands.withColumn(
+        "__h", F.explode(F.sequence(F.lit(1), F.lit(max_harmonics)))
+    ).where(
+        F.col("__h")
+        <= F.floor(F.lit(max_freq) / F.col("__cf")).cast("int")
+    ).withColumn("__exp", F.col("__cf") * F.col("__h").cast("double"))
+    on = None
+    for c in group_cols:
+        e = F.col(f"__c_{c}") == F.col(c)
+        on = e if on is None else (on & e)
+    hp = h.join(vp, on)
+    dist = F.abs(F.col("__f") - F.col("__exp"))
+    closest = topk_per_group(
+        hp.withColumn("__d", dist),
+        [*[f"__c_{c}" for c in group_cols], "__cf", "__cr", "__h"],
+        [F.col("__d").asc(), F.col("__f").asc()],
+        1,
+    ).drop("rank")
+    tol = F.lit(tolerance) * F.col("__exp")
+    term = F.when(
+        F.col("__d") < tol,
+        (1.0 - F.col("__d") / tol) * F.col("__m"),
+    ).otherwise(F.lit(0.0))
+    scored = closest.groupBy(
+        *[f"__c_{c}" for c in group_cols], "__cf", "__cr"
+    ).agg(F.sum(term).alias("__score"))
+    best = topk_per_group(
+        scored,
+        [f"__c_{c}" for c in group_cols],
+        [F.col("__score").desc(), F.col("__cr").asc()],
+        1,
+    ).select(
+        *[
+            F.col(f"__c_{c}").alias(c) for c in group_cols
+        ],
+        F.col("__cf").alias("f0"),
+    )
+    j = vp.join(best, group_cols)
+    hn = F.round(F.col("__f") / F.col("f0"), 0)
+    expected = F.col("f0") * hn
+    is_h = (hn > 0) & (
+        F.abs(F.col("__f") - expected) < F.lit(tolerance) * expected
+    )
+    en = j.groupBy(*group_cols, "f0").agg(
+        F.sum(F.col("__m") * F.col("__m")).alias("total_energy"),
+        F.sum(
+            F.when(is_h, F.col("__m") * F.col("__m")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("harmonic_energy"),
+    )
+    noise = F.col("total_energy") - F.col("harmonic_energy")
+    ratio = F.when(
+        noise > 0,
+        10.0 * F.log10(F.col("harmonic_energy") / noise),
+    ).otherwise(F.lit(60.0))
+    return en.select(
+        *group_cols,
+        "f0",
+        ratio.alias("harmonic_ratio"),
+        "harmonic_energy",
+        noise.alias("noise_energy"),
+        "total_energy",
+    )

@@ -453,3 +453,129 @@ def envelope_hilbert(
         .otherwise((nxt - prv) / 2.0)
     )
     return df.withColumn(out_col, F.sqrt(v * v + imag * imag))
+
+
+def pitch_nsdf(
+    vals: DataFrame,
+    *,
+    key: str = "doc_id",
+    pos: str = "pos",
+    val: str = "v",
+    sample_rate: float = 32.0,
+    min_freq: float = 1.0,
+    max_freq: float = 16.0,
+    autocorr_threshold: float = 0.3,
+    min_confidence: float = 0.5,
+    boost_band: tuple = (0.8, 3.2),
+    keep_band: tuple = (0.4, 4.0),
+) -> DataFrame:
+    """NSDF (McLeod-style) pitch detection
+    (tonal/pitch_detection.go:485-553 + postProcessResult :767-875):
+
+    - nsdf[tau] = 2 sum_j x_j x_{j+tau} / (sum x_j^2 + sum x_{j+tau}^2)
+      over j < n/2, tau < n/2;
+    - candidates: strict interior local maxima above the 0.3
+      autocorrelation threshold with frequency = sr/tau inside the
+      pitch band; best by confidence (ties -> smallest lag; the
+      reference's unstable sort leaves ties unspecified);
+    - clarity = (best - second)/best (best alone -> its confidence);
+      strength = (periodicity + voicing)/2 (both equal confidence,
+      as written); salience = confidence boosted 1.2x inside the
+      perceptual band / cut 0.8x outside the keep band, capped at 1
+      (the reference's 200-800 / 100-1000 Hz bands scaled by
+      sr_analog/8000);
+    - the octave-correction history is empty on a single-series call
+      (applyOctaveCorrection returns unchanged, :793-800);
+    - the MinConfidence = 0.5 gate zeroes pitch + confidence AFTER
+      clarity/strength/salience are computed (:781-787).
+
+    All sums are exact integer arithmetic on the token-length
+    series, so both engines agree on every comparison without
+    rounding.  Output: key, pitch, confidence, clarity, strength,
+    salience."""
+    d = vals.select(
+        key, F.col(pos).alias("__p"), F.col(val).cast("double").alias("__v")
+    )
+    half = d.groupBy(key).agg(
+        F.floor(F.count("*") / 2).cast("int").alias("__hn")
+    )
+    a = d.join(F.broadcast(half), key).where(F.col("__p") < F.col("__hn"))
+    taus = half.withColumn(
+        "tau", F.explode(F.sequence(F.lit(0), F.col("__hn") - 1))
+    ).select(F.col(key).alias("__kt"), "tau")
+    at = a.join(taus, F.col("__kt") == F.col(key)).drop("__kt")
+    b = d.select(
+        F.col(key).alias("__kb"),
+        F.col("__p").alias("__pb"),
+        F.col("__v").alias("__vb"),
+    )
+    j = at.join(
+        b,
+        (F.col("__kb") == F.col(key))
+        & (F.col("__pb") == F.col("__p") + F.col("tau")),
+    )
+    s = j.groupBy(key, "tau").agg(
+        F.sum(F.col("__v") * F.col("__vb")).alias("__acf"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__m1"),
+        F.sum(F.col("__vb") * F.col("__vb")).alias("__m2"),
+    )
+    nsdf = F.when(
+        F.col("__m1") + F.col("__m2") > 0,
+        2.0 * F.col("__acf") / (F.col("__m1") + F.col("__m2")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(key).orderBy("tau")
+    x = s.select(key, "tau", nsdf.alias("__nd")).select(
+        key,
+        "tau",
+        "__nd",
+        F.lag("__nd").over(w).alias("__pv"),
+        F.lead("__nd").over(w).alias("__nx"),
+    )
+    freq = F.lit(sample_rate) / F.col("tau").cast("double")
+    cand = x.where(
+        (F.col("tau") >= 1)
+        & (F.col("__nd") > F.col("__pv"))
+        & (F.col("__nd") > F.col("__nx"))
+        & (F.col("__nd") > autocorr_threshold)
+        & (freq >= min_freq)
+        & (freq <= max_freq)
+    ).select(key, "tau", F.col("__nd").alias("__conf"), freq.alias("__f"))
+    rn = F.row_number().over(
+        Window.partitionBy(key).orderBy(
+            F.col("__conf").desc(), F.col("tau").asc()
+        )
+    )
+    top2 = cand.withColumn("__rn", rn).where(F.col("__rn") <= 2)
+    agg = top2.groupBy(key).agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("__f"))).alias("__pitch"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__conf"))).alias("__c1"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__conf"))).alias("__c2"),
+    )
+    base = d.select(key).distinct().join(agg, key, "left")
+    conf = F.coalesce(F.col("__c1"), F.lit(0.0))
+    pitch = F.coalesce(F.col("__pitch"), F.lit(0.0))
+    clarity = F.when(
+        F.col("__c2").isNotNull() & (conf > 0),
+        (conf - F.col("__c2")) / conf,
+    ).otherwise(
+        F.when(F.col("__c1").isNotNull(), conf).otherwise(F.lit(0.0))
+    )
+    strength = (conf + conf) / 2.0
+    sal0 = conf
+    sal1 = F.when(
+        (pitch >= boost_band[0]) & (pitch <= boost_band[1]),
+        sal0 * 1.2,
+    ).otherwise(sal0)
+    sal2 = F.when(
+        (pitch < keep_band[0]) | (pitch > keep_band[1]), sal1 * 0.8
+    ).otherwise(sal1)
+    salience = F.least(sal2, F.lit(1.0))
+    gated = conf < min_confidence
+    return base.select(
+        key,
+        F.when(gated, F.lit(0.0)).otherwise(pitch).alias("pitch"),
+        F.when(gated, F.lit(0.0)).otherwise(conf).alias("confidence"),
+        clarity.alias("clarity"),
+        strength.alias("strength"),
+        salience.alias("salience"),
+    )
