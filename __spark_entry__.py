@@ -2783,6 +2783,48 @@ def q_inharmonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chord_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chord quality metrics + extension analysis — the remaining
+    default-path DetectChord steps (chord_detection.go:808-896 +
+    :1012-1035): clarity vs the runner-up, ambiguity, the quality's
+    consonance constant, stability (fresh-detector history),
+    dissonant-interval tension over the chroma, and 7th/9th/11th/13th
+    extension detection at the 0.3 chroma threshold."""
+    from sonar_spark.operators.peaks import (
+        harmonic_product_f0,
+        hpcp,
+        spectral_peaks,
+    )
+    from sonar_spark.operators.tonal import (
+        bass_from_f0,
+        chord_analysis,
+        detect_chords_full,
+    )
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    pcp = hpcp(peaks, ["doc_id", "frame_idx"])
+    f0 = harmonic_product_f0(grid, ["doc_id", "frame_idx"])
+    bass = bass_from_f0(f0, ["doc_id", "frame_idx"])
+    best = detect_chords_full(pcp, bass, ["doc_id", "frame_idx"])
+    out = chord_analysis(best, pcp, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.col("chord_root").cast("long").alias("chord_root"),
+        "chord_quality",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("clarity", 6).alias("clarity"),
+        F.round("ambiguity", 6).alias("ambiguity"),
+        F.round("consonance", 6).alias("consonance"),
+        F.round("stability", 6).alias("stability"),
+        F.round("tension", 6).alias("tension"),
+        "extensions",
+    )
+
+
 def _doc_hpcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame HPCP over the histogram spectrum (the chroma front
     end shared by the tonal queries)."""
@@ -3291,7 +3333,7 @@ def _chroma_cells_sql(shifts: bool) -> str:
             )"""
 
 
-def _chord_inv_oracle_sql() -> str:
+def _chord_inv_oracle_sql(tail: str = "best") -> str:
     from sonar_spark.operators.tonal import (
         chord_inversion_rows,
         chord_template_rows,
@@ -3305,7 +3347,7 @@ def _chord_inv_oracle_sql() -> str:
         f"('{q}', {r}, {i}, {bc}, {w!r})"
         for q, r, i, bc, w in chord_inversion_rows()
     )
-    return rf"""
+    base = rf"""
         {_hpcp_chain_sql()},
         tpl(quality, root, pc, tv, weight) AS (VALUES {tpl}),
         inv(quality, root, inv_idx, bass_class, weight)
@@ -3414,6 +3456,10 @@ def _chord_inv_oracle_sql() -> str:
                             root ASC) AS rk
           FROM fin
         )
+        {{TAIL}}
+    """
+    if tail == "best":
+        return base.replace("{TAIL}", r"""
         SELECT doc_id, frame_idx, root::BIGINT AS chord_root,
                quality AS chord_quality,
                inversion::BIGINT AS inversion,
@@ -3421,6 +3467,84 @@ def _chord_inv_oracle_sql() -> str:
                round(confidence, 6) + 0.0 AS confidence,
                round(strength, 6) + 0.0 AS strength
         FROM bestc WHERE rk = 1
+        """)
+    return base.replace("{TAIL}", _chord_analysis_tail_sql())
+
+
+def _chord_analysis_tail_sql() -> str:
+    """Tail over the chord-inversion chain's `bestc` + `raw12`:
+    quality metrics + extension analysis (chord_detection.go:808-896
+    + :1012-1035), every expression generated in the same order as
+    the Spark operator."""
+    from sonar_spark.operators.tonal import (
+        CHORD_TEMPLATES,
+        DISSONANT_PAIRS,
+        EXTENSION_INTERVALS,
+    )
+
+    cons = "CASE quality " + " ".join(
+        f"WHEN '{q}' THEN {c!r}"
+        for q, (_iv, _w, c) in CHORD_TEMPLATES.items()
+    ) + " END"
+    tension = "least(" + " + ".join(
+        f"(CASE WHEN cv{i} > 0.2 AND cv{j} > 0.2"
+        f" THEN cv{i} * cv{j} ELSE 0.0 END)"
+        for i, j in DISSONANT_PAIRS
+    ) + ", 1.0)"
+
+    def cv_at(iv: int) -> str:
+        return (
+            "CASE (root + " + str(iv) + ") % 12 "
+            + " ".join(f"WHEN {k} THEN cv{k}" for k in range(12))
+            + " END"
+        )
+
+    ext_parts = []
+    for iv in sorted(EXTENSION_INTERVALS):
+        quals = ", ".join(
+            f"'{q}'"
+            for q, (ivs, _w, _c) in CHORD_TEMPLATES.items()
+            if iv not in ivs
+        )
+        ext_parts.append(
+            f"CASE WHEN ({cv_at(iv)}) > 0.3"
+            f" AND quality IN ({quals}) THEN '{iv}' END"
+        )
+    extensions = "concat_ws(',', " + ", ".join(ext_parts) + ")"
+    cpiv_cols = ", ".join(
+        f"max(CASE WHEN pitch_class = {k} THEN hv END) AS cv{k}"
+        for k in range(12)
+    )
+    return rf"""
+        , b2 AS (
+          SELECT doc_id, frame_idx,
+                 max(CASE WHEN rk = 1 THEN root END) AS root,
+                 max(CASE WHEN rk = 1 THEN quality END) AS quality,
+                 max(CASE WHEN rk = 1 THEN confidence END) AS conf,
+                 max(CASE WHEN rk = 2 THEN confidence END) AS conf2
+          FROM bestc WHERE rk <= 2 GROUP BY 1, 2
+        ),
+        cpiv AS (
+          SELECT doc_id, frame_idx, {cpiv_cols}
+          FROM raw12 GROUP BY 1, 2
+        ),
+        ja AS (
+          SELECT b.*, c.* EXCLUDE (doc_id, frame_idx),
+                 CASE WHEN b.conf2 IS NOT NULL
+                      THEN b.conf - b.conf2 ELSE b.conf END AS clr
+          FROM b2 b JOIN cpiv c ON c.doc_id = b.doc_id
+            AND c.frame_idx = b.frame_idx
+        )
+        SELECT doc_id, frame_idx, root::BIGINT AS chord_root,
+               quality AS chord_quality,
+               round(conf, 6) + 0.0 AS confidence,
+               round(clr, 6) + 0.0 AS clarity,
+               round(1.0 - clr, 6) + 0.0 AS ambiguity,
+               round({cons}, 6) + 0.0 AS consonance,
+               round(conf, 6) + 0.0 AS stability,
+               round({tension}, 6) + 0.0 AS tension,
+               {extensions} AS extensions
+        FROM ja
     """
 
 
@@ -4119,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cepstrum_f0": q_cepstrum_f0,
         "pitch_nsdf": q_pitch_nsdf,
         "chord_inversions": q_chord_inversions,
+        "chord_analysis": q_chord_analysis,
         "tonnetz": q_tonnetz,
         "chroma_seq_stats": q_chroma_seq_stats,
         "harmonic_tracks": q_harmonic_tracks,
@@ -4191,6 +4316,7 @@ def oracle_sql() -> dict[str, str]:
         "key_estimation": _key_oracle_sql(),
         "chord_detection": _chord_oracle_sql(),
         "chord_inversions": _chord_inv_oracle_sql(),
+        "chord_analysis": _chord_inv_oracle_sql(tail="analysis"),
         "tonnetz": _hpcp_chain_sql() + r""",
             raw12 AS (
               SELECT doc_id, frame_idx, pitch_class,

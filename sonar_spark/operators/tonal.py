@@ -40,18 +40,18 @@ def key_template_rows() -> list[tuple[int, str, int, float]]:
 
 
 # Chord quality templates (chord_detection.go:268-375): pattern over
-# pitch classes at root 0, matching weight
+# pitch classes at root 0, matching weight, consonance constant
 CHORD_TEMPLATES = {
-    "major": ([0, 4, 7], 1.0),
-    "minor": ([0, 3, 7], 1.0),
-    "diminished": ([0, 3, 6], 0.8),
-    "augmented": ([0, 4, 8], 0.7),
-    "dominant7": ([0, 4, 7, 10], 0.9),
-    "major7": ([0, 4, 7, 11], 0.85),
-    "minor7": ([0, 3, 7, 10], 0.85),
-    "sus2": ([0, 2, 7], 0.7),
-    "sus4": ([0, 5, 7], 0.7),
-    "power": ([0, 7], 0.6),
+    "major": ([0, 4, 7], 1.0, 0.9),
+    "minor": ([0, 3, 7], 1.0, 0.85),
+    "diminished": ([0, 3, 6], 0.8, 0.3),
+    "augmented": ([0, 4, 8], 0.7, 0.4),
+    "dominant7": ([0, 4, 7, 10], 0.9, 0.7),
+    "major7": ([0, 4, 7, 11], 0.85, 0.8),
+    "minor7": ([0, 3, 7, 10], 0.85, 0.75),
+    "sus2": ([0, 2, 7], 0.7, 0.6),
+    "sus4": ([0, 5, 7], 0.7, 0.6),
+    "power": ([0, 7], 0.6, 0.8),
 }
 
 
@@ -61,7 +61,7 @@ def chord_template_rows() -> list[tuple[str, int, int, float, float]]:
     rotated[(i + root) % 12] = pattern[i], i.e. class (interval +
     root) % 12 is active)."""
     rows = []
-    for quality, (intervals, weight) in CHORD_TEMPLATES.items():
+    for quality, (intervals, weight, _cons) in CHORD_TEMPLATES.items():
         for root in range(12):
             active = {(iv + root) % 12 for iv in intervals}
             for pc in range(12):
@@ -171,7 +171,7 @@ def chord_inversion_rows() -> list[tuple[str, int, int, int, float]]:
     invScore = rootScore + 0.5 * weight * chroma[bass_class] for
     inv > 0 — the delta form this relational plan uses."""
     rows = []
-    for quality, (intervals, weight) in CHORD_TEMPLATES.items():
+    for quality, (intervals, weight, _cons) in CHORD_TEMPLATES.items():
         for root in range(12):
             for inv_idx, iv in enumerate(intervals):
                 rows.append(
@@ -356,7 +356,7 @@ def detect_chords_full(
         F.least(strength, F.lit(1.0)).alias("confidence"),
         strength.alias("strength"),
     )
-    best = topk_per_group(
+    top2 = topk_per_group(
         fin,
         group_cols,
         [
@@ -364,14 +364,133 @@ def detect_chords_full(
             F.col("quality").asc(),
             F.col("root").asc(),
         ],
-        1,
+        2,
     )
-    return best.drop("rank").select(
+    # best candidate + the runner-up's capped confidence (clarity
+    # input, calculateQualityMetrics chord_detection.go:813-818) in
+    # one aggregation — no second candidate-subtree evaluation
+    best = top2.groupBy(*group_cols).agg(
+        F.max(
+            F.when(
+                F.col("rank") == 1,
+                F.struct(
+                    "root", "quality", "inversion", "bass_pc",
+                    "confidence", "strength",
+                ),
+            )
+        ).alias("__b"),
+        F.max(
+            F.when(F.col("rank") == 2, F.col("confidence"))
+        ).alias("confidence2"),
+    )
+    return best.select(
         *group_cols,
-        F.col("root").alias("chord_root"),
-        F.col("quality").alias("chord_quality"),
-        F.col("inversion").cast("int").alias("inversion"),
-        F.col("bass_pc").cast("int").alias("bass_pc"),
-        "confidence",
-        "strength",
+        F.col("__b.root").alias("chord_root"),
+        F.col("__b.quality").alias("chord_quality"),
+        F.col("__b.inversion").cast("int").alias("inversion"),
+        F.col("__b.bass_pc").cast("int").alias("bass_pc"),
+        F.col("__b.confidence").alias("confidence"),
+        F.col("__b.strength").alias("strength"),
+        "confidence2",
+    )
+
+
+EXTENSION_INTERVALS = [2, 5, 9, 10, 11]  # 9th, 11th, 13th, b7, maj7
+DISSONANT_PAIRS = [
+    (i, j)
+    for i in range(12)
+    for j in range(i + 1, 12)
+    if (j - i) in (1, 6, 11)
+]
+
+
+def chord_analysis(
+    best: DataFrame,
+    chroma: DataFrame,
+    group_cols: list[str],
+    *,
+    class_col: str = "pitch_class",
+    value_col: str = "hpcp",
+) -> DataFrame:
+    """Chord quality metrics + extension analysis — the remaining
+    default-path steps of DetectChord (chord_detection.go:808-896):
+
+    - clarity = best - second capped confidence (best alone -> its
+      confidence); ambiguity = 1 - clarity (:813-819);
+    - consonance = the winning quality's template constant
+      (:822-825); stability = confidence (fresh-detector history,
+      :827-833);
+    - tension = sum of chroma[i]*chroma[j] over raw-interval
+      dissonant pairs (j-i in {1, 6, 11}) with both classes > 0.2,
+      capped at 1 (:1012-1035) — 18 plan-time-unrolled terms in the
+      reference's loop order;
+    - extensions: intervals {2, 5, 9, 10, 11} whose class
+      (root+iv)%12 has chroma > 0.3 and which are not chord tones of
+      the winning quality; MaxExtension = 13 admits them all
+      (:858-896).  Emitted as the ascending comma-joined interval
+      list — a deterministic rendering of the reference's SET (its
+      map-iteration order is unspecified).
+
+    best: detect_chords_full output (with confidence2).  One chroma
+    aggregation pivots the 12 classes wide; everything else is
+    column expressions."""
+    spark = best.sparkSession
+    piv = chroma.groupBy(*group_cols).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(class_col) == i,
+                    F.col(value_col).cast("double"),
+                )
+            ).alias(f"__cv{i}")
+            for i in range(12)
+        ]
+    )
+    j = best.join(piv, group_cols)
+    conf = F.col("confidence")
+    clarity = F.when(
+        F.col("confidence2").isNotNull(), conf - F.col("confidence2")
+    ).otherwise(conf)
+    cons = F.lit(None).cast("double")
+    for q, (_iv, _w, c) in CHORD_TEMPLATES.items():
+        cons = F.when(F.col("chord_quality") == q, F.lit(c)).otherwise(cons)
+    tension_terms = []
+    for i, jj in DISSONANT_PAIRS:
+        ci, cj = F.col(f"__cv{i}"), F.col(f"__cv{jj}")
+        tension_terms.append(
+            F.when((ci > 0.2) & (cj > 0.2), ci * cj).otherwise(F.lit(0.0))
+        )
+    tension = tension_terms[0]
+    for t in tension_terms[1:]:
+        tension = tension + t
+    tension = F.least(tension, F.lit(1.0))
+    arr = F.array(*[F.col(f"__cv{i}") for i in range(12)])
+    ext_parts = []
+    for iv in sorted(EXTENSION_INTERVALS):
+        qual_without = [
+            q for q, (ivs, _w, _c) in CHORD_TEMPLATES.items()
+            if iv not in ivs
+        ]
+        val = F.element_at(
+            arr, F.pmod(F.col("chord_root") + iv, F.lit(12)) + 1
+        )
+        ext_parts.append(
+            F.when(
+                (val > 0.3)
+                & F.col("chord_quality").isin(qual_without),
+                F.lit(str(iv)),
+            )
+        )
+    extensions = F.concat_ws(",", *ext_parts)
+    return j.select(
+        *group_cols,
+        "chord_root",
+        "chord_quality",
+        conf.alias("confidence"),
+        clarity.alias("clarity"),
+        (1.0 - clarity).alias("ambiguity"),
+        cons.alias("consonance"),
+        conf.alias("stability"),
+        tension.alias("tension"),
+        extensions.alias("extensions"),
     )
