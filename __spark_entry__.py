@@ -2552,6 +2552,39 @@ def q_harmonic_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_ratio_hnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask-based HNR analysis (tonal/harmonic_ratio.go:297-385):
+    strongest-peak F0, +-3-bin harmonic mask energies,
+    10 log10(harmonic/noise), periodicity / harmonicity / voicing /
+    roughness — the third harmonic-ratio method (mask HNR, spectral,
+    and the autocorrelation HNR in temporal.hnr)."""
+    from sonar_spark.operators.peaks import (
+        harmonic_ratio_hnr,
+        spectral_peaks,
+    )
+
+    grid = _hist_grid(spark, sf_dir)
+    peaks = spectral_peaks(
+        grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
+    )
+    out = harmonic_ratio_hnr(grid, peaks, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.round("f0", 6).alias("f0"),
+        F.round("f0_confidence", 6).alias("f0_confidence"),
+        F.round("harmonic_ratio", 6).alias("harmonic_ratio"),
+        F.round("harmonic_energy", 6).alias("harmonic_energy"),
+        F.round("noise_energy", 6).alias("noise_energy"),
+        F.round("total_energy", 6).alias("total_energy"),
+        F.col("num_harmonics").cast("long").alias("num_harmonics"),
+        F.round("periodicity", 6).alias("periodicity"),
+        F.round("harmonicity", 6).alias("harmonicity"),
+        F.round("voicing", 6).alias("voicing"),
+        F.round("roughness", 6).alias("roughness"),
+    )
+
+
 def q_pitch_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prominent pitch classes from the per-doc profile
     (ExtractPitchClasses, pitch_class.go:73-103): energy >= 0.05,
@@ -4252,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chroma_cqt": q_chroma_cqt,
         "pitch_class_profile": q_pitch_class_profile,
         "harmonic_ratio": q_harmonic_ratio,
+        "harmonic_ratio_hnr": q_harmonic_ratio_hnr,
         "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
@@ -4422,6 +4456,153 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "chroma_cqt": _chroma_cqt_oracle_sql(),
+        "harmonic_ratio_hnr": _harmonic_chain_sql() + r""",
+            vph2 AS (
+              SELECT doc_id, frame_idx, round(freq, 6) AS f,
+                     round(mag, 6) AS m,
+                     row_number() OVER (PARTITION BY doc_id, frame_idx
+                       ORDER BY round(mag, 6) DESC,
+                                round(freq, 6) ASC) AS rk
+              FROM rf
+            ),
+            fa AS (
+              SELECT doc_id, frame_idx, f AS fa_f, m AS fa_m
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id,
+                  frame_idx ORDER BY rk) AS rr
+                FROM vph2 WHERE f >= 1.0
+              ) WHERE rr = 1
+            ),
+            f1 AS (
+              SELECT doc_id, frame_idx, f AS f1_f, m AS f1_m
+              FROM vph2 WHERE rk = 1
+            ),
+            f0o AS (
+              SELECT f1.doc_id, f1.frame_idx,
+                     coalesce(fa.fa_f, f1.f1_f) AS f0,
+                     coalesce(fa.fa_m, f1.f1_m) AS f0c
+              FROM f1 LEFT JOIN fa ON fa.doc_id = f1.doc_id
+                AND fa.frame_idx = f1.frame_idx
+              WHERE coalesce(fa.fa_f, f1.f1_f) > 0
+            ),
+            hx2 AS (
+              SELECT o.doc_id, o.frame_idx, o.f0, o.f0c, hs.h,
+                     o.f0 * hs.h AS expd,
+                     trunc(o.f0 * hs.h)::INT AS tb
+              FROM f0o o
+              CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS h)
+                hs
+              WHERE hs.h <= least(20.0, 15.0 / o.f0)::INT
+                AND o.f0 * hs.h <= 15.0
+            ),
+            nb2 AS (
+              SELECT * FROM (
+                SELECT x.*, g.bin, g.m AS gm,
+                       row_number() OVER (PARTITION BY x.doc_id,
+                         x.frame_idx, x.h
+                         ORDER BY g.m DESC, g.bin ASC) AS wrk
+                FROM hx2 x JOIN grid g ON g.doc_id = x.doc_id
+                  AND g.frame_idx = x.frame_idx
+                  AND g.bin BETWEEN greatest(x.tb - 3, 0)
+                    AND least(x.tb + 3, 15)
+              ) WHERE wrk = 1
+            ),
+            hp2 AS (
+              SELECT b.doc_id, b.frame_idx, b.f0, b.f0c, b.h,
+                     b.bin AS hb, b.gm AS hm
+              FROM nb2 b
+              JOIN grid gl ON gl.doc_id = b.doc_id
+                AND gl.frame_idx = b.frame_idx AND gl.bin = b.bin - 1
+              JOIN grid gr ON gr.doc_id = b.doc_id
+                AND gr.frame_idx = b.frame_idx AND gr.bin = b.bin + 1
+              WHERE b.bin BETWEEN 1 AND 14 AND b.gm > gl.m
+                AND b.gm > gr.m
+                AND abs(b.bin::DOUBLE - b.expd) < 0.1 * b.expd
+            ),
+            msk AS (
+              SELECT DISTINCT doc_id, frame_idx,
+                     unnest(generate_series(greatest(hb - 3, 0),
+                       least(hb + 3, 15)))::BIGINT AS mb
+              FROM hp2
+            ),
+            bandE AS (
+              SELECT g.doc_id, g.frame_idx,
+                     sum(g.m * g.m) AS total_energy,
+                     sum(CASE WHEN k.mb IS NOT NULL
+                         THEN g.m * g.m ELSE 0.0 END)
+                       AS harmonic_energy,
+                     sum(g.m) AS ts,
+                     sum(CASE WHEN round(g.bin::DOUBLE / o.f0, 0) > 0
+                          AND abs(g.bin::DOUBLE - o.f0
+                            * round(g.bin::DOUBLE / o.f0, 0))
+                            < 0.1 * (o.f0
+                              * round(g.bin::DOUBLE / o.f0, 0))
+                         THEN g.m ELSE 0.0 END) AS hs
+              FROM grid g
+              JOIN f0o o ON o.doc_id = g.doc_id
+                AND o.frame_idx = g.frame_idx
+              LEFT JOIN msk k ON k.doc_id = g.doc_id
+                AND k.frame_idx = g.frame_idx AND k.mb = g.bin
+              WHERE g.bin::DOUBLE >= 1.0 AND g.bin::DOUBLE <= 15.0
+              GROUP BY 1, 2
+            ),
+            hstats AS (
+              SELECT doc_id, frame_idx, count(*) AS nh,
+                     avg(abs(hb::DOUBLE - f0
+                         * round(hb::DOUBLE / f0, 0))
+                       / (f0 * round(hb::DOUBLE / f0, 0))) AS avgdev
+              FROM hp2 GROUP BY 1, 2
+            ),
+            rgh AS (
+              SELECT a.doc_id, a.frame_idx,
+                     sum((a.hm * b.hm)
+                       / (abs(a.hb::DOUBLE - b.hb::DOUBLE) + 1.0))
+                       AS roughness
+              FROM hp2 a JOIN hp2 b ON b.doc_id = a.doc_id
+                AND b.frame_idx = a.frame_idx AND a.h < b.h
+              WHERE abs(a.hb::DOUBLE - b.hb::DOUBLE) > 0
+              GROUP BY 1, 2
+            ),
+            fin2 AS (
+              SELECT o.doc_id, o.frame_idx, o.f0, o.f0c,
+                     coalesce(e.total_energy, 0.0) AS te,
+                     coalesce(e.harmonic_energy, 0.0) AS he,
+                     coalesce(e.ts, 0.0) AS ts,
+                     coalesce(e.hs, 0.0) AS hsum,
+                     h.nh, h.avgdev, r.roughness
+              FROM f0o o
+              LEFT JOIN bandE e ON e.doc_id = o.doc_id
+                AND e.frame_idx = o.frame_idx
+              LEFT JOIN hstats h ON h.doc_id = o.doc_id
+                AND h.frame_idx = o.frame_idx
+              LEFT JOIN rgh r ON r.doc_id = o.doc_id
+                AND r.frame_idx = o.frame_idx
+            )
+            SELECT doc_id, frame_idx,
+                   round(f0, 6) + 0.0 AS f0,
+                   round(f0c, 6) + 0.0 AS f0_confidence,
+                   round(CASE WHEN te - he > 0 AND he > 0
+                         THEN 10.0 * log10(he / (te - he))
+                         WHEN te - he > 0 THEN -60.0
+                         ELSE 60.0 END, 6) + 0.0 AS harmonic_ratio,
+                   round(he, 6) + 0.0 AS harmonic_energy,
+                   round(te - he, 6) + 0.0 AS noise_energy,
+                   round(te, 6) + 0.0 AS total_energy,
+                   coalesce(nh, 0)::BIGINT AS num_harmonics,
+                   round(CASE WHEN ts > 0 THEN hsum / ts
+                         ELSE 0.0 END, 6) + 0.0 AS periodicity,
+                   round(CASE WHEN nh IS NOT NULL
+                         THEN exp((-avgdev) * 10.0)
+                         ELSE 0.0 END, 6) + 0.0 AS harmonicity,
+                   round(1.0 / (1.0 + exp((-0.1)
+                     * (CASE WHEN te - he > 0 AND he > 0
+                        THEN 10.0 * log10(he / (te - he))
+                        WHEN te - he > 0 THEN -60.0
+                        ELSE 60.0 END - 10.0))), 6) + 0.0 AS voicing,
+                   round(coalesce(roughness, 0.0), 6) + 0.0
+                     AS roughness
+            FROM fin2
+        """,
         "harmonic_ratio": _harmonic_chain_sql() + r""",
             vph AS (
               SELECT doc_id, frame_idx, round(freq, 6) AS f,

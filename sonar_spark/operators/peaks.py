@@ -626,3 +626,260 @@ def harmonic_ratio_spectral(
         noise.alias("noise_energy"),
         "total_energy",
     )
+
+
+def harmonic_ratio_hnr(
+    spec: DataFrame,
+    peaks: DataFrame,
+    group_cols: list[str],
+    *,
+    bin_col: str = "bin",
+    mag_col: str = "m",
+    freq_col: str = "refined_freq",
+    pmag_col: str = "refined_mag",
+    num_bins: int = 16,
+    min_freq: float = 1.0,
+    max_freq: float = 15.0,
+    max_harmonics: int = 20,
+    tolerance: float = 0.1,
+    width: int = 3,
+) -> DataFrame:
+    """Mask-based HNR analysis (tonal/harmonic_ratio.go:297-385 with
+    the :130-146 parameters):
+
+    - F0 = the strongest refined peak with frequency >= min_freq
+      (detectFundamentalFrequency :546-565 scans DetectPeaks'
+      magnitude-descending order), falling back to the strongest
+      overall; confidence = its magnitude;
+    - harmonic peaks (findHarmonicPeaks :565-596): for h up to
+      min(max_harmonics, trunc(max_freq/f0)) with f0*h <= max_freq,
+      the raw-magnitude argmax within +-width bins of trunc(f0*h)
+      (first-wins ties), kept iff a strict interior local maximum
+      within tolerance*expected;
+    - the harmonic MASK marks +-width bins around each harmonic
+      peak; band energies (bins in [min_freq, max_freq]) split into
+      harmonic/noise by the mask; ratio = 10 log10(h/n), 60 dB cap
+      (:306-345);
+    - periodicity = harmonic-classified magnitude fraction
+      (:calculatePeriodicity), harmonicity = exp(-10 * mean relative
+      deviation) over kept peaks, voicing = sigmoid(0.1*(HNR-10)),
+      roughness = sum m_i m_j / (|f_i - f_j| + 1) over kept-peak
+      pairs (Plomp-Levelt-style, :632-730).
+
+    Output: group cols + f0, f0_confidence, harmonic_ratio,
+    harmonic/noise/total energy, num_harmonics, periodicity,
+    harmonicity, voicing, roughness."""
+    vp = peaks.select(
+        *group_cols,
+        F.round(F.col(freq_col), 6).alias("__f"),
+        F.round(F.col(pmag_col), 6).alias("__m"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(
+            F.col("__m").desc(), F.col("__f").asc()
+        )
+    )
+    ranked = vp.withColumn("__rk", rk)
+    above = ranked.where(F.col("__f") >= min_freq)
+    first_above = topk_per_group(
+        above, group_cols, [F.col("__rk").asc()], 1
+    ).select(*group_cols, F.col("__f").alias("__fa"), F.col("__m").alias("__ma"))
+    first_any = ranked.where(F.col("__rk") == 1).select(
+        *group_cols, F.col("__f").alias("__f1"), F.col("__m").alias("__m1")
+    )
+    f0df = first_any.join(first_above, group_cols, "left").select(
+        *group_cols,
+        F.coalesce("__fa", "__f1").alias("f0"),
+        F.coalesce("__ma", "__m1").alias("f0_confidence"),
+    ).where(F.col("f0") > 0)
+
+    h = f0df.withColumn(
+        "__h", F.explode(F.sequence(F.lit(1), F.lit(max_harmonics)))
+    ).where(
+        (
+            F.col("__h")
+            <= F.least(
+                F.lit(float(max_harmonics)), F.lit(max_freq) / F.col("f0")
+            ).cast("int")
+        )
+        & (F.col("f0") * F.col("__h") <= max_freq)
+    ).withColumn("__exp", F.col("f0") * F.col("__h").cast("double")
+    ).withColumn("__tb", F.col("__exp").cast("int"))
+    g = spec.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col(bin_col).alias("__b"),
+        F.col(mag_col).alias("__gm"),
+    )
+    on = (F.col("__b") >= F.greatest(F.col("__tb") - width, F.lit(0))) & (
+        F.col("__b") <= F.least(F.col("__tb") + width, F.lit(num_bins - 1))
+    )
+    for c in group_cols:
+        on = on & (F.col(f"__g_{c}") == F.col(c))
+    win = h.join(g, on)
+    nb = topk_per_group(
+        win,
+        [*group_cols, "__h"],
+        [F.col("__gm").desc(), F.col("__b").asc()],
+        1,
+    ).drop("rank")
+    gl = spec.select(
+        *[F.col(c).alias(f"__l_{c}") for c in group_cols],
+        F.col(bin_col).alias("__lb"),
+        F.col(mag_col).alias("__lm"),
+    )
+    gr = spec.select(
+        *[F.col(c).alias(f"__r_{c}") for c in group_cols],
+        F.col(bin_col).alias("__rb"),
+        F.col(mag_col).alias("__rm"),
+    )
+    onl = F.col("__lb") == F.col("__b") - 1
+    onr = F.col("__rb") == F.col("__b") + 1
+    for c in group_cols:
+        onl = onl & (F.col(f"__l_{c}") == F.col(c))
+        onr = onr & (F.col(f"__r_{c}") == F.col(c))
+    hp = (
+        nb.join(gl, onl)
+        .join(gr, onr)
+        .where(
+            (F.col("__b") >= 1)
+            & (F.col("__b") <= num_bins - 2)
+            & (F.col("__gm") > F.col("__lm"))
+            & (F.col("__gm") > F.col("__rm"))
+            & (
+                F.abs(F.col("__b").cast("double") - F.col("__exp"))
+                < F.lit(tolerance) * F.col("__exp")
+            )
+        )
+        .select(
+            *group_cols, "f0", "f0_confidence", "__h",
+            F.col("__b").alias("__hb"),
+            F.col("__gm").alias("__hm"),
+            F.col("__exp"),
+        )
+    )
+    # mask bins +-width around each harmonic peak
+    mask = hp.select(
+        *group_cols,
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__hb") - width, F.lit(0)),
+                F.least(F.col("__hb") + width, F.lit(num_bins - 1)),
+            )
+        ).alias("__mb"),
+    ).distinct()
+    gm = spec.select(
+        *group_cols, F.col(bin_col).alias("__b"), F.col(mag_col).alias("__gm")
+    ).join(f0df.select(*group_cols, "f0"), group_cols)
+    band = gm.where(
+        (F.col("__b").cast("double") >= min_freq)
+        & (F.col("__b").cast("double") <= max_freq)
+    )
+    mk = mask.select(
+        *[F.col(c).alias(f"__m_{c}") for c in group_cols], "__mb"
+    )
+    onm = F.col("__mb") == F.col("__b")
+    for c in group_cols:
+        onm = onm & (F.col(f"__m_{c}") == F.col(c))
+    bm = band.join(mk, onm, "left")
+    hn = F.round(F.col("__b").cast("double") / F.col("f0"), 0)
+    is_h = (hn > 0) & (
+        F.abs(F.col("__b").cast("double") - F.col("f0") * hn)
+        < F.lit(tolerance) * (F.col("f0") * hn)
+    )
+    en = bm.groupBy(*group_cols).agg(
+        F.sum(F.col("__gm") * F.col("__gm")).alias("total_energy"),
+        F.sum(
+            F.when(
+                F.col("__mb").isNotNull(), F.col("__gm") * F.col("__gm")
+            ).otherwise(F.lit(0.0))
+        ).alias("harmonic_energy"),
+        F.sum("__gm").alias("__ts"),
+        F.sum(F.when(is_h, F.col("__gm")).otherwise(F.lit(0.0))).alias(
+            "__hs"
+        ),
+    )
+    hstats = hp.groupBy(*group_cols, "f0", "f0_confidence").agg(
+        F.count("*").alias("num_harmonics"),
+        F.avg(
+            F.abs(F.col("__hb").cast("double") - F.col("f0") * F.round(
+                F.col("__hb").cast("double") / F.col("f0"), 0
+            ))
+            / (F.col("f0") * F.round(
+                F.col("__hb").cast("double") / F.col("f0"), 0
+            ))
+        ).alias("__avgdev"),
+    )
+    pair = hp.select(
+        *[F.col(c).alias(f"__p_{c}") for c in group_cols],
+        F.col("__h").alias("__h1"),
+        F.col("__hb").alias("__f1b"),
+        F.col("__hm").alias("__m1"),
+    )
+    onp = F.col("__h1") < F.col("__h")
+    for c in group_cols:
+        onp = onp & (F.col(f"__p_{c}") == F.col(c))
+    rough = (
+        hp.join(pair, onp)
+        .where(
+            F.abs(
+                F.col("__f1b").cast("double") - F.col("__hb").cast("double")
+            )
+            > 0
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                (F.col("__m1") * F.col("__hm"))
+                / (
+                    F.abs(
+                        F.col("__f1b").cast("double")
+                        - F.col("__hb").cast("double")
+                    )
+                    + 1.0
+                )
+            ).alias("roughness")
+        )
+    )
+    r = (
+        f0df.join(en, group_cols, "left")
+        .join(hstats.drop("f0", "f0_confidence"), group_cols, "left")
+        .join(rough, group_cols, "left")
+    )
+    noise = F.coalesce(F.col("total_energy"), F.lit(0.0)) - F.coalesce(
+        F.col("harmonic_energy"), F.lit(0.0)
+    )
+    he = F.coalesce(F.col("harmonic_energy"), F.lit(0.0))
+    # zero harmonic energy gives the reference -Inf (Go log10(0));
+    # clamp to -60 dB, the mirror of the +60 noise-free cap
+    # (documented deviation — DuckDB hard-errors and Spark nulls on
+    # log10(0), and an infinity cannot ride the value hash)
+    ratio = F.when(
+        (noise > 0) & (he > 0), 10.0 * F.log10(he / noise)
+    ).when((noise > 0) & (he <= 0), F.lit(-60.0)).otherwise(F.lit(60.0))
+    periodicity = F.when(
+        F.coalesce(F.col("__ts"), F.lit(0.0)) > 0,
+        F.coalesce(F.col("__hs"), F.lit(0.0)) / F.col("__ts"),
+    ).otherwise(F.lit(0.0))
+    harmonicity = F.when(
+        F.col("num_harmonics").isNotNull(),
+        F.exp(-F.col("__avgdev") * 10.0),
+    ).otherwise(F.lit(0.0))
+    voicing = 1.0 / (1.0 + F.exp(-0.1 * (ratio - 10.0)))
+    return r.select(
+        *group_cols,
+        "f0",
+        "f0_confidence",
+        ratio.alias("harmonic_ratio"),
+        F.coalesce(F.col("harmonic_energy"), F.lit(0.0)).alias(
+            "harmonic_energy"
+        ),
+        noise.alias("noise_energy"),
+        F.coalesce(F.col("total_energy"), F.lit(0.0)).alias("total_energy"),
+        F.coalesce(F.col("num_harmonics"), F.lit(0)).cast("int").alias(
+            "num_harmonics"
+        ),
+        periodicity.alias("periodicity"),
+        harmonicity.alias("harmonicity"),
+        voicing.alias("voicing"),
+        F.coalesce(F.col("roughness"), F.lit(0.0)).alias("roughness"),
+    )
