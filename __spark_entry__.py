@@ -2071,6 +2071,54 @@ def q_hnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("hnr_db", 6).alias("hnr_db"))
 
 
+def q_voice_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full AnalyzeVoiceQuality surface (voice_quality.go:56-115):
+    jitter/shimmer, per-period F0 statistics and stability,
+    amplitude stability, the HNR join, and the overall/analysis
+    quality composites — docs with < 3 periods dropped as the
+    reference errors."""
+    from sonar_spark.operators.sessionize import detect_onsets
+    from sonar_spark.operators.temporal import (
+        hnr,
+        tempo_estimate,
+        voice_quality_full,
+    )
+
+    rms = _doc_frame_rms(spark, sf_dir)
+    on = detect_onsets(
+        rms, key="doc_id", order="frame_idx", signal="rms_energy",
+        threshold_scale=1.05, min_interval=1,
+    )
+    t = tempo_estimate(on).where(
+        (F.col("n_onsets") >= 2) & F.col("dominant_ioi").isNotNull()
+    )
+    expected = t.select(
+        "doc_id", (F.col("dominant_ioi") * 4).cast("long").alias("L")
+    )
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    hnr_df = hnr(vals, expected).select(
+        "doc_id", F.round("hnr_db", 6).alias("hnr_db")
+    )
+    out = voice_quality_full(rms, on, hnr_df)
+    return out.select(
+        "doc_id",
+        "n_periods",
+        F.round("jitter_pct", 6).alias("jitter_pct"),
+        F.round("shimmer_pct", 6).alias("shimmer_pct"),
+        F.round("hnr_db", 6).alias("hnr_db"),
+        F.round("mean_f0", 6).alias("mean_f0"),
+        F.round("f0_range", 6).alias("f0_range"),
+        F.round("f0_stability", 6).alias("f0_stability"),
+        F.round("amp_stability", 6).alias("amp_stability"),
+        F.round("overall_quality", 6).alias("overall_quality"),
+        F.round("analysis_quality", 6).alias("analysis_quality"),
+    )
+
+
 def q_fundamental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F0 estimation by autocorrelation
     (fundamental_estimation.go:30-57,148-173,219-236) over the
@@ -4286,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pitch_class_profile": q_pitch_class_profile,
         "harmonic_ratio": q_harmonic_ratio,
         "harmonic_ratio_hnr": q_harmonic_ratio_hnr,
+        "voice_quality_full": q_voice_quality_full,
         "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
@@ -4456,6 +4505,174 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "chroma_cqt": _chroma_cqt_oracle_sql(),
+        "voice_quality_full": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos AS strt, count(*) OVER w AS cnt,
+                     sqrt(avg(val * val) OVER w) AS rms
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            fr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx, rms
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            x AS (
+              SELECT doc_id, frame_idx, rms,
+                     lag(rms) OVER dw AS prv, lead(rms) OVER dw AS nxt,
+                     1.05 * avg(rms) OVER (PARTITION BY doc_id) AS thr
+              FROM fr
+              WINDOW dw AS (PARTITION BY doc_id ORDER BY frame_idx)
+            ),
+            onsets AS (
+              SELECT doc_id, frame_idx FROM x
+              WHERE rms > prv AND rms >= coalesce(nxt, -1e308)
+                AND rms > thr
+            ),
+            ioi AS (
+              SELECT doc_id,
+                     frame_idx - lag(frame_idx) OVER
+                       (PARTITION BY doc_id ORDER BY frame_idx) AS ioi
+              FROM onsets
+            ),
+            hist AS (
+              SELECT doc_id, ioi, count(*) AS c FROM ioi
+              WHERE ioi IS NOT NULL GROUP BY 1, 2
+            ),
+            dom AS (
+              SELECT doc_id, ioi AS dominant_ioi,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, ioi ASC) AS rk
+              FROM hist
+            ),
+            span AS (
+              SELECT doc_id, count(*) AS n_onsets FROM onsets GROUP BY 1
+            ),
+            expected AS (
+              SELECT s.doc_id, (d.dominant_ioi * 4)::BIGINT AS L
+              FROM span s JOIN dom d
+                ON d.doc_id = s.doc_id AND d.rk = 1
+              WHERE s.n_onsets >= 2
+            ),
+            base AS (
+              SELECT doc_id, count(*)::BIGINT AS n,
+                     sum(val * val) / count(*) AS acf0
+              FROM v GROUP BY 1
+            ),
+            lags AS (
+              SELECT e.doc_id, b.acf0,
+                     unnest(generate_series(
+                       greatest(1, e.L - e.L // 4),
+                       least(b.n - 1, e.L + e.L // 4))) AS lag
+              FROM expected e JOIN base b USING (doc_id)
+              WHERE e.L <= b.n - 1
+            ),
+            acf AS (
+              SELECT l.doc_id, l.acf0, l.lag,
+                     sum(a.val * bb.val) / count(*) AS ac
+              FROM lags l
+              JOIN v a ON a.doc_id = l.doc_id
+              JOIN v bb ON bb.doc_id = l.doc_id
+                AND bb.pos = a.pos + l.lag
+              GROUP BY 1, 2, 3
+            ),
+            agg AS (
+              SELECT doc_id, acf0, greatest(max(ac), 0.0) AS mx
+              FROM acf GROUP BY 1, 2
+            ),
+            hnrv AS (
+              SELECT e.doc_id,
+                     round(coalesce(CASE WHEN g.mx > 0
+                         AND g.mx < g.acf0
+                       THEN 10.0 * log10(greatest(g.mx, 1e-300)
+                            / greatest(g.acf0 - g.mx, 1e-300))
+                       ELSE 0.0 END, 0.0), 6) AS hnr_db
+              FROM expected e LEFT JOIN agg g USING (doc_id)
+            ),
+            pf AS (
+              SELECT fr.doc_id, fr.frame_idx, fr.rms,
+                     sum(CASE WHEN o.frame_idx IS NOT NULL
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY fr.doc_id
+                             ORDER BY fr.frame_idx) AS period
+              FROM fr LEFT JOIN onsets o
+                ON o.doc_id = fr.doc_id AND o.frame_idx = fr.frame_idx
+            ),
+            pp AS (
+              SELECT doc_id, period, count(*)::DOUBLE AS plen,
+                     sqrt(avg(rms * rms)) AS amp
+              FROM pf WHERE period >= 1 GROUP BY 1, 2
+            ),
+            dd AS (
+              SELECT doc_id, plen, amp,
+                     abs(plen - lag(plen) OVER pw) AS dlen,
+                     abs(amp - lag(amp) OVER pw) AS damp
+              FROM pp
+              WINDOW pw AS (PARTITION BY doc_id ORDER BY period)
+            ),
+            ag AS (
+              SELECT doc_id, count(*) AS n_periods,
+                     avg(plen) AS mean_len, avg(amp) AS mean_amp,
+                     sum(dlen) AS sum_dlen, sum(damp) AS sum_damp,
+                     avg(8.0 / plen) AS mean_f0,
+                     max(8.0 / plen) - min(8.0 / plen) AS f0_range,
+                     avg((8.0 / plen) * (8.0 / plen)) AS f0_sq,
+                     avg(amp * amp) AS amp_sq
+              FROM dd GROUP BY 1
+              HAVING count(*) >= 3
+            ),
+            vq AS (
+              SELECT a.*,
+                     coalesce(h.hnr_db, 0.0) AS hnr,
+                     CASE WHEN a.mean_len != 0
+                       THEN (a.sum_dlen / (a.n_periods - 1.0))
+                            / a.mean_len * 100.0
+                       ELSE 0.0 END AS jit,
+                     CASE WHEN a.mean_amp != 0
+                       THEN (a.sum_damp / (a.n_periods - 1.0))
+                            / a.mean_amp * 100.0
+                       ELSE 0.0 END AS shm,
+                     CASE WHEN a.n_periods >= 2 AND a.mean_f0 != 0
+                       THEN greatest(0.0, 1.0
+                         - sqrt(greatest(a.f0_sq
+                             - a.mean_f0 * a.mean_f0, 0.0))
+                           / a.mean_f0)
+                       ELSE 0.0 END AS f0stab,
+                     CASE WHEN a.n_periods >= 2 AND a.mean_amp != 0
+                       THEN greatest(0.0, 1.0
+                         - sqrt(greatest(a.amp_sq
+                             - a.mean_amp * a.mean_amp, 0.0))
+                           / a.mean_amp)
+                       ELSE 0.0 END AS ampstab
+              FROM ag a LEFT JOIN hnrv h USING (doc_id)
+            )
+            SELECT doc_id, n_periods,
+                   round(jit, 6) + 0.0 AS jitter_pct,
+                   round(shm, 6) + 0.0 AS shimmer_pct,
+                   round(hnr, 6) + 0.0 AS hnr_db,
+                   round(mean_f0, 6) + 0.0 AS mean_f0,
+                   round(f0_range, 6) + 0.0 AS f0_range,
+                   round(f0stab, 6) + 0.0 AS f0_stability,
+                   round(ampstab, 6) + 0.0 AS amp_stability,
+                   round((greatest(0.0, 1.0 - jit / 5.0)
+                     + greatest(0.0, 1.0 - shm / 10.0)
+                     + least(1.0, greatest(0.0, hnr / 20.0))
+                     + f0stab) / 4.0, 6) + 0.0 AS overall_quality,
+                   round((least(1.0, n_periods / 10.0)
+                     + f0stab
+                     + least(1.0, greatest(0.0, hnr / 15.0))) / 3.0,
+                     6) + 0.0 AS analysis_quality
+            FROM vq
+        """,
         "harmonic_ratio_hnr": _harmonic_chain_sql() + r""",
             vph2 AS (
               SELECT doc_id, frame_idx, round(freq, 6) AS f,

@@ -579,3 +579,110 @@ def pitch_nsdf(
         strength.alias("strength"),
         salience.alias("salience"),
     )
+
+
+def voice_quality_full(
+    feats: DataFrame,
+    onsets: DataFrame,
+    hnr_df: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    signal: str = "rms_energy",
+    period_rate: float = 8.0,
+) -> DataFrame:
+    """The full AnalyzeVoiceQuality result surface
+    (voice_quality.go:56-115 + helpers :428-527): jitter/shimmer over
+    the onset-delimited period table, per-period F0 = period_rate /
+    period_length (the pitch-track analog on the frame axis), mean
+    F0 + range (:calculateF0Statistics), F0/amplitude stability =
+    max(0, 1 - cv) (coefficient of variation, 0 below 2 periods),
+    HNR joined from the autocorrelation analyzer (0 when
+    undetermined), overall quality = (jitterScore + shimmerScore +
+    hnrScore + f0Stability)/4 (:428-437), analysis quality =
+    (min(1, n/10) + f0Stability + min(1, max(0, hnr/15)))/3
+    (:440-452).  Docs with fewer than 3 periods are dropped
+    (:66-68, the reference errors).  Variances use the explicit
+    E[x^2] - mean^2 form, clamped at 0, identically on both engines
+    (the Go two-pass differs only below the 6-dp rounding)."""
+    marks = onsets.select(
+        key, F.col(order).alias(order), F.lit(1).alias("__is_onset")
+    )
+    w = Window.partitionBy(key).orderBy(order)
+    f = feats.join(marks, [key, order], "left").withColumn(
+        "__period", F.sum(F.coalesce(F.col("__is_onset"), F.lit(0))).over(w)
+    )
+    pp = (
+        f.where(F.col("__period") >= 1)
+        .groupBy(key, "__period")
+        .agg(
+            F.count("*").cast("double").alias("plen"),
+            F.sqrt(F.avg(F.col(signal) * F.col(signal))).alias("amp"),
+        )
+    )
+    f0v = F.lit(period_rate) / F.col("plen")
+    wp = Window.partitionBy(key).orderBy("__period")
+    d = pp.withColumn(
+        "dlen", F.abs(F.col("plen") - F.lag("plen").over(wp))
+    ).withColumn("damp", F.abs(F.col("amp") - F.lag("amp").over(wp)))
+    agg = d.groupBy(key).agg(
+        F.count("*").alias("n_periods"),
+        F.avg("plen").alias("__mean_len"),
+        F.avg("amp").alias("__mean_amp"),
+        F.sum("dlen").alias("__sum_dlen"),
+        F.sum("damp").alias("__sum_damp"),
+        F.avg(f0v).alias("mean_f0"),
+        (F.max(f0v) - F.min(f0v)).alias("f0_range"),
+        F.avg(f0v * f0v).alias("__f0_sq"),
+        F.avg(F.col("amp") * F.col("amp")).alias("__amp_sq"),
+    ).where(F.col("n_periods") >= 3)
+    n = F.col("n_periods").cast("double")
+    jitter = F.when(
+        F.col("__mean_len") != 0,
+        (F.col("__sum_dlen") / (n - 1.0)) / F.col("__mean_len") * 100.0,
+    ).otherwise(F.lit(0.0))
+    shimmer = F.when(
+        F.col("__mean_amp") != 0,
+        (F.col("__sum_damp") / (n - 1.0)) / F.col("__mean_amp") * 100.0,
+    ).otherwise(F.lit(0.0))
+
+    def stab(mean_col, sq_col):
+        var = F.greatest(sq_col - mean_col * mean_col, F.lit(0.0))
+        cv = F.sqrt(var) / mean_col
+        return F.when(
+            (F.col("n_periods") >= 2) & (mean_col != 0),
+            F.greatest(F.lit(0.0), 1.0 - cv),
+        ).otherwise(F.lit(0.0))
+
+    f0_stab = stab(F.col("mean_f0"), F.col("__f0_sq"))
+    amp_stab = stab(F.col("__mean_amp"), F.col("__amp_sq"))
+    h = hnr_df.select(
+        F.col(key).alias("__hk"), F.col("hnr_db").alias("__hnr")
+    )
+    j = agg.join(h, F.col("__hk") == F.col(key), "left").withColumn(
+        "__hnr", F.coalesce("__hnr", F.lit(0.0))
+    )
+    jitter_score = F.greatest(F.lit(0.0), 1.0 - jitter / 5.0)
+    shimmer_score = F.greatest(F.lit(0.0), 1.0 - shimmer / 10.0)
+    hnr_score = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.col("__hnr") / 20.0)
+    )
+    overall = (jitter_score + shimmer_score + hnr_score + f0_stab) / 4.0
+    analysis = (
+        F.least(F.lit(1.0), n / 10.0)
+        + f0_stab
+        + F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("__hnr") / 15.0))
+    ) / 3.0
+    return j.select(
+        key,
+        "n_periods",
+        jitter.alias("jitter_pct"),
+        shimmer.alias("shimmer_pct"),
+        F.col("__hnr").alias("hnr_db"),
+        "mean_f0",
+        "f0_range",
+        f0_stab.alias("f0_stability"),
+        amp_stab.alias("amp_stability"),
+        overall.alias("overall_quality"),
+        analysis.alias("analysis_quality"),
+    )
