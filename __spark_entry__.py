@@ -2600,6 +2600,135 @@ def q_harmonic_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cvstats_oracle_sql() -> str:
+    """SQL mirror of chroma_vector_stats — the 12-column pivot with
+    every sum unrolled in index order (identical double arithmetic
+    to the Spark expressions; aggregate avg()/sum() order flipped a
+    6-dp boundary on this data)."""
+    def c(i):
+        return f"c{i}"
+
+    def ssum(terms):
+        return "(" + " + ".join(terms) + ")"
+
+    n = 12
+    piv_cols = ", ".join(
+        f"max(CASE WHEN pitch_class = {i} THEN v END) AS c{i}"
+        for i in range(n)
+    )
+    mean = ssum([c(i) for i in range(n)]) + " / 12.0"
+    var = ssum(
+        [f"({c(i)} - mu) * ({c(i)} - mu)" for i in range(n)]
+    ) + " / 11.0"
+    m3 = ssum(
+        [f"({c(i)} - mu) * ({c(i)} - mu) * ({c(i)} - mu)"
+         for i in range(n)]
+    ) + " / 12.0"
+    m4 = ssum(
+        [f"({c(i)} - mu) * ({c(i)} - mu) * ({c(i)} - mu)"
+         f" * ({c(i)} - mu)" for i in range(n)]
+    ) + " / 12.0"
+    sm = ssum([c(i) for i in range(n)])
+    uvar = ssum(
+        [f"({c(i)} - eu) * ({c(i)} - eu)" for i in range(n)]
+    ) + " / 12.0"
+    mx = "greatest(" + ", ".join(c(i) for i in range(n)) + ")"
+    mn = "least(" + ", ".join(c(i) for i in range(n)) + ")"
+    midx = "CASE " + " ".join(
+        f"WHEN {c(i)} = mx THEN {i}" for i in range(n)
+    ) + " END"
+    peaks = ssum(
+        [
+            f"(CASE WHEN {c(i)} > {c(i - 1)} AND {c(i)} > {c(i + 1)}"
+            f" AND {c(i)} >= 0.1 * mx THEN 1 ELSE 0 END)"
+            for i in range(1, n - 1)
+        ]
+    )
+    spars = ssum(
+        [
+            f"(CASE WHEN {c(i)} < 0.01 * mx THEN 1 ELSE 0 END)"
+            for i in range(n)
+        ]
+    ) + "::DOUBLE / 12.0"
+    return _hpcp_chain_sql() + rf"""
+        , hv6 AS (
+          SELECT doc_id, frame_idx, pitch_class,
+                 round(CASE WHEN energy > 0 THEN raw / energy
+                       ELSE 0.0 END, 6) AS v
+          FROM en
+        ),
+        piv AS (
+          SELECT doc_id, frame_idx, {piv_cols}
+          FROM hv6 GROUP BY 1, 2
+        ),
+        st1 AS (
+          SELECT *, {mean} AS mu, {sm} AS sm, {mx} AS mx, {mn} AS mn
+          FROM piv
+        ),
+        st2 AS (
+          SELECT *, {var} AS var, {m3} AS m3, {m4} AS m4,
+                 sm / 12.0 AS eu
+          FROM st1
+        ),
+        st3 AS (SELECT *, {uvar} AS uvar FROM st2)
+        SELECT doc_id, frame_idx,
+               round(mu + 1e-12, 6) + 0.0 AS mean,
+               round(var, 6) + 0.0 AS variance,
+               round(sqrt(var), 6) + 0.0 AS std_dev,
+               round(CASE WHEN sqrt(var) != 0
+                     THEN m3 / pow(sqrt(var), 3.0)
+                     ELSE 0.0 END, 6) + 0.0 AS skewness,
+               round(CASE WHEN sqrt(var) != 0
+                     THEN m4 / pow(sqrt(var), 4.0) - 3.0
+                     ELSE 0.0 END, 6) + 0.0 AS kurtosis,
+               round(mx - mn, 6) + 0.0 AS value_range,
+               round(mx, 6) + 0.0 AS max_value,
+               ({midx})::BIGINT AS max_index,
+               ({peaks})::BIGINT AS num_peaks,
+               round({spars}, 6) + 0.0 AS sparsity,
+               round(CASE WHEN sm = 0 THEN 1.0
+                     ELSE 1.0 / (1.0 + uvar) END, 6) + 0.0
+                 AS uniformity
+        FROM st3
+    """
+
+
+def q_chroma_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame chroma vector statistics (chroma_vector.go:96-143):
+    the moments bundle (sample variance, population skew/kurt over
+    the sample sd), max/min/range, first-max dominant class, local
+    peak count, sparsity, uniformity."""
+    from sonar_spark.operators.chroma import chroma_vector_stats
+
+    pcp = _doc_hpcp(spark, sf_dir).select(
+        "doc_id", "frame_idx", "pitch_class",
+        F.round("hpcp", 6).alias("cv"),
+    )
+    out = chroma_vector_stats(
+        pcp, ["doc_id", "frame_idx"], value_col="cv"
+    )
+    # mean = (sum of 6-dp decimals) / 12 lands EXACTLY on a x.xxxxxx5
+    # rounding tie whenever the micro-unit sum is 6 mod 12 — Spark's
+    # BigDecimal HALF_UP and DuckDB's double-based round disagree on
+    # such ties, so nudge off the boundary before rounding (1e-12 is
+    # 5 orders below the tie margin; both sides apply it)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.round(F.col("mean") + 1e-12, 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("std_dev", 6).alias("std_dev"),
+        F.round("skewness", 6).alias("skewness"),
+        F.round("kurtosis", 6).alias("kurtosis"),
+        F.round("value_range", 6).alias("value_range"),
+        F.round("max_value", 6).alias("max_value"),
+        F.col("max_index").cast("long").alias("max_index"),
+        F.col("num_peaks").cast("long").alias("num_peaks"),
+        F.round("sparsity", 6).alias("sparsity"),
+        F.round("uniformity", 6).alias("uniformity"),
+    )
+
+
 def q_harmonic_ratio_hnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mask-based HNR analysis (tonal/harmonic_ratio.go:297-385):
     strongest-peak F0, +-3-bin harmonic mask energies,
@@ -4335,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_ratio": q_harmonic_ratio,
         "harmonic_ratio_hnr": q_harmonic_ratio_hnr,
         "voice_quality_full": q_voice_quality_full,
+        "chroma_vector_stats": q_chroma_vector_stats,
         "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
@@ -4505,6 +4635,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "chroma_cqt": _chroma_cqt_oracle_sql(),
+        "chroma_vector_stats": _cvstats_oracle_sql(),
         "voice_quality_full": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

@@ -818,3 +818,129 @@ def key_relationships(
         triad(MINOR_TRIAD).alias("minor_triad_strength"),
         diatonic().alias("diatonic_strength"),
     )
+
+
+def chroma_vector_stats(
+    chroma: DataFrame,
+    group_cols: list[str],
+    *,
+    class_col: str = "pitch_class",
+    value_col: str = "hpcp",
+    size: int = 12,
+) -> DataFrame:
+    """Per-vector chroma statistics (ComputeStats,
+    chroma_vector.go:96-143 + computeSparsity/-Uniformity :300-341 +
+    common.FindPeaks math.go:265-301):
+
+    - moments per stats/moments.go Analyze: population central
+      moments / n, SAMPLE variance (n-1), skew = m3/sd^3 and excess
+      kurtosis = m4/sd^4 - 3, both 0 when sd = 0 (the nil
+      standardized-moments path);
+    - max/min/range; max_index = FIRST index achieving the max (the
+      strict-> scan) = the dominant chroma (FindDominantChroma
+      :280-293 agrees);
+    - num_peaks: strict interior local maxima >= 0.1*max (the
+      minDistance=1 constraint in FindPeaks is unreachable —
+      adjacent strict maxima cannot exist);
+    - sparsity = fraction below 0.01*max; uniformity =
+      1 / (1 + population variance around sum/size), 1.0 on a zero
+      vector.
+
+    The vector pivots to `size` wide columns and EVERY sum is
+    unrolled in index order, so both engines run identical double
+    arithmetic (an avg() aggregate differs in summation order at the
+    last ulp and was observed flipping a 6-dp rounding boundary).
+    The Go Welford mean is replaced by the classic two-pass
+    (sub-rounding deviation, documented).  Output: group cols + the
+    12 statistics."""
+    piv = chroma.groupBy(*group_cols).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(class_col) == i,
+                    F.col(value_col).cast("double"),
+                )
+            ).alias(f"__c{i}")
+            for i in range(size)
+        ]
+    )
+
+    def c(i):
+        return F.col(f"__c{i}")
+
+    def ssum(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    n = float(size)
+    mean = ssum([c(i) for i in range(size)]) / n
+    piv = piv.withColumn("__mu", mean)
+    mu = F.col("__mu")
+    var = ssum([(c(i) - mu) * (c(i) - mu) for i in range(size)]) / (
+        n - 1.0
+    )
+    m3 = ssum(
+        [(c(i) - mu) * (c(i) - mu) * (c(i) - mu) for i in range(size)]
+    ) / n
+    m4 = ssum(
+        [
+            (c(i) - mu) * (c(i) - mu) * (c(i) - mu) * (c(i) - mu)
+            for i in range(size)
+        ]
+    ) / n
+    sm = ssum([c(i) for i in range(size)])
+    exp_u = sm / n
+    piv = piv.withColumn("__eu", exp_u)
+    eu = F.col("__eu")
+    uvar = ssum([(c(i) - eu) * (c(i) - eu) for i in range(size)]) / n
+    mx = F.greatest(*[c(i) for i in range(size)])
+    mn = F.least(*[c(i) for i in range(size)])
+    piv = piv.withColumn("__mx", mx)
+    mxc = F.col("__mx")
+    max_index = F.lit(None).cast("int")
+    for i in reversed(range(size)):
+        max_index = F.when(c(i) == mxc, F.lit(i)).otherwise(max_index)
+    peaks = ssum(
+        [
+            F.when(
+                (c(i) > c(i - 1))
+                & (c(i) > c(i + 1))
+                & (c(i) >= 0.1 * mxc),
+                1,
+            ).otherwise(0)
+            for i in range(1, size - 1)
+        ]
+    )
+    sparsity = (
+        ssum(
+            [
+                F.when(c(i) < 0.01 * mxc, 1).otherwise(0)
+                for i in range(size)
+            ]
+        ).cast("double")
+        / n
+    )
+    piv = piv.withColumn("__var", var)
+    sd = F.sqrt(F.col("__var"))
+    skew = F.when(sd != 0, m3 / F.pow(sd, 3.0)).otherwise(F.lit(0.0))
+    kurt = F.when(sd != 0, m4 / F.pow(sd, 4.0) - 3.0).otherwise(
+        F.lit(0.0)
+    )
+    unif = F.when(sm == 0, F.lit(1.0)).otherwise(1.0 / (1.0 + uvar))
+    return piv.select(
+        *group_cols,
+        mu.alias("mean"),
+        F.col("__var").alias("variance"),
+        sd.alias("std_dev"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
+        (mxc - mn).alias("value_range"),
+        mxc.alias("max_value"),
+        mn.alias("min_value"),
+        max_index.alias("max_index"),
+        peaks.cast("int").alias("num_peaks"),
+        sparsity.alias("sparsity"),
+        unif.alias("uniformity"),
+    )
