@@ -2295,14 +2295,14 @@ def _hpcp_chain_sql(recursive: bool = False) -> str:
             )'''
 
 
-def _key_oracle_sql() -> str:
+def _key_oracle_sql(tail: str = "best") -> str:
     from sonar_spark.operators.tonal import key_template_rows
 
     tpl = ", ".join(
         f"({k}, '{m}', {pc}, {v!r})" for k, m, pc, v in key_template_rows()
     )
     hpcp_body = _hpcp_chain_sql()
-    return rf"""
+    base = rf"""
         {hpcp_body},
         tpl(key, mode, pc, tv) AS (VALUES {tpl}),
         raw12 AS (
@@ -2335,10 +2335,39 @@ def _key_oracle_sql() -> str:
                    ORDER BY confidence DESC, mode ASC, key ASC) AS rk
           FROM scored
         )
+        {{TAIL}}
+    """
+    if tail == "best":
+        return base.replace("{TAIL}", r"""
         SELECT doc_id, frame_idx, key, mode,
                round(confidence, 6) + 0.0 AS confidence
         FROM best WHERE rk = 1
-    """
+        """)
+    return base.replace("{TAIL}", r"""
+        , agk AS (
+          SELECT doc_id, frame_idx,
+                 max(CASE WHEN rk = 1 THEN key END) AS key,
+                 max(CASE WHEN rk = 1 THEN mode END) AS mode,
+                 max(CASE WHEN rk = 1 THEN confidence END) AS c1,
+                 max(CASE WHEN rk = 2 THEN confidence END) AS c2,
+                 sum(CASE WHEN confidence > 0
+                     THEN confidence END) AS psum,
+                 sum(CASE WHEN confidence > 0
+                     THEN confidence * log2(confidence)
+                     ELSE 0.0 END) AS plogp
+          FROM best GROUP BY 1, 2
+        )
+        SELECT doc_id, frame_idx, key, mode,
+               round(c1, 6) + 0.0 AS confidence,
+               round(CASE WHEN c1 > 0 THEN (c1 - c2) / c1
+                     ELSE 0.0 END, 6) + 0.0 AS clarity,
+               round(CASE WHEN coalesce(psum, 0.0) > 0
+                     THEN (log2(psum) - plogp / psum)
+                          / 4.584962500721156
+                     ELSE 0.0 END, 6) + 0.0 AS ambiguity
+        FROM agk
+        """)
+""
 
 
 def q_yin_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2691,6 +2720,26 @@ def _cvstats_oracle_sql() -> str:
                  AS uniformity
         FROM st3
     """
+
+
+def q_key_estimation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key estimation with clarity + ambiguity
+    (key_estimation.go:300-371 + :517-558): best Krumhansl key per
+    frame plus (best-second)/best clarity over the 24 correlation
+    scores and normalized positive-score entropy ambiguity."""
+    from sonar_spark.operators.tonal import key_estimation_full
+
+    pcp = _doc_hpcp(spark, sf_dir)
+    out = key_estimation_full(pcp, ["doc_id", "frame_idx"])
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.col("key").cast("long").alias("key"),
+        "mode",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("clarity", 6).alias("clarity"),
+        F.round("ambiguity", 6).alias("ambiguity"),
+    )
 
 
 def q_chroma_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4465,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_ratio_hnr": q_harmonic_ratio_hnr,
         "voice_quality_full": q_voice_quality_full,
         "chroma_vector_stats": q_chroma_vector_stats,
+        "key_estimation_full": q_key_estimation_full,
         "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
@@ -4527,6 +4577,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mfcc_frames": _mfcc_oracle_sql(),
         "key_estimation": _key_oracle_sql(),
+        "key_estimation_full": _key_oracle_sql(tail="full"),
         "chord_detection": _chord_oracle_sql(),
         "chord_inversions": _chord_inv_oracle_sql(),
         "chord_analysis": _chord_inv_oracle_sql(tail="analysis"),

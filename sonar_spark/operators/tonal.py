@@ -12,7 +12,7 @@ template table + two aggregations — no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .topk import topk_per_group
@@ -127,6 +127,30 @@ def estimate_key(
     PearsonCorrelationFunc convention). Ties break deterministically
     (confidence desc, mode asc, key asc) — the reference's unstable
     sort leaves ties unspecified."""
+    scored = key_scores(
+        chroma, group_cols, class_col=class_col, value_col=value_col
+    )
+    best = topk_per_group(
+        scored,
+        group_cols,
+        [F.col("confidence").desc(), F.col("mode").asc(),
+         F.col("key").asc()],
+        1,
+    )
+    return best.drop("rank")
+
+
+def key_scores(
+    chroma: DataFrame,
+    group_cols: list[str],
+    *,
+    class_col: str = "pitch_class",
+    value_col: str = "hpcp",
+) -> DataFrame:
+    """All 24 per-template Pearson correlations (the
+    correlationScores table of estimateKeyProfile,
+    key_estimation.go:300-371).  Output: group cols + key, mode,
+    confidence."""
     spark = chroma.sparkSession
     tpl = spark.createDataFrame(
         key_template_rows(), "key int, mode string, pc int, tv double"
@@ -150,15 +174,75 @@ def estimate_key(
     r = F.when((ssa <= 0) | (ssb <= 0), F.lit(0.0)).otherwise(
         num / F.sqrt(ssa * ssb)
     )
-    scored = s.select(*group_cols, "key", "mode", r.alias("confidence"))
-    best = topk_per_group(
-        scored,
-        group_cols,
-        [F.col("confidence").desc(), F.col("mode").asc(),
-         F.col("key").asc()],
-        1,
+    return s.select(*group_cols, "key", "mode", r.alias("confidence"))
+
+
+def key_estimation_full(
+    chroma: DataFrame,
+    group_cols: list[str],
+    *,
+    class_col: str = "pitch_class",
+    value_col: str = "hpcp",
+) -> DataFrame:
+    """Key estimation with the clarity/ambiguity quality metrics
+    (key_estimation.go:300-371 + calculateClarity :517-533 +
+    calculateAmbiguity :535-558): clarity = (best - second)/best over
+    the 24 correlation scores (0 when best <= 0), ambiguity = Shannon
+    entropy of the POSITIVE scores normalized by log2(24).  One
+    aggregation over the score table; ties as in estimate_key."""
+    import math as _m
+
+    scored = key_scores(
+        chroma, group_cols, class_col=class_col, value_col=value_col
     )
-    return best.drop("rank")
+    rk = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(
+            F.col("confidence").desc(), F.col("mode").asc(),
+            F.col("key").asc(),
+        )
+    )
+    t = scored.withColumn("__rk", rk)
+    pos = F.when(F.col("confidence") > 0, F.col("confidence"))
+    ag = t.groupBy(*group_cols).agg(
+        F.max(
+            F.when(
+                F.col("__rk") == 1,
+                F.struct("key", "mode", "confidence"),
+            )
+        ).alias("__b"),
+        F.max(
+            F.when(F.col("__rk") == 2, F.col("confidence"))
+        ).alias("__c2"),
+        F.sum(pos).alias("__psum"),
+        F.sum(
+            F.when(
+                F.col("confidence") > 0,
+                F.col("confidence") * F.log2(F.col("confidence")),
+            ).otherwise(F.lit(0.0))
+        ).alias("__plogp"),
+    )
+    c1 = F.col("__b.confidence")
+    clarity = F.when(
+        c1 > 0, (c1 - F.col("__c2")) / c1
+    ).otherwise(F.lit(0.0))
+    # entropy of p_i = s_i / S over positive scores:
+    # -sum p log2 p = log2(S) - (sum s log2 s) / S
+    ambiguity = F.when(
+        F.coalesce(F.col("__psum"), F.lit(0.0)) > 0,
+        (
+            F.log2(F.col("__psum"))
+            - F.col("__plogp") / F.col("__psum")
+        )
+        / F.lit(_m.log2(24.0)),
+    ).otherwise(F.lit(0.0))
+    return ag.select(
+        *group_cols,
+        F.col("__b.key").alias("key"),
+        F.col("__b.mode").alias("mode"),
+        c1.alias("confidence"),
+        clarity.alias("clarity"),
+        ambiguity.alias("ambiguity"),
+    )
 
 
 def chord_inversion_rows() -> list[tuple[str, int, int, int, float]]:
