@@ -556,7 +556,8 @@ def chord_analysis(
             if iv not in ivs
         ]
         val = F.element_at(
-            arr, F.pmod(F.col("chord_root") + iv, F.lit(12)) + 1
+            arr,
+            (F.pmod(F.col("chord_root") + iv, F.lit(12)) + 1).cast("int"),
         )
         ext_parts.append(
             F.when(

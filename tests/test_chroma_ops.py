@@ -181,3 +181,66 @@ def test_compare_topk_chroma_group_and_quality(spark):
     # confidence = 0.5 + 0.3 (sim>0.8) + 0.1 (content) + 3*0.05
     #   + 0.5*0.1 - 0 = 1.0 clamped
     assert r["confidence"] == pytest.approx(1.0)
+
+
+def test_pitch_nsdf_planted_period(spark):
+    """A strongly periodic series must yield the planted lag's pitch
+    with high confidence."""
+    from sonar_spark.operators.temporal import pitch_nsdf
+
+    period = 8
+    rows = []
+    for i in range(64):
+        rows.append((0, i, 5.0 + (3.0 if i % period == 0 else 0.0)))
+    df = spark.createDataFrame(rows, "doc_id long, pos long, v double")
+    out = pitch_nsdf(df).collect()[0]
+    assert out["pitch"] == pytest.approx(32.0 / period)
+    assert out["confidence"] > 0.5
+    assert out["strength"] == pytest.approx(out["confidence"])
+
+
+def test_key_estimation_full_metrics(spark):
+    """Clarity/ambiguity bounds on a pure-major-profile chroma."""
+    from sonar_spark.operators.tonal import (
+        KRUMHANSL_MAJOR,
+        key_estimation_full,
+    )
+
+    rows = [(0, 0, pc, float(KRUMHANSL_MAJOR[pc])) for pc in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, pitch_class int, hpcp double"
+    )
+    out = key_estimation_full(df, ["doc_id", "frame_idx"]).collect()[0]
+    # the C-major template correlates perfectly with itself
+    assert out["key"] == 0 and out["mode"] == "major"
+    assert out["confidence"] == pytest.approx(1.0)
+    assert 0.0 < out["clarity"] <= 1.0
+    assert 0.0 <= out["ambiguity"] <= 1.0
+
+
+def test_chord_analysis_extensions_detect_b7(spark):
+    """A major chord with a strong b7 class must report extension 10."""
+    from sonar_spark.operators.tonal import chord_analysis
+
+    best_rows = [
+        {
+            "doc_id": 0, "frame_idx": 0, "chord_root": 0,
+            "chord_quality": "major", "inversion": 0, "bass_pc": 0,
+            "confidence": 0.9, "strength": 0.9, "confidence2": 0.5,
+        }
+    ]
+    chroma_rows = []
+    for pc in range(12):
+        v = 0.6 if pc in (0, 4, 7) else (0.5 if pc == 10 else 0.0)
+        chroma_rows.append(
+            {"doc_id": 0, "frame_idx": 0, "pitch_class": pc, "hpcp": v}
+        )
+    best = spark.createDataFrame(best_rows)
+    ch = spark.createDataFrame(chroma_rows)
+    out = chord_analysis(best, ch, ["doc_id", "frame_idx"]).collect()[0]
+    assert out["extensions"] == "10"
+    assert out["clarity"] == pytest.approx(0.4)
+    assert out["consonance"] == pytest.approx(0.9)
+    # dissonant pairs above 0.2 with interval 1/6/11: only (4, 10),
+    # the tritone -> tension = 0.6 * 0.5
+    assert out["tension"] == pytest.approx(0.3)
