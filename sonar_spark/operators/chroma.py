@@ -216,19 +216,28 @@ def chroma_shift_optimal(
         F.col("__s"),
         (1.0 - dist / 2.0).alias("__sim"),
     )
-    from .topk import topk_per_group
-
-    best = topk_per_group(
-        sims.where(F.col("__sim") > 0),
-        pair_on,
-        [F.col("__sim").desc(), F.col("__s").asc()],
-        1,
+    # strict-max with ascending-shift ties as ONE aggregation
+    # (max on (sim, -s)); a topk window + join-back re-evaluated the
+    # whole shift-join subtree twice
+    fold = sims.groupBy(*pair_on).agg(
+        F.max(
+            F.when(
+                F.col("__sim") > 0,
+                F.struct(
+                    F.col("__sim").alias("sim"),
+                    (-F.col("__s")).alias("negs"),
+                ),
+            )
+        ).alias("__b")
     )
-    base = sims.select(*pair_on).distinct()
-    return base.join(best, pair_on, "left").select(
+    return fold.select(
         *pair_on,
-        F.coalesce(F.col("__s"), F.lit(0)).cast("int").alias("best_shift"),
-        F.coalesce(F.col("__sim"), F.lit(0.0)).alias("best_similarity"),
+        F.coalesce((-F.col("__b.negs")).cast("int"), F.lit(0)).alias(
+            "best_shift"
+        ),
+        F.coalesce(F.col("__b.sim"), F.lit(0.0)).alias(
+            "best_similarity"
+        ),
     )
 
 
@@ -295,15 +304,11 @@ def chroma_cross_similarity(
     sims = cell.select(
         *pair_on, "__s", "__li", "__rj", (1.0 - dist / 2.0).alias("__sim")
     )
-    base = sims.where(F.col("__s") == 0)
-    direct = base.groupBy(*pair_on).agg(
-        F.avg("__sim").alias("sim_direct"),
-        F.avg((F.col("__sim") > binary_threshold).cast("double")).alias(
-            "sim_binary"
-        ),
-        F.max("__sim").alias("qmax"),
-    )
-    # OTI: band |i - j| <= radius summed, divided by FULL Q*R
+    # ONE per-(pair, shift) aggregation, then ONE per-pair fold: the
+    # direct/binary/qmax metrics ride the s = 0 row and the OTI best
+    # is a max-struct (avg desc, shift asc) — an earlier draft hung
+    # separate aggregations + a topk join off `sims`, re-evaluating
+    # the whole cross-join subtree per consumer (97 exchanges).
     per_shift = (
         sims.withColumn(
             "__in_band",
@@ -313,32 +318,42 @@ def chroma_cross_similarity(
         )
         .groupBy(*pair_on, "__s")
         .agg(
+            F.avg("__sim").alias("__d"),
+            F.avg(
+                (F.col("__sim") > binary_threshold).cast("double")
+            ).alias("__bin"),
+            F.max("__sim").alias("__qm"),
             (F.sum(F.col("__sim") * F.col("__in_band")) / F.count("*"))
-            .alias("__avg")
+            .alias("__avg"),
         )
     )
-    from .topk import topk_per_group
-
-    oti_best = topk_per_group(
-        per_shift.where(F.col("__avg") > 0),
-        pair_on,
-        [F.col("__avg").desc(), F.col("__s").asc()],
-        1,
-    ).select(
-        *pair_on,
-        F.col("__s").alias("oti_shift"),
-        F.col("__avg").alias("oti_similarity"),
+    fold = per_shift.groupBy(*pair_on).agg(
+        F.max(F.when(F.col("__s") == 0, F.col("__d"))).alias(
+            "sim_direct"
+        ),
+        F.max(F.when(F.col("__s") == 0, F.col("__bin"))).alias(
+            "sim_binary"
+        ),
+        F.max(F.when(F.col("__s") == 0, F.col("__qm"))).alias("qmax"),
+        F.max(
+            F.when(
+                F.col("__avg") > 0,
+                F.struct(
+                    F.col("__avg").alias("a"),
+                    (-F.col("__s")).alias("negs"),
+                ),
+            )
+        ).alias("__ob"),
     )
-    out = direct.join(oti_best, pair_on, "left")
-    return out.select(
+    return fold.select(
         *pair_on,
         "sim_direct",
         "sim_binary",
         "qmax",
-        F.coalesce(F.col("oti_shift"), F.lit(0)).cast("int").alias(
+        F.coalesce((-F.col("__ob.negs")).cast("int"), F.lit(0)).alias(
             "oti_shift"
         ),
-        F.coalesce(F.col("oti_similarity"), F.lit(0.0)).alias(
+        F.coalesce(F.col("__ob.a"), F.lit(0.0)).alias(
             "oti_similarity"
         ),
     )

@@ -757,93 +757,109 @@ def harmonic_ratio_hnr(
             F.col("__exp"),
         )
     )
-    # mask bins +-width around each harmonic peak
-    mask = hp.select(
+    # fold the kept harmonic peaks into ONE array row per frame:
+    # count / mean-deviation / pairwise roughness become array
+    # expressions and the +-width mask becomes an exists() predicate,
+    # so the refined-peak chain is not re-evaluated per consumer (the
+    # join-per-metric draft produced an 84-exchange plan)
+    hparr = hp.groupBy(*group_cols, "f0", "f0_confidence").agg(
+        F.sort_array(
+            F.collect_list(F.struct("__h", "__hb", "__hm"))
+        ).alias("__harr")
+    )
+    harr = F.col("__harr")
+    nh = F.size(harr)
+    hnum = lambda x: F.round(x["__hb"].cast("double") / F.col("f0"), 0)  # noqa: E731
+    dev_of = lambda x: (  # noqa: E731
+        F.abs(x["__hb"].cast("double") - F.col("f0") * hnum(x))
+        / (F.col("f0") * hnum(x))
+    )
+    avgdev = (
+        F.aggregate(
+            harr, F.lit(0.0), lambda acc, x: acc + dev_of(x)
+        )
+        / nh.cast("double")
+    )
+    rough = F.aggregate(
+        harr,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.aggregate(
+            F.filter(
+                harr,
+                lambda y: (y["__h"] > x["__h"])
+                & (
+                    F.abs(
+                        x["__hb"].cast("double")
+                        - y["__hb"].cast("double")
+                    )
+                    > 0
+                ),
+            ),
+            F.lit(0.0),
+            lambda a2, y: a2
+            + (x["__hm"] * y["__hm"])
+            / (
+                F.abs(
+                    x["__hb"].cast("double") - y["__hb"].cast("double")
+                )
+                + 1.0
+            ),
+        ),
+    )
+    hstats = hparr.select(
         *group_cols,
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("__hb") - width, F.lit(0)),
-                F.least(F.col("__hb") + width, F.lit(num_bins - 1)),
-            )
-        ).alias("__mb"),
-    ).distinct()
+        "f0",
+        "f0_confidence",
+        nh.alias("num_harmonics"),
+        avgdev.alias("__avgdev"),
+        rough.alias("roughness"),
+        harr.alias("__harr"),
+    )
+    # band energies: grid x f0 with the mask as an exists() over the
+    # (possibly absent) harmonic array
     gm = spec.select(
         *group_cols, F.col(bin_col).alias("__b"), F.col(mag_col).alias("__gm")
     ).join(f0df.select(*group_cols, "f0"), group_cols)
+    ha = hstats.select(
+        *[F.col(c).alias(f"__a_{c}") for c in group_cols], "__harr"
+    )
+    ona = None
+    for c in group_cols:
+        e = F.col(f"__a_{c}") == F.col(c)
+        ona = e if ona is None else (ona & e)
     band = gm.where(
         (F.col("__b").cast("double") >= min_freq)
         & (F.col("__b").cast("double") <= max_freq)
+    ).join(ha, ona, "left")
+    masked = F.col("__harr").isNotNull() & F.exists(
+        F.col("__harr"),
+        lambda x: F.abs(F.col("__b") - x["__hb"]) <= width,
     )
-    mk = mask.select(
-        *[F.col(c).alias(f"__m_{c}") for c in group_cols], "__mb"
-    )
-    onm = F.col("__mb") == F.col("__b")
-    for c in group_cols:
-        onm = onm & (F.col(f"__m_{c}") == F.col(c))
-    bm = band.join(mk, onm, "left")
     hn = F.round(F.col("__b").cast("double") / F.col("f0"), 0)
     is_h = (hn > 0) & (
         F.abs(F.col("__b").cast("double") - F.col("f0") * hn)
         < F.lit(tolerance) * (F.col("f0") * hn)
     )
-    en = bm.groupBy(*group_cols).agg(
+    en = band.groupBy(*group_cols).agg(
         F.sum(F.col("__gm") * F.col("__gm")).alias("total_energy"),
         F.sum(
-            F.when(
-                F.col("__mb").isNotNull(), F.col("__gm") * F.col("__gm")
-            ).otherwise(F.lit(0.0))
+            F.when(masked, F.col("__gm") * F.col("__gm")).otherwise(
+                F.lit(0.0)
+            )
         ).alias("harmonic_energy"),
         F.sum("__gm").alias("__ts"),
         F.sum(F.when(is_h, F.col("__gm")).otherwise(F.lit(0.0))).alias(
             "__hs"
         ),
     )
-    hstats = hp.groupBy(*group_cols, "f0", "f0_confidence").agg(
-        F.count("*").alias("num_harmonics"),
-        F.avg(
-            F.abs(F.col("__hb").cast("double") - F.col("f0") * F.round(
-                F.col("__hb").cast("double") / F.col("f0"), 0
-            ))
-            / (F.col("f0") * F.round(
-                F.col("__hb").cast("double") / F.col("f0"), 0
-            ))
-        ).alias("__avgdev"),
-    )
-    pair = hp.select(
-        *[F.col(c).alias(f"__p_{c}") for c in group_cols],
-        F.col("__h").alias("__h1"),
-        F.col("__hb").alias("__f1b"),
-        F.col("__hm").alias("__m1"),
-    )
-    onp = F.col("__h1") < F.col("__h")
-    for c in group_cols:
-        onp = onp & (F.col(f"__p_{c}") == F.col(c))
-    rough = (
-        hp.join(pair, onp)
-        .where(
-            F.abs(
-                F.col("__f1b").cast("double") - F.col("__hb").cast("double")
-            )
-            > 0
-        )
-        .groupBy(*group_cols)
-        .agg(
-            F.sum(
-                (F.col("__m1") * F.col("__hm"))
-                / (
-                    F.abs(
-                        F.col("__f1b").cast("double")
-                        - F.col("__hb").cast("double")
-                    )
-                    + 1.0
-                )
-            ).alias("roughness")
-        )
-    )
     r = (
         f0df.join(en, group_cols, "left")
-        .join(hstats.drop("f0", "f0_confidence"), group_cols, "left")
-        .join(rough, group_cols, "left")
+        .join(
+            hstats.drop("f0", "f0_confidence", "__harr"),
+            group_cols,
+            "left",
+        )
     )
     noise = F.coalesce(F.col("total_energy"), F.lit(0.0)) - F.coalesce(
         F.col("harmonic_energy"), F.lit(0.0)
@@ -870,9 +886,7 @@ def harmonic_ratio_hnr(
         "f0",
         "f0_confidence",
         ratio.alias("harmonic_ratio"),
-        F.coalesce(F.col("harmonic_energy"), F.lit(0.0)).alias(
-            "harmonic_energy"
-        ),
+        he.alias("harmonic_energy"),
         noise.alias("noise_energy"),
         F.coalesce(F.col("total_energy"), F.lit(0.0)).alias("total_energy"),
         F.coalesce(F.col("num_harmonics"), F.lit(0)).cast("int").alias(
