@@ -394,77 +394,68 @@ def inharmonicity(
       stddev = sample stddev of deviations; confidence =
       min(1, (n/maxHarmonics) * mean(amp)) (:640-652).
 
-    Relational: one explode over h, one bounded range join against
-    the spectrum, two window checks, one aggregation."""
+    Physical plan: the num_bins-wide spectrum folds into ONE array
+    per frame (a join-per-search-window draft evaluated the grid
+    three times); the windowed argmax / local-max checks are array
+    expressions, and only the per-harmonic explode + one aggregation
+    remain."""
+    garr_df = spec.groupBy(*group_cols).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(bin_col).alias("b"),
+                        F.col(mag_col).cast("double").alias("m"),
+                    )
+                )
+            ),
+            lambda s: s["m"],
+        ).alias("__g")
+    )
     f0df = (
         peaks.groupBy(*group_cols)
         .agg(F.round(F.min_by("refined_freq", bin_col), 6).alias("f0"))
         .where((F.col("f0") >= min_f0) & (F.col("f0") <= max_f0))
     )
-    h = f0df.withColumn(
+    base = f0df.join(garr_df, group_cols)
+    h = base.withColumn(
         "h", F.explode(F.sequence(F.lit(1), F.lit(max_harmonics)))
-    ).withColumn("ideal", F.col("f0") * F.col("h").cast("double")).where(
-        F.col("ideal") <= max_f0
-    )
+    ).withColumn(
+        "ideal", F.col("f0") * F.col("h").cast("double")
+    ).where(F.col("ideal") <= max_f0)
     tol_bins = F.lit(tolerance) * F.col("ideal")
     sb = F.greatest(F.col("ideal") - tol_bins, F.lit(0.0)).cast("int")
     eb = F.least(
         F.col("ideal") + tol_bins, F.lit(float(num_bins - 1))
     ).cast("int")
     h = h.withColumn("__sb", sb).withColumn("__eb", eb)
-    g = spec.select(
-        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
-        F.col(bin_col).alias("__b"),
-        F.col(mag_col).alias("__m"),
+    # windowed argmax over the array slice (first-wins ties via
+    # array_position of the slice max), 1-based positions
+    sl = F.slice(
+        F.col("__g"), F.col("__sb") + 1, F.col("__eb") - F.col("__sb") + 1
     )
-    on = (F.col("__b") >= F.col("__sb")) & (F.col("__b") <= F.col("__eb"))
-    for c in group_cols:
-        on = on & (F.col(f"__g_{c}") == F.col(c))
-    cand = h.join(g, on)
-    best = topk_per_group(
-        cand,
-        [*group_cols, "h"],
-        [F.col("__m").desc(), F.col("__b").asc()],
-        1,
-    ).drop("rank")
-    # strict interior local-maximum verification over the spectrum
-    gl = spec.select(
-        *[F.col(c).alias(f"__l_{c}") for c in group_cols],
-        F.col(bin_col).alias("__lb"),
-        F.col(mag_col).alias("__lm"),
+    mxs = F.array_max(sl)
+    best_bin = (
+        F.col("__sb") + F.array_position(sl, mxs).cast("int") - 1
     )
-    onl = F.col("__lb") == F.col("__b") - 1
-    onr_ = F.col("__lb") == F.col("__b") + 1
-    for c in group_cols:
-        onl = onl & (F.col(f"__l_{c}") == F.col(c))
-        onr_ = onr_ & (F.col(f"__l_{c}") == F.col(c))
-    gl2 = spec.select(
-        *[F.col(c).alias(f"__r_{c}") for c in group_cols],
-        F.col(bin_col).alias("__rb"),
-        F.col(mag_col).alias("__rm"),
-    )
-    onr = F.col("__rb") == F.col("__b") + 1
-    for c in group_cols:
-        onr = onr & (F.col(f"__r_{c}") == F.col(c))
-    v = (
-        best.join(gl, onl)
-        .join(gl2, onr)
-        .where(
-            (F.col("__b") >= 1)
-            & (F.col("__b") <= num_bins - 2)
-            & (F.col("__m") > F.col("__lm"))
-            & (F.col("__m") > F.col("__rm"))
-            & (F.col("__m") > min_strength)
-        )
-    )
-    dev = (F.col("__b").cast("double") - F.col("ideal")) / F.col("ideal")
-    acc = v.select(
+    h = h.withColumn("__bb", best_bin).withColumn("__bm", mxs)
+    # strict interior local maximum + strength + tolerance gates
+    at = lambda k: F.element_at(F.col("__g"), k + 1)  # noqa: E731
+    dev = (F.col("__bb").cast("double") - F.col("ideal")) / F.col("ideal")
+    acc = h.where(
+        (F.col("__bb") >= 1)
+        & (F.col("__bb") <= num_bins - 2)
+        & (F.col("__bm") > at(F.col("__bb") - 1))
+        & (F.col("__bm") > at(F.col("__bb") + 1))
+        & (F.col("__bm") > min_strength)
+        & (F.abs(dev) < tolerance)
+    ).select(
         *group_cols,
         "f0",
         F.col("h").cast("double").alias("hn"),
-        F.col("__m").alias("amp"),
+        F.col("__bm").alias("amp"),
         dev.alias("dev"),
-    ).where(F.abs(F.col("dev")) < tolerance)
+    )
     ag = acc.groupBy(*group_cols, "f0").agg(
         F.count("*").alias("n_harmonics"),
         F.sum(
@@ -511,7 +502,6 @@ def inharmonicity(
         stddev.alias("inharm_stddev"),
         conf.alias("confidence"),
     )
-
 
 def harmonic_ratio_spectral(
     peaks: DataFrame,
