@@ -2722,6 +2722,29 @@ def _cvstats_oracle_sql() -> str:
     """
 
 
+def q_chroma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal chroma smoothing (chroma_vector.go:245-277): 3-frame
+    per-class moving average with clamped bounds and actual-count
+    normalization."""
+    from sonar_spark.operators.chroma import chroma_smooth
+
+    pcp = _doc_hpcp(spark, sf_dir).select(
+        "doc_id", "frame_idx", "pitch_class",
+        F.round("hpcp", 6).alias("hpcp"),
+    )
+    out = chroma_smooth(pcp)
+    # the edge windows average TWO 6-dp decimals: micro-sum/2 lands
+    # exactly on a x.xxxxxx5 rounding tie whenever the sum is odd —
+    # nudge off the boundary on both sides (the chroma_vector_stats
+    # convention)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "pitch_class",
+        F.round(F.col("chroma") + 1e-12, 6).alias("chroma"),
+    )
+
+
 def q_key_estimation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key estimation with clarity + ambiguity
     (key_estimation.go:300-371 + :517-558): best Krumhansl key per
@@ -4515,6 +4538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voice_quality_full": q_voice_quality_full,
         "chroma_vector_stats": q_chroma_vector_stats,
         "key_estimation_full": q_key_estimation_full,
+        "chroma_smooth": q_chroma_smooth,
         "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
@@ -4578,6 +4602,20 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "key_estimation": _key_oracle_sql(),
         "key_estimation_full": _key_oracle_sql(tail="full"),
+        "chroma_smooth": _hpcp_chain_sql() + r""",
+            hv6 AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     round(CASE WHEN energy > 0 THEN raw / energy
+                           ELSE 0.0 END, 6) AS v
+              FROM en
+            )
+            SELECT doc_id, frame_idx, pitch_class,
+                   round(avg(v) OVER (PARTITION BY doc_id, pitch_class
+                     ORDER BY frame_idx
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                     + 1e-12, 6) + 0.0 AS chroma
+            FROM hv6
+        """,
         "chord_detection": _chord_oracle_sql(),
         "chord_inversions": _chord_inv_oracle_sql(),
         "chord_analysis": _chord_inv_oracle_sql(tail="analysis"),

@@ -959,3 +959,33 @@ def chroma_vector_stats(
         sparsity.alias("sparsity"),
         unif.alias("uniformity"),
     )
+
+
+def chroma_smooth(
+    chroma: DataFrame,
+    *,
+    key: str = "doc_id",
+    frame_col: str = "frame_idx",
+    class_col: str = "pitch_class",
+    value_col: str = "hpcp",
+    window_size: int = 3,
+) -> DataFrame:
+    """Temporal chroma smoothing (Smooth, chroma_vector.go:245-277):
+    each frame's vector becomes the per-class average over the
+    [i - w/2, i + w/2] frame window (integer w/2, bounds clamped to
+    the sequence — expressed by the frame window's natural
+    truncation at partition edges, with the divisor = the actual
+    window count, exactly the reference's count normalization).
+    Output: key, frame_idx, pitch_class, chroma (smoothed)."""
+    half = window_size // 2
+    w = (
+        Window.partitionBy(key, class_col)
+        .orderBy(frame_col)
+        .rowsBetween(-half, half)
+    )
+    return chroma.select(
+        key,
+        frame_col,
+        class_col,
+        F.avg(F.col(value_col).cast("double")).over(w).alias("chroma"),
+    )
