@@ -2745,6 +2745,128 @@ def q_chroma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chroma_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma vector interpolation (chroma_vector.go:219-243 with
+    common.Lerp math.go:348-350) between per-doc chroma TEMPLATES
+    (ComputeChromaTemplate :296-317 — the element-wise frame mean)
+    at t = 0.5, over the bounded doc-pair slice: the 12 lerped
+    classes plus the derived energy (sqrt sum of squares), centroid
+    (index-weighted mean, 0 on zero mass), and Shannon entropy of
+    the normalized vector (:computeEnergy/-Centroid/-Entropy).
+    Every sum is unrolled in index order; the lerp of 6-dp inputs at
+    t = 0.5 is the /2 rounding-tie class, handled with the standard
+    +1e-12 nudge."""
+    import math as _m
+
+    pcp = _doc_hpcp(spark, sf_dir)
+    m = pcp.groupBy("doc_id", "pitch_class").agg(
+        F.round(F.avg("hpcp"), 6).alias("mv")
+    )
+    piv = m.groupBy("doc_id").pivot("pitch_class", list(range(12))).agg(
+        F.first("mv")
+    ).select(
+        "doc_id",
+        *[F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"t{i}")
+          for i in range(12)],
+    )
+    ids = piv.select("doc_id").where(F.col("doc_id") < 16)
+    a = piv.select(
+        F.col("doc_id").alias("qid"),
+        *[F.col(f"t{i}").alias(f"a{i}") for i in range(12)],
+    )
+    b = piv.select(
+        F.col("doc_id").alias("mid"),
+        *[F.col(f"t{i}").alias(f"b{i}") for i in range(12)],
+    )
+    pr = a.join(b, F.col("qid") < F.col("mid")).where(
+        (F.col("qid") < 16) & (F.col("mid") < 16)
+    )
+    ls = [
+        (F.col(f"a{i}") + 0.5 * (F.col(f"b{i}") - F.col(f"a{i}")))
+        for i in range(12)
+    ]
+
+    def ssum(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    energy = F.sqrt(ssum([v * v for v in ls]))
+    den = ssum(ls)
+    num = ssum([F.lit(float(i)) * ls[i] for i in range(12)])
+    centroid = F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+    # -sum p log2 p over v > 0 in the closed form
+    # log2(S) - sum(v log2 v)/S
+    vlog = ssum(
+        [
+            F.when(v > 0, v * F.log2(v)).otherwise(F.lit(0.0))
+            for v in ls
+        ]
+    )
+    entropy = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.log2(den) - vlog / den
+    )
+    return pr.select(
+        "qid",
+        "mid",
+        *[
+            F.round(ls[i] + 1e-12, 6).alias(f"v{i}")
+            for i in range(12)
+        ],
+        F.round(energy, 6).alias("energy"),
+        F.round(centroid, 6).alias("centroid"),
+        F.round(entropy, 6).alias("entropy"),
+    )
+
+
+def _chroma_interp_oracle_sql() -> str:
+    """SQL mirror of q_chroma_interpolate (unrolled index-order
+    sums, identical lerp/derived arithmetic)."""
+    piv_cols = ", ".join(
+        f"max(CASE WHEN pitch_class = {i} THEN mv END) AS t{i}"
+        for i in range(12)
+    )
+    ls = [f"(a.t{i} + 0.5 * (b.t{i} - a.t{i}))" for i in range(12)]
+
+    def ssum(terms):
+        return "(" + " + ".join(terms) + ")"
+
+    energy = "sqrt(" + ssum([f"{v} * {v}" for v in ls]) + ")"
+    den = ssum(ls)
+    num = ssum([f"{float(i)!r} * {ls[i]}" for i in range(12)])
+    vlog = ssum(
+        [
+            f"(CASE WHEN {v} > 0 THEN {v} * log2({v}) ELSE 0.0 END)"
+            for v in ls
+        ]
+    )
+    vouts = ", ".join(
+        f"round({ls[i]} + 1e-12, 6) + 0.0 AS v{i}" for i in range(12)
+    )
+    return _hpcp_chain_sql() + rf"""
+        , hvm AS (
+          SELECT doc_id, pitch_class,
+                 round(avg(CASE WHEN energy > 0 THEN raw / energy
+                           ELSE 0.0 END), 6) AS mv
+          FROM en GROUP BY 1, 2
+        ),
+        tpl AS (
+          SELECT doc_id, {piv_cols} FROM hvm GROUP BY 1
+        )
+        SELECT a.doc_id AS qid, b.doc_id AS mid,
+               {vouts},
+               round({energy}, 6) + 0.0 AS energy,
+               round(CASE WHEN {den} = 0 THEN 0.0
+                     ELSE {num} / {den} END, 6) + 0.0 AS centroid,
+               round(CASE WHEN {den} = 0 THEN 0.0
+                     ELSE log2({den}) - {vlog} / {den} END, 6) + 0.0
+                 AS entropy
+        FROM tpl a JOIN tpl b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 16 AND b.doc_id < 16
+    """
+
+
 def q_key_estimation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key estimation with clarity + ambiguity
     (key_estimation.go:300-371 + :517-558): best Krumhansl key per
@@ -4539,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chroma_vector_stats": q_chroma_vector_stats,
         "key_estimation_full": q_key_estimation_full,
         "chroma_smooth": q_chroma_smooth,
+        "chroma_interpolate": q_chroma_interpolate,
         "key_relationships": q_key_relationships,
         "attack_decay": q_attack_decay,
         "consistency_trials": q_consistency_trials,
@@ -4602,6 +4725,7 @@ def oracle_sql() -> dict[str, str]:
         "mfcc_frames": _mfcc_oracle_sql(),
         "key_estimation": _key_oracle_sql(),
         "key_estimation_full": _key_oracle_sql(tail="full"),
+        "chroma_interpolate": _chroma_interp_oracle_sql(),
         "chroma_smooth": _hpcp_chain_sql() + r""",
             hv6 AS (
               SELECT doc_id, frame_idx, pitch_class,
