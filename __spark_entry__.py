@@ -236,25 +236,41 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles + IQR outlier counts per returnflag
-    (SURVEY §2.5 percentiles/outlier detection)."""
+    (SURVEY §2.5 percentiles/outlier detection).
+
+    ONE scan of lineitem: the (flag, price) value histogram feeds both
+    the interpolated quantiles and — via a broadcast of the 3-row
+    fence table back onto the histogram, not the fact table — the
+    outlier counts.  Replaces the former F.percentile + join-back
+    plan (two scans, all group values buffered on one reducer)."""
+    from sonar_spark.operators.percentiles import quantile_histogram
+
     li = _t(spark, sf_dir, "lineitem")
-    q = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("q1"),
-        F.percentile("l_extendedprice", 0.75).alias("q3"),
-        F.percentile("l_extendedprice", 0.95).alias("q95"),
-    )
-    j = li.join(F.broadcast(q), "l_returnflag")
+    h = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("__v")
+    ).agg(F.count("*").alias("__c"))
+    h = h.persist()
+    q = quantile_histogram(
+        h,
+        value="__v",
+        group="l_returnflag",
+        qs={"q1": 0.25, "q3": 0.75, "q95": 0.95},
+        counts="__c",
+    ).drop("__n")
     iqr = F.col("q3") - F.col("q1")
-    is_out = (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr) | (
-        F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr
+    j = h.join(F.broadcast(q), "l_returnflag")
+    is_out = (F.col("__v") > F.col("q3") + 1.5 * iqr) | (
+        F.col("__v") < F.col("q1") - 1.5 * iqr
     )
     return j.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
+        F.sum("__c").alias("n"),
         F.round(F.min("q1"), 6).alias("p25"),
         F.round(F.min("q3"), 6).alias("p75"),
         F.round(F.min("q95"), 6).alias("p95"),
         F.round(F.min(iqr), 6).alias("iqr"),
-        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.sum(F.when(is_out, F.col("__c")).otherwise(F.lit(0))).alias(
+            "n_outliers"
+        ),
     )
 
 

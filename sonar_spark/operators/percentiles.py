@@ -18,7 +18,78 @@ from pyspark.sql import functions as F
 
 from ..kernels import PERCENTILE_METHODS
 
-__all__ = ["PERCENTILE_METHODS", "percentile_methods"]
+__all__ = [
+    "PERCENTILE_METHODS",
+    "percentile_methods",
+    "quantile_histogram",
+]
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value: str,
+    group: str,
+    qs: dict[str, float],
+    counts: str | None = None,
+) -> DataFrame:
+    """Exact interpolated quantiles via a value histogram — the
+    100-TB-scale replacement for ``F.percentile`` on low-cardinality
+    groups (SURVEY §2.5 percentiles/quartiles/IQR).
+
+    ``F.percentile`` buffers every (value, count) pair of a group in
+    one aggregation buffer on one reducer; with a handful of giant
+    groups that is a single-executor memory wall.  Here the heavy
+    reduction is ``groupBy(group, value).count()`` — fully parallel
+    with map-side combine — and only the distinct-value histogram
+    (bounded by value cardinality, not row count) flows into the
+    per-group cumulative-rank window.
+
+    Returns one row per group: ``group, __n`` (total row count) and
+    one column per key of ``qs``, plus the histogram columns are
+    dropped.  Interpolation reproduces Spark's ``Percentile``
+    arithmetic exactly ((hi-pos)*lo + (pos-lo)*hi at 0-based
+    pos=(n-1)q, lower value when pos is integral) so results are
+    bit-identical to the ``F.percentile`` aggregate it replaces.
+
+    Pass ``counts`` to reuse a pre-aggregated histogram: ``df`` is
+    then taken as one row per (group, value) with that count column,
+    skipping the internal groupBy.
+    """
+    if counts is None:
+        h = df.groupBy(
+            group, F.col(value).cast("double").alias("__v")
+        ).agg(F.count("*").alias("__c"))
+    else:
+        h = df.select(
+            group,
+            F.col(value).cast("double").alias("__v"),
+            F.col(counts).cast("long").alias("__c"),
+        )
+    wo = Window.partitionBy(group).orderBy("__v")
+    wp = Window.partitionBy(group)
+    cum = h.withColumn("__cum", F.sum("__c").over(wo)).withColumn(
+        "__n", F.sum("__c").over(wp)
+    )
+    v, c, cm, n = (F.col(x) for x in ("__v", "__c", "__cum", "__n"))
+
+    def _stat(q: float) -> Column:
+        pos = (n - 1).cast("double") * q  # 0-based fractional rank
+        lo, hi = F.floor(pos), F.ceil(pos)
+        # 1-based rank r lives in the histogram row with
+        # cum-c < r <= cum
+        lo_v = F.max(F.when((lo + 1 > cm - c) & (lo + 1 <= cm), v))
+        hi_v = F.max(F.when((hi + 1 > cm - c) & (hi + 1 <= cm), v))
+        # pos/lo/hi are group constants; F.max lifts them into the
+        # aggregate so the interpolation is pure aggregate arithmetic
+        pos_a = F.max(pos)
+        lo_a, hi_a = F.max(lo).cast("double"), F.max(hi).cast("double")
+        interp = (hi_a - pos_a) * lo_v + (pos_a - lo_a) * hi_v
+        return F.when(F.max(lo) == F.max(hi), lo_v).otherwise(interp)
+
+    aggs = [F.max("__n").alias("__n")]
+    for name, q in qs.items():
+        aggs.append(_stat(q).alias(name))
+    return cum.groupBy(group).agg(*aggs)
 
 
 def _h_expr(method: str, n: Column, q: float) -> Column:

@@ -203,3 +203,40 @@ def test_spectral_peaks_operator(spark):
     assert abs(rows[2]["refined_freq"] - (2 + off)) < 1e-12
     a, b = 0.5 * (y1 - 2 * y2 + y3), 0.5 * (y3 - y1)
     assert abs(rows[2]["refined_mag"] - (y2 + a * off * off + b * off)) < 1e-12
+
+
+def test_quantile_histogram_bit_identical_to_percentile(spark):
+    """quantile_histogram == F.percentile bit-for-bit: same order
+    statistics, same (hi-pos)*lo + (pos-lo)*hi interpolation — on
+    groups with heavy duplicates, unique values, and n=1."""
+    from pyspark.sql import functions as F
+
+    from sonar_spark.operators.percentiles import quantile_histogram
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, n, dup in (("a", 501, True), ("b", 64, False), ("c", 1, False)):
+        vals = rng.standard_normal(n) * 100
+        if dup:  # quantize so the histogram actually collapses values
+            vals = np.round(vals, 0)
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = {"p10": 0.1, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+    got = {
+        r["g"]: r
+        for r in quantile_histogram(df, "v", "g", qs).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            *[F.percentile("v", q).alias(k) for k, q in qs.items()],
+            F.count("*").alias("__n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in got:
+        assert got[g]["__n"] == want[g]["__n"]
+        for k in qs:
+            assert got[g][k] == want[g][k], (g, k, got[g][k], want[g][k])
