@@ -359,53 +359,74 @@ def chroma_cross_similarity(
     )
 
 
+def _pair_cost_matrices(qs, rs):
+    """All-pairs cosine ingredients for one (Q, R) pair, vectorized
+    with FIXED-ORDER accumulation over the 12 pitch classes
+    (ascending k) — per-pair deterministic regardless of batch
+    composition, avoiding the batch-order-sensitive BLAS gemm path
+    (round-2 bit-identity finding).  Returns (dots Q x R, sq-norms
+    Q, sq-norms R)."""
+    import numpy as np
+
+    qm = np.asarray(qs, dtype=np.float64)
+    rm = np.asarray(rs, dtype=np.float64)
+    dots = np.zeros((qm.shape[0], rm.shape[0]))
+    nq = np.zeros(qm.shape[0])
+    nr = np.zeros(rm.shape[0])
+    for k in range(qm.shape[1]):
+        qk, rk = qm[:, k], rm[:, k]
+        dots += np.multiply.outer(qk, rk)
+        nq += qk * qk
+        nr += rk * rk
+    return dots, nq, nr
+
+
 def _dp_kernel(method: str):
     """Per-pair DP ports of chroma_similarity.go — Smith-Waterman
     local alignment (:198-267 + traceback :472-497) and DTW
     (:270-353 + traceback :500-527).  Each pair's matrix is tiny
-    (frames x frames); pairs are the parallel unit."""
+    (frames x frames); pairs are the parallel unit.
+
+    The cosine cost matrix is one vectorized pass (closes the
+    round-3 perf-weak: per-cell Python cosine calls cost ~100x the
+    needed CPU); only the inherently sequential DP recurrence stays
+    a loop, over plain Python floats."""
+    import math
+
     import numpy as np
-
-    def cosine_sim(a, b):
-        na = float(np.dot(a, a))
-        nb = float(np.dot(b, b))
-        if na == 0 or nb == 0:
-            return 1.0 - 1.0 / 2.0
-        import math
-
-        return 1.0 - (1.0 - float(np.dot(a, b)) / (math.sqrt(na) * math.sqrt(nb))) / 2.0
-
-    def cosine_dist(a, b):
-        na = float(np.dot(a, a))
-        nb = float(np.dot(b, b))
-        if na == 0 or nb == 0:
-            return 1.0
-        import math
-
-        return 1.0 - float(np.dot(a, b)) / (math.sqrt(na) * math.sqrt(nb))
 
     def sw(qs, rs):
         Q, R = len(qs), len(rs)
-        scores = np.zeros((Q + 1, R + 1))
-        tb = np.zeros((Q + 1, R + 1), dtype=np.int64)
+        dots, nq, nr = _pair_cost_matrices(qs, rs)
+        # elementwise identical to the scalar form
+        # 1 - (1 - dot/(sqrt(na)*sqrt(nb)))/2 ; zero-norm cell -> 0.5
+        denom = np.multiply.outer(np.sqrt(nq), np.sqrt(nr))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim_m = 1.0 - (1.0 - dots / denom) / 2.0
+        sim_m[nq == 0, :] = 1.0 - 1.0 / 2.0
+        sim_m[:, nr == 0] = 1.0 - 1.0 / 2.0
+        siml = sim_m.tolist()
+        scores = [[0.0] * (R + 1) for _ in range(Q + 1)]
+        tb = [[0] * (R + 1) for _ in range(Q + 1)]
         max_score, mi, mj = 0.0, 0, 0
         for i in range(1, Q + 1):
+            srow, sprev = scores[i], scores[i - 1]
+            trow, crow = tb[i], siml[i - 1]
             for j in range(1, R + 1):
-                sim = cosine_sim(qs[i - 1], rs[j - 1])
-                match = scores[i - 1][j - 1] + sim
-                delete = scores[i - 1][j] - 0.1
-                insert = scores[i][j - 1] - 0.1
+                match = sprev[j - 1] + crow[j - 1]
+                delete = sprev[j] - 0.1
+                insert = srow[j - 1] - 0.1
                 mv = max(0.0, match, delete, insert)
-                scores[i][j] = mv
+                srow[j] = mv
                 if mv > max_score:
                     max_score, mi, mj = mv, i, j
                 # Go switch order: match, then delete, then insert
                 if mv == match:
-                    tb[i][j] = 1
+                    trow[j] = 1
                 elif mv == delete:
-                    tb[i][j] = 2
+                    trow[j] = 2
                 elif mv == insert:
-                    tb[i][j] = 3
+                    trow[j] = 3
         # traceback (:472-497)
         plen = 0
         i, j = mi, mj
@@ -425,23 +446,26 @@ def _dp_kernel(method: str):
         return max_score, plen, sim_norm
 
     def dtw(qs, rs):
-        import math
-
         Q, R = len(qs), len(rs)
-        cost = np.zeros((Q, R))
-        for i in range(Q):
-            for j in range(R):
-                cost[i][j] = cosine_dist(qs[i], rs[j])
-        acc = np.zeros((Q, R))
+        dots, nq, nr = _pair_cost_matrices(qs, rs)
+        # 1 - dot/(sqrt(na)*sqrt(nb)) ; zero-norm cell -> 1.0
+        denom = np.multiply.outer(np.sqrt(nq), np.sqrt(nr))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cost_m = 1.0 - dots / denom
+        cost_m[nq == 0, :] = 1.0
+        cost_m[:, nr == 0] = 1.0
+        cost = cost_m.tolist()
+        acc = [[0.0] * R for _ in range(Q)]
         acc[0][0] = cost[0][0]
         for i in range(1, Q):
             acc[i][0] = acc[i - 1][0] + cost[i][0]
         for j in range(1, R):
             acc[0][j] = acc[0][j - 1] + cost[0][j]
         for i in range(1, Q):
+            arow, aprev, crow = acc[i], acc[i - 1], cost[i]
             for j in range(1, R):
-                acc[i][j] = cost[i][j] + min(
-                    acc[i - 1][j], acc[i][j - 1], acc[i - 1][j - 1]
+                arow[j] = crow[j] + min(
+                    aprev[j], arow[j - 1], aprev[j - 1]
                 )
         # traceback (:500-527): (0,0) is NOT appended
         plen = 0
