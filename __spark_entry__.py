@@ -2425,6 +2425,95 @@ def q_pitch_nsdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pitch_tracked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch temporal post-processing over a per-doc frame stream
+    (pitch_detection.go ProcessAudioStream :1016-1029 driving
+    DetectPitch :225-279): per-frame NSDF raw detections (W=32 hop=4
+    frames of the token-length series) fed through the sequential
+    history state — 5-frame-median octave correction with ratio set
+    {0.5, 2, 1/3, 3} and 10% tolerance (:793-827), salience on the
+    corrected pitch (:857-873), the 0.5 confidence gate (:783-787),
+    20-deep history (:881-890), 3-frame median smoothing (:904-921)
+    and CV stability (:923-963).  The DuckDB oracle replays the
+    state machine as a recursive CTE carrying the history list."""
+    from sonar_spark.operators.frames import expand_frames
+    from sonar_spark.operators.temporal import pitch_nsdf, pitch_track
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    frames = expand_frames(toks, FrameConfig(window=32, hop=4))
+    vals = frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        F.posexplode(
+            F.transform("window", lambda x: x.cast("double"))
+        ).alias("pos", "v"),
+    )
+    det = pitch_nsdf(vals, key=["doc_id", "frame_idx"], gate=False)
+    det6 = det.select(
+        "doc_id",
+        "frame_idx",
+        F.round("pitch", 6).alias("pitch"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+    out = pitch_track(det6)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round("pitch_corrected", 6).alias("pitch_corrected"),
+        F.round("pitch", 6).alias("pitch"),
+        F.round("f0_multiple", 6).alias("f0_multiple"),
+        F.round("salience", 6).alias("salience"),
+        F.round("stability", 6).alias("stability"),
+    )
+
+
+def q_pitch_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing pitch detection
+    (pitch_detection.go:694-727): crossings counted with the Go
+    boundary rule ((x > 0 and prev <= 0) or (x <= 0 and prev > 0))
+    over mean-centered frames (the DC-removal analog — raw token
+    lengths are all positive), frequency = crossings * SR / (2 n),
+    constant 0.3 confidence.  Completes every implemented method of
+    the DetectPitch dispatch (:239-259).  Pure Catalyst array
+    expressions — no Python."""
+    from sonar_spark.operators.frames import expand_frames
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    frames = expand_frames(toks, FrameConfig(window=16, hop=4))
+    w = F.transform("window", lambda x: x.cast("double"))
+    d = frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        w.alias("w"),
+    )
+    mean = F.aggregate(
+        "w", F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size("w")
+    d = d.withColumn("__m", mean).select(
+        "doc_id", "frame_idx",
+        F.transform("w", lambda x: x - F.col("__m")).alias("c"),
+    )
+    cross = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice("c", 2, 15),
+                F.slice("c", 1, 15),
+                lambda cur, prv: ((cur > 0) & (prv <= 0))
+                | ((cur <= 0) & (prv > 0)),
+            ),
+            lambda b: b,
+        )
+    )
+    freq = cross.cast("double") * 32.0 / (2.0 * 16.0)
+    return d.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        cross.cast("long").alias("crossings"),
+        F.round(freq, 6).alias("pitch_zcr"),
+        F.lit(0.3).alias("confidence"),
+    )
+
+
 def q_cepstrum_f0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cepstral F0 (fundamental_estimation.go:96-147): log power
     spectrum with the 1e-10 floor, real inverse DFT to quefrency,
@@ -4646,11 +4735,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tonnetz_movement": q_tonnetz_movement,
         "chroma_shift_optimal": q_chroma_shift_optimal,
         "harmonic_series": q_harmonic_series,
-        # --- slots 48-50: anchors (green in r01-r03 snapshots)
-        "windowed_stats": q_windowed_stats,
-        "asof_bucketed": q_asof_bucketed,
+        # --- slots 48-50: new in round 4 (never certified either)
+        "pitch_tracked": q_pitch_tracked,
+        "pitch_zcr": q_pitch_zcr,
         "compare_topk_lsh": q_compare_topk_lsh,
         # --- slots 51+: certified in CORRECTNESS_r01-r03
+        "windowed_stats": q_windowed_stats,
+        "asof_bucketed": q_asof_bucketed,
         "sessionize_gap": q_sessionize_gap,
         "asof_events": q_asof_events,
         "topk_orders": q_topk_orders,
@@ -5923,6 +6014,260 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1.0 / sqrt(re*re + im*im)
                          ELSE 0.0 END, 6) + 0.0 AS envelope
             FROM ev
+        """,
+        "pitch_zcr": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            f AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt,
+                     avg(val) OVER w AS mn
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            frz AS (
+              SELECT doc_id, strt, (strt / 4)::BIGINT AS frame_idx, mn
+              FROM f WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            zc AS (
+              SELECT f.doc_id, f.frame_idx,
+                     sum(CASE WHEN (vc.val - f.mn > 0
+                                    AND vp.val - f.mn <= 0)
+                              OR (vc.val - f.mn <= 0
+                                  AND vp.val - f.mn > 0)
+                         THEN 1 ELSE 0 END)::BIGINT AS crossings
+              FROM frz f
+              JOIN v vc ON vc.doc_id = f.doc_id
+                AND vc.pos - 1 BETWEEN f.strt + 1 AND f.strt + 15
+              JOIN v vp ON vp.doc_id = f.doc_id
+                AND vp.pos = vc.pos - 1
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, frame_idx, crossings,
+                   round(crossings * 32.0 / 32.0, 6) + 0.0 AS pitch_zcr,
+                   0.3 AS confidence
+            FROM zc
+        """,
+        "pitch_tracked": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+                     length(unnest(tl))::DOUBLE AS val
+              FROM toks
+            ),
+            fw AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER w AS cnt
+              FROM v
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+            ),
+            frz AS (
+              SELECT doc_id, strt, (strt / 4)::BIGINT AS fi
+              FROM fw WHERE strt % 4 = 0 AND cnt = 32
+            ),
+            fv AS (
+              SELECT z.doc_id, z.fi, v.pos - 1 - z.strt AS p, v.val
+              FROM frz z JOIN v ON v.doc_id = z.doc_id
+                AND v.pos - 1 BETWEEN z.strt AND z.strt + 31
+            ),
+            s AS (
+              SELECT a.doc_id, a.fi, t.tau,
+                     sum(a.val * b.val) AS acf,
+                     sum(a.val * a.val) AS m1,
+                     sum(b.val * b.val) AS m2
+              FROM fv a
+              JOIN (SELECT unnest(generate_series(0, 15)) AS tau) t
+                ON true
+              JOIN fv b ON b.doc_id = a.doc_id AND b.fi = a.fi
+                AND b.p = a.p + t.tau
+              WHERE a.p < 16
+              GROUP BY 1, 2, 3
+            ),
+            nd AS (
+              SELECT doc_id, fi, tau,
+                     CASE WHEN m1 + m2 > 0
+                          THEN 2.0 * acf / (m1 + m2)
+                          ELSE 0.0 END AS nd
+              FROM s
+            ),
+            px AS (
+              SELECT doc_id, fi, tau, nd,
+                     lag(nd) OVER wnd AS pv, lead(nd) OVER wnd AS nx
+              FROM nd
+              WINDOW wnd AS (PARTITION BY doc_id, fi ORDER BY tau)
+            ),
+            cand AS (
+              SELECT doc_id, fi, nd AS conf, 32.0 / tau AS fq,
+                     row_number() OVER (PARTITION BY doc_id, fi
+                       ORDER BY nd DESC, tau ASC) AS rn
+              FROM px
+              WHERE tau >= 1 AND nd > pv AND nd > nx AND nd > 0.3
+                AND 32.0 / tau >= 1.0 AND 32.0 / tau <= 16.0
+            ),
+            agg AS (
+              SELECT doc_id, fi,
+                     max(CASE WHEN rn = 1 THEN fq END) AS pitch0,
+                     max(CASE WHEN rn = 1 THEN conf END) AS c1
+              FROM cand WHERE rn = 1 GROUP BY 1, 2
+            ),
+            det AS (
+              SELECT b.doc_id, b.fi,
+                     round(coalesce(a.pitch0, 0.0), 6) + 0.0 AS p,
+                     round(coalesce(a.c1, 0.0), 6) + 0.0 AS c
+              FROM (SELECT DISTINCT doc_id, fi FROM fv) b
+              LEFT JOIN agg a ON a.doc_id = b.doc_id AND a.fi = b.fi
+            ),
+            rec AS (
+              SELECT d.doc_id, d.fi,
+                     CASE WHEN d.c < 0.5 THEN 0.0 ELSE d.p END
+                       AS pc,
+                     CASE WHEN d.c < 0.5 THEN 0.0 ELSE d.p END
+                       AS sm,
+                     1.0::DOUBLE AS f0m,
+                     least(CASE WHEN d.p < 0.4 OR d.p > 4.0
+                             THEN (CASE WHEN d.p >= 0.8 AND d.p <= 3.2
+                                     THEN d.c * 1.2 ELSE d.c END) * 0.8
+                             ELSE CASE WHEN d.p >= 0.8 AND d.p <= 3.2
+                                    THEN d.c * 1.2 ELSE d.c END
+                           END, 1.0) AS sal,
+                     0.0::DOUBLE AS st,
+                     [CASE WHEN d.c < 0.5 THEN 0.0
+                           ELSE d.p END::DOUBLE] AS hist,
+                     CASE WHEN d.c < 0.5 THEN 0.0 ELSE d.p END
+                       AS prev_sm
+              FROM det d WHERE d.fi = 0
+              UNION ALL
+              SELECT r.doc_id, d.fi,
+                     x4.pc, x7.sm, x4.f0m, x5.sal, x8.st,
+                     x6.hist2 AS hist, x7.sm AS prev_sm
+              FROM rec r
+              JOIN det d ON d.doc_id = r.doc_id AND d.fi = r.fi + 1,
+              LATERAL (SELECT
+                  r.hist[greatest(1, len(r.hist) - 4):] AS recent5
+                ) x1,
+              LATERAL (SELECT
+                  list_sort(list_filter(x1.recent5,
+                                        x -> x > 0)) AS filt5
+                ) x2,
+              LATERAL (SELECT
+                  CASE WHEN len(x1.recent5) >= 3 THEN
+                    CASE WHEN len(x2.filt5) = 0 THEN 0.0
+                         WHEN len(x2.filt5) % 2 = 0
+                           THEN (x2.filt5[len(x2.filt5) // 2]
+                                 + x2.filt5[len(x2.filt5) // 2 + 1])
+                                / 2.0
+                         ELSE x2.filt5[(len(x2.filt5) + 1) // 2]
+                    END
+                  END AS med
+                ) x3,
+              LATERAL (SELECT
+                  CASE WHEN d.p != 0 AND x3.med IS NOT NULL THEN
+                    CASE WHEN x3.med * 0.5 != 0
+                           AND abs(d.p - x3.med * 0.5)
+                               / (x3.med * 0.5) < 0.1 THEN 0.5
+                         WHEN x3.med * 2.0 != 0
+                           AND abs(d.p - x3.med * 2.0)
+                               / (x3.med * 2.0) < 0.1 THEN 2.0
+                         WHEN x3.med * (1.0 / 3.0) != 0
+                           AND abs(d.p - x3.med * (1.0 / 3.0))
+                               / (x3.med * (1.0 / 3.0)) < 0.1
+                           THEN 1.0 / 3.0
+                         WHEN x3.med * 3.0 != 0
+                           AND abs(d.p - x3.med * 3.0)
+                               / (x3.med * 3.0) < 0.1 THEN 3.0
+                    END
+                  END AS rr
+                ) x3b,
+              LATERAL (SELECT
+                  CASE WHEN x3b.rr IS NOT NULL
+                         AND abs(d.p - x3.med)
+                             > abs(x3.med * x3b.rr - x3.med)
+                       THEN x3.med * x3b.rr ELSE d.p END AS pc0,
+                  CASE WHEN x3b.rr IS NOT NULL
+                         AND abs(d.p - x3.med)
+                             > abs(x3.med * x3b.rr - x3.med)
+                       THEN x3b.rr ELSE 1.0 END AS f0m
+                ) x4a,
+              LATERAL (SELECT
+                  CASE WHEN d.c < 0.5 THEN 0.0
+                       ELSE x4a.pc0 END AS pc,
+                  x4a.f0m AS f0m
+                ) x4,
+              LATERAL (SELECT
+                  least(CASE WHEN x4a.pc0 < 0.4 OR x4a.pc0 > 4.0
+                          THEN (CASE WHEN x4a.pc0 >= 0.8
+                                       AND x4a.pc0 <= 3.2
+                                  THEN d.c * 1.2 ELSE d.c END) * 0.8
+                          ELSE CASE WHEN x4a.pc0 >= 0.8
+                                      AND x4a.pc0 <= 3.2
+                                 THEN d.c * 1.2 ELSE d.c END
+                        END, 1.0) AS sal
+                ) x5,
+              LATERAL (SELECT
+                  CASE WHEN len(list_append(r.hist, x4.pc)) > 20
+                       THEN (list_append(r.hist, x4.pc))
+                            [len(list_append(r.hist, x4.pc)) - 19:]
+                       ELSE list_append(r.hist, x4.pc)
+                  END AS hist2
+                ) x6,
+              LATERAL (SELECT
+                  list_sort(list_filter(
+                    x6.hist2[greatest(1, len(x6.hist2) - 2):],
+                    x -> x > 0)) AS filt3,
+                  len(x6.hist2[greatest(1, len(x6.hist2) - 2):])
+                    AS n3
+                ) x6b,
+              LATERAL (SELECT
+                  CASE WHEN len(x6.hist2) > 1 THEN
+                    CASE WHEN x6b.n3 >= 3 THEN
+                      CASE WHEN len(x6b.filt3) = 0 THEN 0.0
+                           WHEN len(x6b.filt3) % 2 = 0
+                             THEN (x6b.filt3[len(x6b.filt3) // 2]
+                                   + x6b.filt3
+                                     [len(x6b.filt3) // 2 + 1])
+                                  / 2.0
+                           ELSE x6b.filt3
+                                [(len(x6b.filt3) + 1) // 2]
+                      END
+                    ELSE 0.3 * x4.pc + 0.7 * r.prev_sm END
+                  ELSE x4.pc END AS sm
+                ) x7,
+              LATERAL (SELECT
+                  list_filter(x6.hist2, x -> x > 0) AS valid
+                ) x7b,
+              LATERAL (SELECT
+                  CASE WHEN len(x6.hist2) >= 3
+                         AND len(x7b.valid) >= 2 THEN
+                    list_sum(x7b.valid) / len(x7b.valid)
+                  END AS mean_v
+                ) x7c,
+              LATERAL (SELECT
+                  CASE WHEN x7c.mean_v IS NOT NULL
+                         AND x7c.mean_v > 0 THEN
+                    greatest(0.0, 1.0 - sqrt(
+                      list_sum(list_transform(x7b.valid,
+                        x -> (x - x7c.mean_v) * (x - x7c.mean_v)))
+                      / (len(x7b.valid) - 1)) / x7c.mean_v)
+                  ELSE 0.0 END AS st
+                ) x8
+            )
+            SELECT doc_id, fi AS frame_idx,
+                   round(pc, 6) + 0.0 AS pitch_corrected,
+                   round(sm, 6) + 0.0 AS pitch,
+                   round(f0m, 6) + 0.0 AS f0_multiple,
+                   round(sal, 6) + 0.0 AS salience,
+                   round(st, 6) + 0.0 AS stability
+            FROM rec
         """,
         "pitch_nsdf": r"""
             WITH toks AS (

@@ -9,6 +9,8 @@ All window functions + groupBy — no Python.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -458,7 +460,7 @@ def envelope_hilbert(
 def pitch_nsdf(
     vals: DataFrame,
     *,
-    key: str = "doc_id",
+    key="doc_id",
     pos: str = "pos",
     val: str = "v",
     sample_rate: float = 32.0,
@@ -468,6 +470,7 @@ def pitch_nsdf(
     min_confidence: float = 0.5,
     boost_band: tuple = (0.8, 3.2),
     keep_band: tuple = (0.4, 4.0),
+    gate: bool = True,
 ) -> DataFrame:
     """NSDF (McLeod-style) pitch detection
     (tonal/pitch_detection.go:485-553 + postProcessResult :767-875):
@@ -491,30 +494,46 @@ def pitch_nsdf(
 
     All sums are exact integer arithmetic on the token-length
     series, so both engines agree on every comparison without
-    rounding.  Output: key, pitch, confidence, clarity, strength,
-    salience."""
+    rounding.  Output: key..., pitch, confidence, clarity, strength,
+    salience.
+
+    ``key`` may be a single column name or a list (e.g.
+    ``["doc_id", "frame_idx"]`` for per-frame stream detection
+    feeding :func:`pitch_track`); ``gate=False`` skips the
+    MinConfidence zeroing so the stream post-processor can apply the
+    reference's octave-correction-before-gate order (DetectPitch
+    :267 runs postProcessResult with history before the gate)."""
+    keys = [key] if isinstance(key, str) else list(key)
     d = vals.select(
-        key, F.col(pos).alias("__p"), F.col(val).cast("double").alias("__v")
+        *keys, F.col(pos).alias("__p"), F.col(val).cast("double").alias("__v")
     )
-    half = d.groupBy(key).agg(
+    half = d.groupBy(*keys).agg(
         F.floor(F.count("*") / 2).cast("int").alias("__hn")
     )
-    a = d.join(F.broadcast(half), key).where(F.col("__p") < F.col("__hn"))
+    a = d.join(F.broadcast(half), keys).where(F.col("__p") < F.col("__hn"))
     taus = half.withColumn(
         "tau", F.explode(F.sequence(F.lit(0), F.col("__hn") - 1))
-    ).select(F.col(key).alias("__kt"), "tau")
-    at = a.join(taus, F.col("__kt") == F.col(key)).drop("__kt")
+    ).select(
+        *[F.col(k).alias(f"__kt{i}") for i, k in enumerate(keys)], "tau"
+    )
+    cond_t = reduce(
+        lambda x, y: x & y,
+        [F.col(f"__kt{i}") == F.col(k) for i, k in enumerate(keys)],
+    )
+    at = a.join(taus, cond_t).drop(
+        *[f"__kt{i}" for i in range(len(keys))]
+    )
     b = d.select(
-        F.col(key).alias("__kb"),
+        *[F.col(k).alias(f"__kb{i}") for i, k in enumerate(keys)],
         F.col("__p").alias("__pb"),
         F.col("__v").alias("__vb"),
     )
-    j = at.join(
-        b,
-        (F.col("__kb") == F.col(key))
-        & (F.col("__pb") == F.col("__p") + F.col("tau")),
+    cond_b = reduce(
+        lambda x, y: x & y,
+        [F.col(f"__kb{i}") == F.col(k) for i, k in enumerate(keys)],
     )
-    s = j.groupBy(key, "tau").agg(
+    j = at.join(b, cond_b & (F.col("__pb") == F.col("__p") + F.col("tau")))
+    s = j.groupBy(*keys, "tau").agg(
         F.sum(F.col("__v") * F.col("__vb")).alias("__acf"),
         F.sum(F.col("__v") * F.col("__v")).alias("__m1"),
         F.sum(F.col("__vb") * F.col("__vb")).alias("__m2"),
@@ -523,9 +542,9 @@ def pitch_nsdf(
         F.col("__m1") + F.col("__m2") > 0,
         2.0 * F.col("__acf") / (F.col("__m1") + F.col("__m2")),
     ).otherwise(F.lit(0.0))
-    w = Window.partitionBy(key).orderBy("tau")
-    x = s.select(key, "tau", nsdf.alias("__nd")).select(
-        key,
+    w = Window.partitionBy(*keys).orderBy("tau")
+    x = s.select(*keys, "tau", nsdf.alias("__nd")).select(
+        *keys,
         "tau",
         "__nd",
         F.lag("__nd").over(w).alias("__pv"),
@@ -539,19 +558,19 @@ def pitch_nsdf(
         & (F.col("__nd") > autocorr_threshold)
         & (freq >= min_freq)
         & (freq <= max_freq)
-    ).select(key, "tau", F.col("__nd").alias("__conf"), freq.alias("__f"))
+    ).select(*keys, "tau", F.col("__nd").alias("__conf"), freq.alias("__f"))
     rn = F.row_number().over(
-        Window.partitionBy(key).orderBy(
+        Window.partitionBy(*keys).orderBy(
             F.col("__conf").desc(), F.col("tau").asc()
         )
     )
     top2 = cand.withColumn("__rn", rn).where(F.col("__rn") <= 2)
-    agg = top2.groupBy(key).agg(
+    agg = top2.groupBy(*keys).agg(
         F.max(F.when(F.col("__rn") == 1, F.col("__f"))).alias("__pitch"),
         F.max(F.when(F.col("__rn") == 1, F.col("__conf"))).alias("__c1"),
         F.max(F.when(F.col("__rn") == 2, F.col("__conf"))).alias("__c2"),
     )
-    base = d.select(key).distinct().join(agg, key, "left")
+    base = d.select(*keys).distinct().join(agg, keys, "left")
     conf = F.coalesce(F.col("__c1"), F.lit(0.0))
     pitch = F.coalesce(F.col("__pitch"), F.lit(0.0))
     clarity = F.when(
@@ -570,9 +589,9 @@ def pitch_nsdf(
         (pitch < keep_band[0]) | (pitch > keep_band[1]), sal1 * 0.8
     ).otherwise(sal1)
     salience = F.least(sal2, F.lit(1.0))
-    gated = conf < min_confidence
+    gated = (conf < min_confidence) if gate else F.lit(False)
     return base.select(
-        key,
+        *keys,
         F.when(gated, F.lit(0.0)).otherwise(pitch).alias("pitch"),
         F.when(gated, F.lit(0.0)).otherwise(conf).alias("confidence"),
         clarity.alias("clarity"),
@@ -686,3 +705,170 @@ def voice_quality_full(
         overall.alias("overall_quality"),
         analysis.alias("analysis_quality"),
     )
+
+
+OCTAVE_RATIOS = (0.5, 2.0, 1.0 / 3.0, 3.0)
+
+
+def _median_positive(values: list[float]) -> float:
+    """calculateMedian (pitch_detection.go:978-1007): drop zeros,
+    sort, average the middle two on even counts; 0.0 when nothing
+    positive survives."""
+    filt = sorted(v for v in values if v > 0)
+    n = len(filt)
+    if n == 0:
+        return 0.0
+    if n % 2 == 0:
+        return (filt[n // 2 - 1] + filt[n // 2]) / 2.0
+    return filt[n // 2]
+
+
+def track_pitch_sequence(
+    frames: list[tuple[float, float]],
+    *,
+    min_confidence: float = 0.5,
+    median_filter: int = 3,
+    max_history: int = 20,
+    boost_band: tuple = (0.8, 3.2),
+    keep_band: tuple = (0.4, 4.0),
+):
+    """Scalar port of the reference's per-stream pitch
+    post-processing state (ProcessAudioStream
+    pitch_detection.go:1016-1029 driving DetectPitch :225-279):
+    per frame, in order —
+
+    - octave correction (:793-827): with >= 3 of the last 5 history
+      pitches, the FIRST ratio in {0.5, 2, 1/3, 3} whose expected
+      pitch med*r is within 10% of the raw pitch breaks the loop,
+      swapping to med*r only if the raw pitch is strictly farther
+      from the median (F0Multiple = r, else 1);
+    - salience (:857-873) recomputed on the corrected pitch;
+    - the MinConfidence gate (:783-787) zeroes pitch + confidence
+      AFTER correction;
+    - history append of the gated pitch, capped at the last 20
+      (:881-890) — the history stores pre-smoothing values;
+    - temporal smoothing (:904-921): median of the last 3 history
+      entries (zeros dropped) once 3 exist, else exponential
+      0.3*current + 0.7*previous-smoothed;
+    - stability (:923-963) = max(0, 1 - cv) over the positive
+      history pitches (sample stddev, n-1), 0 below 3 history / 2
+      valid entries.
+
+    Input: [(pitch, confidence)] in frame order (6-dp pre-rounded —
+    the quantized interface the DuckDB recursive-CTE oracle
+    replays).  Yields per frame:
+    (pitch_corrected, pitch_smoothed, f0_multiple, salience,
+    stability)."""
+    import math
+
+    hist: list[float] = []
+    prev_smoothed = 0.0
+    out = []
+    for p, c in frames:
+        f0m = 1.0
+        if p != 0.0 and len(hist) > 0:
+            recent = hist[-5:]
+            if len(recent) >= 3:
+                med = _median_positive(recent)
+                for r in OCTAVE_RATIOS:
+                    e = med * r
+                    # Go computes |p-e|/e with e=0 -> +Inf -> false
+                    if e != 0.0 and abs(p - e) / e < 0.1:
+                        if abs(p - med) > abs(e - med):
+                            p, f0m = e, r
+                        break
+        sal = c
+        if boost_band[0] <= p <= boost_band[1]:
+            sal *= 1.2
+        if p < keep_band[0] or p > keep_band[1]:
+            sal *= 0.8
+        sal = min(sal, 1.0)
+        if c < min_confidence:
+            p, c = 0.0, 0.0
+        hist.append(p)
+        if len(hist) > max_history:
+            hist = hist[-max_history:]
+        sm = p
+        if len(hist) > 1:
+            if median_filter > 0 and len(hist) >= 3:
+                sm = _median_positive(hist[-median_filter:])
+            else:
+                sm = 0.3 * p + 0.7 * prev_smoothed
+        st = 0.0
+        if len(hist) >= 3:
+            valid = [x for x in hist if x > 0]
+            if len(valid) >= 2:
+                mean = sum(valid) / len(valid)
+                var = sum((x - mean) * (x - mean) for x in valid) / (
+                    len(valid) - 1
+                )
+                if mean > 0:
+                    st = max(0.0, 1.0 - math.sqrt(var) / mean)
+        prev_smoothed = sm
+        out.append((p, sm, f0m, sal, st))
+    return out
+
+
+def pitch_track(
+    det: DataFrame,
+    *,
+    key: str = "doc_id",
+    order: str = "frame_idx",
+    pitch_col: str = "pitch",
+    conf_col: str = "confidence",
+    min_confidence: float = 0.5,
+    median_filter: int = 3,
+    max_history: int = 20,
+    boost_band: tuple = (0.8, 3.2),
+    keep_band: tuple = (0.4, 4.0),
+) -> DataFrame:
+    """Pitch temporal post-processing over per-frame raw detections
+    (see :func:`track_pitch_sequence`).  applyInPandas per key —
+    each stream's history state is independent, so streams are the
+    parallel unit (same shape as harmonic_tracks); frames per
+    stream are bounded.  Output: key, frame order col,
+    pitch_corrected, pitch (smoothed), f0_multiple, salience,
+    stability."""
+    inp = det.select(
+        F.col(key).alias("__k"),
+        F.col(order).cast("int").alias("__f"),
+        F.col(pitch_col).cast("double").alias("__pp"),
+        F.col(conf_col).cast("double").alias("__pc"),
+    )
+    out_schema = (
+        f"{key} long, {order} int, pitch_corrected double,"
+        " pitch double, f0_multiple double, salience double,"
+        " stability double"
+    )
+    kw = dict(
+        min_confidence=min_confidence,
+        median_filter=median_filter,
+        max_history=max_history,
+        boost_band=boost_band,
+        keep_band=keep_band,
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        k = pdf["__k"].iloc[0]
+        pdf = pdf.sort_values("__f")
+        frames = [
+            (float(p), float(c))
+            for p, c in zip(pdf["__pp"], pdf["__pc"])
+        ]
+        rows = [
+            (k, int(f), pc, sm, f0m, sal, st)
+            for f, (pc, sm, f0m, sal, st) in zip(
+                pdf["__f"], track_pitch_sequence(frames, **kw)
+            )
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                key, order, "pitch_corrected", "pitch",
+                "f0_multiple", "salience", "stability",
+            ],
+        )
+
+    return inp.groupBy("__k").applyInPandas(run, schema=out_schema)

@@ -132,3 +132,76 @@ def test_envelope_hilbert(spark):
         assert np.isclose(got[("d1", i)], np.sqrt(x[i] ** 2 + imag ** 2),
                           rtol=1e-12), i
     assert got[("single", 0)] == 5.0  # imag defined 0 for 1-row groups
+
+
+def test_track_pitch_sequence_reference_semantics():
+    """Scalar pitch-stream post-processor vs hand-computed
+    expectations (pitch_detection.go:767-1010): octave correction
+    first-ratio break + strictly-farther swap, the gate ordering,
+    3-median / exponential smoothing, CV stability, and the 20-deep
+    history cap (not reachable on the <= 18-frame parquet docs)."""
+    import math
+
+    from sonar_spark.operators.temporal import (
+        _median_positive,
+        track_pitch_sequence,
+    )
+
+    # median: zeros dropped, even count averages the middle two
+    assert _median_positive([0.0, 4.0, 2.0]) == 3.0
+    assert _median_positive([3.0, 1.0, 2.0]) == 2.0
+    assert _median_positive([0.0, 0.0]) == 0.0
+
+    # frame 0: no history, no smoothing, stability 0
+    out = track_pitch_sequence([(8.0, 0.9)])
+    assert out == [(8.0, 8.0, 1.0, 0.9 * 0.8, 0.0)]
+
+    # frame 1: exponential smoothing 0.3*p + 0.7*prev (history of 2)
+    out = track_pitch_sequence([(8.0, 0.9), (6.0, 0.9)])
+    assert out[1][1] == 0.3 * 6.0 + 0.7 * 8.0
+
+    # octave correction: med of [6.4,6.4,6.4] = 6.4; raw 32/11 is
+    # within 10% of 6.4*0.5 = 3.2 and farther from the median ->
+    # swapped to 3.2, f0_multiple 0.5; salience band boost applies
+    # to the corrected pitch (0.8 <= 3.2 <= 3.2 -> *1.2)
+    raw = 32.0 / 11.0
+    seq = [(6.4, 0.9)] * 3 + [(raw, 0.9)]
+    pc, sm, f0m, sal, st = track_pitch_sequence(seq)[3]
+    assert (pc, f0m) == (3.2, 0.5)
+    assert sal == min(0.9 * 1.2, 1.0)
+    # smoothing: median of last 3 history entries [6.4, 6.4, 3.2]
+    assert sm == 6.4
+
+    # exact-ratio hit breaks WITHOUT swapping (|p-med| == |e-med|)
+    seq = [(6.4, 0.9)] * 3 + [(3.2, 0.9)]
+    pc, _, f0m, _, _ = track_pitch_sequence(seq)[3]
+    assert (pc, f0m) == (3.2, 1.0)
+
+    # gate zeroes the history value AFTER correction/salience
+    seq = [(6.4, 0.9)] * 3 + [(raw, 0.4)]
+    pc, sm, f0m, sal, st = track_pitch_sequence(seq)[3]
+    assert pc == 0.0 and f0m == 0.5  # correction ran, then gated
+    assert sal == min(0.4 * 1.2, 1.0)
+    # smoothing median drops the zero: median of [6.4, 6.4] = 6.4
+    assert sm == 6.4
+
+    # stability = 1 - cv over positive history (sample std)
+    seq = [(6.0, 0.9), (8.0, 0.9), (10.0, 0.9)]
+    st = track_pitch_sequence(seq)[2][4]
+    vals = [6.0, 8.0, 10.0]
+    mean = sum(vals) / 3
+    sd = math.sqrt(sum((x - mean) ** 2 for x in vals) / 2)
+    assert abs(st - (1.0 - sd / mean)) < 1e-12
+
+    # history cap: 25 identical frames then a shift — the median
+    # window only ever sees the last 20 entries
+    seq = [(4.0, 0.9)] * 25
+    out = track_pitch_sequence(seq)
+    assert out[-1] == (4.0, 4.0, 1.0, 0.9, 1.0)
+    # internal: stability over capped history stays exactly 1 (cv=0)
+    seq = [(16.0, 0.9)] * 22 + [(4.0, 0.9)]
+    st_last = track_pitch_sequence(seq)[-1][4]
+    valid = [16.0] * 19 + [4.0]
+    mean = sum(valid) / 20
+    sd = math.sqrt(sum((x - mean) ** 2 for x in valid) / 19)
+    assert abs(st_last - max(0.0, 1.0 - sd / mean)) < 1e-12
