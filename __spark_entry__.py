@@ -869,6 +869,49 @@ def q_compare_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_featurize_music(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The music-extractor composite end-to-end (extractors/music.go:
+    178-243 + setupFeatureWeights :144-176): FeatureConfig(
+    enable_chroma=True) routes the per-frame HPCP chroma front end
+    into the doc fingerprint as the mean chroma vector
+    (comparison.go:691-712), and compare_topk scores the chroma
+    group (cosine of mean vectors, :673-688) next to energy/moments
+    with the music weight tiers (chroma 1.0, moments 0.7, energy
+    0.6 — the chroma_features/spectral/rms_energy rows of
+    :146-172).  Bounded doc set (id < 48) for the all-pairs
+    baseline; the LSH candidate path (compare_topk_lsh) is the
+    scale route."""
+    from sonar_spark.config import ComparisonConfig, FeatureConfig
+    from sonar_spark.plans.pipeline import music_fingerprints
+
+    cfg = FeatureConfig(enable_chroma=True)
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8), cfg)
+    stats = _explicit_doc_stats(feats).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    pcp = _doc_hpcp(spark, sf_dir)
+    fps = music_fingerprints(stats, pcp, cfg).where(F.col("doc_id") < 48)
+    music_w = {
+        src: {"energy": 0.6, "moments": 0.7, "chroma": 1.0}
+        for src in ("web", "books", "code", "news")
+    }
+    ccfg = ComparisonConfig(weights=music_w)
+    out = compare_topk(fps, fps, ccfg, k=3)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("match_id").cast("long").alias("match_id"),
+        F.round("similarity", 6).alias("similarity"),
+        "match_class",
+        F.round("sim_energy", 6).alias("sim_energy"),
+        F.round("sim_moments", 6).alias("sim_moments"),
+        F.round("sim_chroma", 6).alias("sim_chroma"),
+        F.round("sim_noise", 6).alias("sim_noise"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
 def q_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score normalization of event values (SURVEY §2.4,
     normalization.go:33-72) + robust variant."""
@@ -4738,8 +4781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 48-50: new in round 4 (never certified either)
         "pitch_tracked": q_pitch_tracked,
         "pitch_zcr": q_pitch_zcr,
-        "compare_topk_lsh": q_compare_topk_lsh,
+        "featurize_music": q_featurize_music,
         # --- slots 51+: certified in CORRECTNESS_r01-r03
+        "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
         "sessionize_gap": q_sessionize_gap,
@@ -7310,6 +7354,221 @@ def oracle_sql() -> dict[str, str]:
         # pairs with word-4-shingle Jaccard >= 0.8 over the planted
         # corpus (inverted-index candidate generation keeps it
         # near-linear); green row == LSH recall 1.0 at threshold
+        "featurize_music": _hpcp_chain_sql() + r""",
+            raw12 AS (
+              SELECT doc_id, frame_idx, pitch_class,
+                     CASE WHEN energy > 0 THEN raw / energy
+                          ELSE 0.0 END AS hv
+              FROM en
+            ),
+            chm AS (
+              SELECT doc_id, pitch_class, round(avg(hv), 6) AS mv
+              FROM raw12 GROUP BY 1, 2
+            ),
+            chw AS (
+              SELECT doc_id,
+                max(CASE WHEN pitch_class = 0 THEN mv END) AS c0,
+                max(CASE WHEN pitch_class = 1 THEN mv END) AS c1,
+                max(CASE WHEN pitch_class = 2 THEN mv END) AS c2,
+                max(CASE WHEN pitch_class = 3 THEN mv END) AS c3,
+                max(CASE WHEN pitch_class = 4 THEN mv END) AS c4,
+                max(CASE WHEN pitch_class = 5 THEN mv END) AS c5,
+                max(CASE WHEN pitch_class = 6 THEN mv END) AS c6,
+                max(CASE WHEN pitch_class = 7 THEN mv END) AS c7,
+                max(CASE WHEN pitch_class = 8 THEN mv END) AS c8,
+                max(CASE WHEN pitch_class = 9 THEN mv END) AS c9,
+                max(CASE WHEN pitch_class = 10 THEN mv END) AS c10,
+                max(CASE WHEN pitch_class = 11 THEN mv END) AS c11
+              FROM chm GROUP BY 1
+            ),
+            sfx AS (
+              SELECT doc_id, pos - 1 AS strt, count(*) OVER ws AS cnt,
+                     avg(val) OVER ws AS mn
+              FROM v
+              WINDOW ws AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND 31 FOLLOWING)
+            ),
+            sfr AS (
+              SELECT doc_id, strt, mn
+              FROM sfx WHERE strt % 8 = 0 AND cnt = 32
+            ),
+            scm AS (
+              SELECT sfr.doc_id, sfr.strt, sfr.mn,
+                     avg((v.val - sfr.mn) * (v.val - sfr.mn)) AS m2,
+                     avg((v.val - sfr.mn) * (v.val - sfr.mn)
+                         * (v.val - sfr.mn)) AS m3,
+                     avg((v.val - sfr.mn) * (v.val - sfr.mn)
+                         * (v.val - sfr.mn) * (v.val - sfr.mn)) AS m4,
+                     min(v.val) AS fmin, max(v.val) AS fmax
+              FROM sfr JOIN v ON v.doc_id = sfr.doc_id
+                AND v.pos - 1 BETWEEN sfr.strt AND sfr.strt + 31
+              GROUP BY 1, 2, 3
+            ),
+            sfeat AS (
+              SELECT doc_id,
+                     sqrt(m2 + mn * mn) AS rms_energy,
+                     CASE WHEN sqrt(m2 + mn * mn) > 0
+                          THEN greatest(abs(fmin), abs(fmax))
+                               / sqrt(m2 + mn * mn)
+                          ELSE 0.0 END AS crest,
+                     mn AS fmean,
+                     sqrt(m2) AS fstd,
+                     CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5)
+                          ELSE 0.0 END AS fskew,
+                     CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0
+                          ELSE 0.0 END AS fkurt
+              FROM scm
+            ),
+            sds AS (
+              SELECT doc_id, count(*) AS nf,
+                round(avg(rms_energy), 6) AS e1,
+                round(sqrt(greatest(avg(rms_energy * rms_energy)
+                  - avg(rms_energy) * avg(rms_energy), 0.0)), 6) AS e2,
+                round(avg(crest), 6) AS e3,
+                round(sqrt(greatest(avg(crest * crest)
+                  - avg(crest) * avg(crest), 0.0)), 6) AS e4,
+                round(avg(fmean), 6) AS m1,
+                round(sqrt(greatest(avg(fmean * fmean)
+                  - avg(fmean) * avg(fmean), 0.0)), 6) AS m2_,
+                round(avg(fstd), 6) AS m3_,
+                round(sqrt(greatest(avg(fstd * fstd)
+                  - avg(fstd) * avg(fstd), 0.0)), 6) AS m4_,
+                round(avg(fskew), 6) AS m5,
+                round(sqrt(greatest(avg(fskew * fskew)
+                  - avg(fskew) * avg(fskew), 0.0)), 6) AS m6,
+                round(avg(fkurt), 6) AS m7,
+                round(sqrt(greatest(avg(fkurt * fkurt)
+                  - avg(fkurt) * avg(fkurt), 0.0)), 6) AS m8
+              FROM sfeat GROUP BY 1
+            ),
+            fps AS (
+              SELECT s.doc_id, d.source, s.nf,
+                     s.e1, s.e2, s.e3, s.e4,
+                     s.m1, s.m2_, s.m3_, s.m4_, s.m5, s.m6, s.m7, s.m8,
+                     ch.c0, ch.c1, ch.c2, ch.c3, ch.c4, ch.c5, ch.c6,
+                     ch.c7, ch.c8, ch.c9, ch.c10, ch.c11
+              FROM sds s
+              JOIN chw ch ON ch.doc_id = s.doc_id
+              JOIN documents d ON d.doc_id = s.doc_id
+              WHERE s.doc_id < 48
+            ),
+            pairsim AS (
+              SELECT q.doc_id AS query_id, m.doc_id AS match_id,
+                     q.source AS src,
+                     q.nf::DOUBLE AS qn, m.nf::DOUBLE AS cn,
+                     CASE WHEN sqrt(q.e1 * q.e1 + q.e2 * q.e2
+                            + q.e3 * q.e3 + q.e4 * q.e4)
+                          * sqrt(m.e1 * m.e1 + m.e2 * m.e2
+                            + m.e3 * m.e3 + m.e4 * m.e4) > 0
+                       THEN (q.e1 * m.e1 + q.e2 * m.e2 + q.e3 * m.e3
+                            + q.e4 * m.e4)
+                          / (sqrt(q.e1 * q.e1 + q.e2 * q.e2
+                            + q.e3 * q.e3 + q.e4 * q.e4)
+                          * sqrt(m.e1 * m.e1 + m.e2 * m.e2
+                            + m.e3 * m.e3 + m.e4 * m.e4))
+                       ELSE 0.0 END AS se,
+                     CASE WHEN sqrt(q.m1 * q.m1 + q.m2_ * q.m2_
+                            + q.m3_ * q.m3_ + q.m4_ * q.m4_
+                            + q.m5 * q.m5 + q.m6 * q.m6
+                            + q.m7 * q.m7 + q.m8 * q.m8)
+                          * sqrt(m.m1 * m.m1 + m.m2_ * m.m2_
+                            + m.m3_ * m.m3_ + m.m4_ * m.m4_
+                            + m.m5 * m.m5 + m.m6 * m.m6
+                            + m.m7 * m.m7 + m.m8 * m.m8) > 0
+                       THEN (q.m1 * m.m1 + q.m2_ * m.m2_
+                            + q.m3_ * m.m3_ + q.m4_ * m.m4_
+                            + q.m5 * m.m5 + q.m6 * m.m6
+                            + q.m7 * m.m7 + q.m8 * m.m8)
+                          / (sqrt(q.m1 * q.m1 + q.m2_ * q.m2_
+                            + q.m3_ * q.m3_ + q.m4_ * q.m4_
+                            + q.m5 * q.m5 + q.m6 * q.m6
+                            + q.m7 * q.m7 + q.m8 * q.m8)
+                          * sqrt(m.m1 * m.m1 + m.m2_ * m.m2_
+                            + m.m3_ * m.m3_ + m.m4_ * m.m4_
+                            + m.m5 * m.m5 + m.m6 * m.m6
+                            + m.m7 * m.m7 + m.m8 * m.m8))
+                       ELSE 0.0 END AS sm,
+                     CASE WHEN sqrt(q.c0 * q.c0 + q.c1 * q.c1
+                            + q.c2 * q.c2 + q.c3 * q.c3 + q.c4 * q.c4
+                            + q.c5 * q.c5 + q.c6 * q.c6 + q.c7 * q.c7
+                            + q.c8 * q.c8 + q.c9 * q.c9
+                            + q.c10 * q.c10 + q.c11 * q.c11)
+                          * sqrt(m.c0 * m.c0 + m.c1 * m.c1
+                            + m.c2 * m.c2 + m.c3 * m.c3 + m.c4 * m.c4
+                            + m.c5 * m.c5 + m.c6 * m.c6 + m.c7 * m.c7
+                            + m.c8 * m.c8 + m.c9 * m.c9
+                            + m.c10 * m.c10 + m.c11 * m.c11) > 0
+                       THEN (q.c0 * m.c0 + q.c1 * m.c1 + q.c2 * m.c2
+                            + q.c3 * m.c3 + q.c4 * m.c4 + q.c5 * m.c5
+                            + q.c6 * m.c6 + q.c7 * m.c7 + q.c8 * m.c8
+                            + q.c9 * m.c9 + q.c10 * m.c10
+                            + q.c11 * m.c11)
+                          / (sqrt(q.c0 * q.c0 + q.c1 * q.c1
+                            + q.c2 * q.c2 + q.c3 * q.c3 + q.c4 * q.c4
+                            + q.c5 * q.c5 + q.c6 * q.c6 + q.c7 * q.c7
+                            + q.c8 * q.c8 + q.c9 * q.c9
+                            + q.c10 * q.c10 + q.c11 * q.c11)
+                          * sqrt(m.c0 * m.c0 + m.c1 * m.c1
+                            + m.c2 * m.c2 + m.c3 * m.c3 + m.c4 * m.c4
+                            + m.c5 * m.c5 + m.c6 * m.c6 + m.c7 * m.c7
+                            + m.c8 * m.c8 + m.c9 * m.c9
+                            + m.c10 * m.c10 + m.c11 * m.c11))
+                       ELSE 0.0 END AS sc_
+              FROM fps q JOIN fps m
+                ON q.doc_id != m.doc_id AND q.source = m.source
+            ),
+            musw AS (
+              SELECT query_id, match_id, qn, cn, se, sm, sc_,
+                     CASE WHEN src IN ('web', 'books', 'code', 'news')
+                          THEN 0.6 ELSE 1.0 / 3.0 END AS we,
+                     CASE WHEN src IN ('web', 'books', 'code', 'news')
+                          THEN 0.7 ELSE 1.0 / 3.0 END AS wm,
+                     CASE WHEN src IN ('web', 'books', 'code', 'news')
+                          THEN 1.0 ELSE 1.0 / 3.0 END AS wc
+              FROM pairsim
+            ),
+            mblend AS (
+              SELECT query_id, match_id, se, sm, sc_, qn, cn,
+                     (we * se + wm * sm + wc * sc_)
+                       / (we + wm + wc) AS sim,
+                     least(1.0, sqrt(
+                       (pow(se - (se + sm + sc_) / 3.0, 2)
+                        + pow(sm - (se + sm + sc_) / 3.0, 2)
+                        + pow(sc_ - (se + sm + sc_) / 3.0, 2))
+                       / 2.0)) AS noise,
+                     CASE WHEN greatest(qn, cn) > 0
+                          THEN 1.0 - least(1.0,
+                            abs(qn - cn) / greatest(qn, cn))
+                          ELSE 1.0 END AS talign
+              FROM musw
+            ),
+            mranked AS (
+              SELECT query_id, match_id, se, sm, sc_, sim, noise,
+                     talign,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, match_id ASC) AS rk
+              FROM mblend WHERE sim >= 0.6
+            )
+            SELECT query_id, rk::INT AS rank, match_id,
+                   round(sim, 6) + 0.0 AS similarity,
+                   CASE WHEN sim >= 0.95 THEN 'excellent'
+                        WHEN sim >= 0.85 THEN 'good'
+                        WHEN sim >= 0.75 THEN 'fair'
+                        WHEN sim >= 0.6 THEN 'poor'
+                        ELSE 'no_match' END AS match_class,
+                   round(se, 6) + 0.0 AS sim_energy,
+                   round(sm, 6) + 0.0 AS sim_moments,
+                   round(sc_, 6) + 0.0 AS sim_chroma,
+                   round(noise, 6) + 0.0 AS sim_noise,
+                   round(greatest(0.0, least(1.0,
+                     0.5 + CASE WHEN sim > 0.8 THEN 0.3
+                                WHEN sim > 0.6 THEN 0.2
+                                ELSE 0.0 END
+                     + 0.1 + 3 * 0.05 + 3.0 / 6.0 * 0.1
+                     - noise * 0.1)), 6) + 0.0 AS confidence
+            FROM mranked WHERE rk <= 3
+        """,
         "compare_topk_lsh": r"""
             WITH base AS (
               SELECT doc_id, source,

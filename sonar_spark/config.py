@@ -51,6 +51,11 @@ class FeatureConfig:
     enable_mfcc: bool = True
     # bark-band energies (Traunmueller scale, bark_scale.go) — opt-in
     enable_bark: bool = False
+    # music-extractor composite route (extractors/music.go:178-243):
+    # adds the per-doc mean-chroma fingerprint columns chroma0..11
+    # (calculateMeanChromaVector, comparison.go:691-712) next to the
+    # speech stats so compare_topk scores the chroma group
+    enable_chroma: bool = False
     entropy_bins: int = 16  # fixed-width histogram bins (Scott-rule analog)
 
 

@@ -262,6 +262,34 @@ def frame_features_builtin(
     return frames.select(*keep)
 
 
+def chroma_doc_stats(
+    hpcp: DataFrame,
+    *,
+    key: str = "doc_id",
+    pc_col: str = "pitch_class",
+    val_col: str = "hpcp",
+) -> DataFrame:
+    """Per-doc mean chroma vector as 12 fingerprint columns
+    chroma0..chroma11 — the music-extractor composite's chroma
+    feature group (extractors/music.go:327-376 per-frame chroma ->
+    fingerprint/comparison.go:691-712 calculateMeanChromaVector; the
+    compare side takes the cosine of these mean vectors,
+    :673-688).  Values are 6-dp rounded (quantized fingerprint
+    interface).  One aggregation: mean per (doc, class) then a
+    12-way max(when) fold — no pivot shuffle."""
+    m = hpcp.groupBy(key, pc_col).agg(
+        F.round(F.avg(val_col), 6).alias("__mv")
+    )
+    return m.groupBy(key).agg(
+        *[
+            F.max(
+                F.when(F.col(pc_col) == i, F.col("__mv"))
+            ).alias(f"chroma{i}")
+            for i in range(12)
+        ]
+    )
+
+
 def doc_stats(features: DataFrame) -> DataFrame:
     """Per-doc (mean,std) summary of each frame feature — the stats
     fingerprint mirroring extractMFCCStatistics (reference

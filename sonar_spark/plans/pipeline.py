@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import FrameConfig
+from ..config import FeatureConfig, FrameConfig
 from ..operators.features import frame_features_arrow
 
 
@@ -57,10 +57,12 @@ class FeaturizeJob:
         out_dir: str,
         n_buckets: int = 16,
         frame_cfg: FrameConfig = FrameConfig(),
+        feat_cfg: FeatureConfig = FeatureConfig(),
     ):
         self.out_dir = out_dir
         self.n_buckets = n_buckets
         self.frame_cfg = frame_cfg
+        self.feat_cfg = feat_cfg
         self.lineage_dir = os.path.join(out_dir, "_lineage")
 
     # ---------------------------------------------------- lineage I/O
@@ -150,7 +152,7 @@ class FeaturizeJob:
                 F.col("__bucket").isin([int(b) for b in take])
             )
             feats = frame_features_arrow(
-                sel.drop("__bucket"), self.frame_cfg
+                sel.drop("__bucket"), self.frame_cfg, self.feat_cfg
             ).withColumn(
                 # bucket is a pure function of doc_id: re-derive after
                 # featurize instead of threading it through the kernel
@@ -204,3 +206,22 @@ class FeaturizeJob:
         return spark.read.option("basePath", self.out_dir).parquet(
             os.path.join(self.out_dir, "__bucket=*")
         )
+
+
+def music_fingerprints(
+    stats: DataFrame,
+    hpcp: DataFrame,
+    feat_cfg: FeatureConfig = FeatureConfig(enable_chroma=True),
+) -> DataFrame:
+    """The music-extractor composite route (extractors/music.go:
+    178-243): when ``feat_cfg.enable_chroma``, the per-doc mean
+    chroma vector (chroma0..11, comparison.go:691-712) lands next to
+    the speech doc-stat fingerprint so compare_topk scores the
+    chroma group (comparison.go:673-688) alongside energy/moments —
+    one broadcast-sized join on doc_id; with the flag off this is
+    the identity (the speech path)."""
+    if not feat_cfg.enable_chroma:
+        return stats
+    from ..operators.features import chroma_doc_stats
+
+    return stats.join(chroma_doc_stats(hpcp), "doc_id")
