@@ -885,13 +885,20 @@ def q_featurize_music(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sonar_spark.plans.pipeline import music_fingerprints
 
     cfg = FeatureConfig(enable_chroma=True)
-    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    # bound the doc set AT THE SOURCE: the doc predicate cannot push
+    # through mapInArrow / the HPCP aggregate chain from outside
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 48)
+    toks = to_token_length_table(docs)
     feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8), cfg)
     stats = _explicit_doc_stats(feats).withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
-    pcp = _doc_hpcp(spark, sf_dir)
-    fps = music_fingerprints(stats, pcp, cfg).where(F.col("doc_id") < 48)
+    pcp = _doc_hpcp(spark, sf_dir, docs)
+    # persist the (tiny, bounded) fingerprint table: compare's two
+    # self-join sides would otherwise re-derive the whole frame +
+    # HPCP front end once each (the r3 plan-audit disease; at scale
+    # the featurize pipeline materializes fingerprints anyway)
+    fps = music_fingerprints(stats, pcp, cfg).persist()
     music_w = {
         src: {"energy": 0.6, "moments": 0.7, "chroma": 1.0}
         for src in ("web", "books", "code", "news")
@@ -1993,13 +2000,20 @@ def q_voice_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hist_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hist_grid(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Zero-filled (doc_id, frame_idx, bin, m) histogram-spectrum rows
     (W=32, H=8, 16 bins, first 4 frames per doc) built with Catalyst
-    expressions — independent of the Arrow kernel's histogram."""
+    expressions — independent of the Arrow kernel's histogram.
+    ``docs`` overrides the source table (e.g. pre-filtered: doc
+    predicates do not push through the chain's aggregates from
+    outside, so bounded queries filter at the source)."""
     from sonar_spark.operators.frames import expand_frames
 
-    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    if docs is None:
+        docs = _t(spark, sf_dir, "documents")
+    toks = to_token_length_table(docs)
     frames = expand_frames(toks, FrameConfig(window=32, hop=8))
     fr = frames.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2480,18 +2494,20 @@ def q_pitch_tracked(spark: SparkSession, sf_dir: str) -> DataFrame:
     and CV stability (:923-963).  The DuckDB oracle replays the
     state machine as a recursive CTE carrying the history list."""
     from sonar_spark.operators.frames import expand_frames
-    from sonar_spark.operators.temporal import pitch_nsdf, pitch_track
+    from sonar_spark.operators.temporal import (
+        pitch_nsdf_frames,
+        pitch_track,
+    )
 
     toks = to_token_length_table(_t(spark, sf_dir, "documents"))
     frames = expand_frames(toks, FrameConfig(window=32, hop=4))
-    vals = frames.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "frame_idx",
-        F.posexplode(
-            F.transform("window", lambda x: x.cast("double"))
-        ).alias("pos", "v"),
+    det = pitch_nsdf_frames(
+        frames.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "frame_idx",
+            "window",
+        )
     )
-    det = pitch_nsdf(vals, key=["doc_id", "frame_idx"], gate=False)
     det6 = det.select(
         "doc_id",
         "frame_idx",
@@ -3377,12 +3393,14 @@ def q_chord_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_hpcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_hpcp(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Per-frame HPCP over the histogram spectrum (the chroma front
     end shared by the tonal queries)."""
     from sonar_spark.operators.peaks import hpcp, spectral_peaks
 
-    grid = _hist_grid(spark, sf_dir)
+    grid = _hist_grid(spark, sf_dir, docs)
     peaks = spectral_peaks(
         grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
     )

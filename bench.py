@@ -131,6 +131,8 @@ def main() -> None:
         "ngram_jaccard",
         "ivf_knn",
         "chroma_pivot",
+        "featurize_music",
+        "pitch_tracked",
     ):
         if name not in qs:
             continue

@@ -759,12 +759,46 @@ def track_pitch_sequence(
     replays).  Yields per frame:
     (pitch_corrected, pitch_smoothed, f0_multiple, salience,
     stability)."""
-    import math
+    tr = PitchTracker(
+        min_confidence=min_confidence,
+        median_filter=median_filter,
+        max_history=max_history,
+        boost_band=boost_band,
+        keep_band=keep_band,
+    )
+    return [tr.step(p, c) for p, c in frames]
 
-    hist: list[float] = []
-    prev_smoothed = 0.0
-    out = []
-    for p, c in frames:
+
+class PitchTracker:
+    """The per-stream state (pitchHistory + previousPitch) behind
+    :func:`track_pitch_sequence`; ``step`` processes one frame and
+    returns (pitch_corrected, pitch_smoothed, f0_multiple, salience,
+    stability).  ``reset`` starts a new stream."""
+
+    def __init__(
+        self,
+        *,
+        min_confidence: float = 0.5,
+        median_filter: int = 3,
+        max_history: int = 20,
+        boost_band: tuple = (0.8, 3.2),
+        keep_band: tuple = (0.4, 4.0),
+    ):
+        self.min_confidence = min_confidence
+        self.median_filter = median_filter
+        self.max_history = max_history
+        self.boost_band = boost_band
+        self.keep_band = keep_band
+        self.reset()
+
+    def reset(self) -> None:
+        self.hist: list[float] = []
+        self.prev_smoothed = 0.0
+
+    def step(self, p: float, c: float):
+        import math
+
+        hist = self.hist
         f0m = 1.0
         if p != 0.0 and len(hist) > 0:
             recent = hist[-5:]
@@ -778,22 +812,22 @@ def track_pitch_sequence(
                             p, f0m = e, r
                         break
         sal = c
-        if boost_band[0] <= p <= boost_band[1]:
+        if self.boost_band[0] <= p <= self.boost_band[1]:
             sal *= 1.2
-        if p < keep_band[0] or p > keep_band[1]:
+        if p < self.keep_band[0] or p > self.keep_band[1]:
             sal *= 0.8
         sal = min(sal, 1.0)
-        if c < min_confidence:
+        if c < self.min_confidence:
             p, c = 0.0, 0.0
         hist.append(p)
-        if len(hist) > max_history:
-            hist = hist[-max_history:]
+        if len(hist) > self.max_history:
+            del hist[: len(hist) - self.max_history]
         sm = p
         if len(hist) > 1:
-            if median_filter > 0 and len(hist) >= 3:
-                sm = _median_positive(hist[-median_filter:])
+            if self.median_filter > 0 and len(hist) >= 3:
+                sm = _median_positive(hist[-self.median_filter:])
             else:
-                sm = 0.3 * p + 0.7 * prev_smoothed
+                sm = 0.3 * p + 0.7 * self.prev_smoothed
         st = 0.0
         if len(hist) >= 3:
             valid = [x for x in hist if x > 0]
@@ -804,9 +838,8 @@ def track_pitch_sequence(
                 )
                 if mean > 0:
                     st = max(0.0, 1.0 - math.sqrt(var) / mean)
-        prev_smoothed = sm
-        out.append((p, sm, f0m, sal, st))
-    return out
+        self.prev_smoothed = sm
+        return (p, sm, f0m, sal, st)
 
 
 def pitch_track(
@@ -823,17 +856,27 @@ def pitch_track(
     keep_band: tuple = (0.4, 4.0),
 ) -> DataFrame:
     """Pitch temporal post-processing over per-frame raw detections
-    (see :func:`track_pitch_sequence`).  applyInPandas per key —
-    each stream's history state is independent, so streams are the
-    parallel unit (same shape as harmonic_tracks); frames per
-    stream are bounded.  Output: key, frame order col,
-    pitch_corrected, pitch (smoothed), f0_multiple, salience,
-    stability."""
-    inp = det.select(
-        F.col(key).alias("__k"),
-        F.col(order).cast("int").alias("__f"),
-        F.col(pitch_col).cast("double").alias("__pp"),
-        F.col(conf_col).cast("double").alias("__pc"),
+    (see :func:`track_pitch_sequence`).
+
+    Shape: ONE shuffle (repartition on the key) + sortWithinPartitions
+    + mapInPandas streaming a per-key state machine over the sorted
+    rows.  groupBy.applyInPandas would pay the ~4-8 ms fixed
+    per-GROUP Arrow cost (the as-of/r1 finding) — at 5k one-doc
+    groups that is 20-40 s of pure overhead, 10x the actual work.
+    The post-processor is strictly forward (each frame depends only
+    on prior state), so a doc whose rows straddle an Arrow batch
+    boundary carries its history across batches in the generator
+    closure.  Output: key, frame order col, pitch_corrected, pitch
+    (smoothed), f0_multiple, salience, stability."""
+    inp = (
+        det.select(
+            F.col(key).alias("__k"),
+            F.col(order).cast("int").alias("__f"),
+            F.col(pitch_col).cast("double").alias("__pp"),
+            F.col(conf_col).cast("double").alias("__pc"),
+        )
+        .repartition("__k")
+        .sortWithinPartitions("__k", "__f")
     )
     out_schema = (
         f"{key} long, {order} int, pitch_corrected double,"
@@ -848,27 +891,132 @@ def pitch_track(
         keep_band=keep_band,
     )
 
-    def run(pdf):
+    def gen(batches):
         import pandas as pd
 
-        k = pdf["__k"].iloc[0]
-        pdf = pdf.sort_values("__f")
-        frames = [
-            (float(p), float(c))
-            for p, c in zip(pdf["__pp"], pdf["__pc"])
+        cur = None  # current key
+        tr = PitchTracker(**kw)
+        cols = [
+            key, order, "pitch_corrected", "pitch",
+            "f0_multiple", "salience", "stability",
         ]
-        rows = [
-            (k, int(f), pc, sm, f0m, sal, st)
-            for f, (pc, sm, f0m, sal, st) in zip(
-                pdf["__f"], track_pitch_sequence(frames, **kw)
-            )
-        ]
-        return pd.DataFrame(
-            rows,
-            columns=[
-                key, order, "pitch_corrected", "pitch",
-                "f0_multiple", "salience", "stability",
-            ],
-        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for k, f, p, c in zip(
+                pdf["__k"], pdf["__f"], pdf["__pp"], pdf["__pc"]
+            ):
+                if k != cur:
+                    cur = k
+                    tr.reset()
+                pc, sm, f0m, sal, st = tr.step(float(p), float(c))
+                rows.append((k, int(f), pc, sm, f0m, sal, st))
+            yield pd.DataFrame(rows, columns=cols)
 
-    return inp.groupBy("__k").applyInPandas(run, schema=out_schema)
+    return inp.mapInPandas(gen, schema=out_schema)
+
+
+def pitch_nsdf_frames(
+    frames: DataFrame,
+    *,
+    key_cols: tuple = ("doc_id", "frame_idx"),
+    window_col: str = "window",
+    window: int = 32,
+    sample_rate: float = 32.0,
+    min_freq: float = 1.0,
+    max_freq: float = 16.0,
+    autocorr_threshold: float = 0.3,
+) -> DataFrame:
+    """Per-frame NSDF raw detection (pitch_detection.go:485-550) over
+    fixed-width frame arrays — the vectorized mapInArrow form of
+    :func:`pitch_nsdf` for frame streams.
+
+    The generic operator shapes NSDF as a positional self-join
+    (series x taus x lagged values): correct for variable-length
+    series, but W/2 x W/2 joined rows PER FRAME through a shuffle.
+    With W a plan-time constant the whole frame batch becomes one
+    (N, W) matrix and the tau loop W/2 vectorized row reductions —
+    narrow (no shuffle, no join), ~100x less per-frame overhead than
+    either the join form or per-element Catalyst array folds (whose
+    lambda evaluation is interpreted, ~3.5 s for 33k frames at
+    sf0.1 vs ~0.1 s here).  All sums are exact integer arithmetic on
+    token lengths, so the nsdf values are bit-identical to the join
+    form regardless of summation order.
+
+    Best candidate per frame = strict interior local maximum above
+    the threshold inside the frequency band, highest nsdf first and
+    smallest lag on ties (argmax returns the first maximum).
+    Output: key cols + pitch + confidence (ungated; the stream
+    post-processor applies the MinConfidence gate after octave
+    correction)."""
+    import numpy as np
+
+    half = window // 2
+    band = np.zeros(half, dtype=bool)
+    for i in range(1, half - 1):  # interior peaks only
+        band[i] = min_freq <= sample_rate / i <= max_freq
+
+    key_fields = frames.select(*key_cols).schema.fields
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in key_fields
+        )
+        + ", pitch double, confidence double"
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            wcol = batch.column(
+                batch.schema.get_field_index(window_col)
+            )
+            wm = (
+                wcol.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, window)
+            )
+            head = wm[:, :half]
+            m1 = (head * head).sum(axis=1)
+            nd = np.zeros((n, half))
+            for tau in range(half):
+                seg = wm[:, tau : tau + half]
+                acf = (head * seg).sum(axis=1)
+                den = m1 + (seg * seg).sum(axis=1)
+                np.divide(
+                    2.0 * acf, den, out=nd[:, tau], where=den > 0
+                )
+            valid = np.zeros((n, half), dtype=bool)
+            for i in range(1, half - 1):
+                if not band[i]:
+                    continue
+                valid[:, i] = (
+                    (nd[:, i] > nd[:, i - 1])
+                    & (nd[:, i] > nd[:, i + 1])
+                    & (nd[:, i] > autocorr_threshold)
+                )
+            score = np.where(valid, nd, -np.inf)
+            best = score.argmax(axis=1)  # first max -> smallest lag
+            has = score[np.arange(n), best] > -np.inf
+            pitch = np.where(
+                has, sample_rate / np.maximum(best, 1), 0.0
+            )
+            conf = np.where(has, nd[np.arange(n), best], 0.0)
+            arrays = [
+                batch.column(batch.schema.get_field_index(f.name))
+                for f in key_fields
+            ]
+            arrays += [pa.array(pitch), pa.array(conf)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in key_fields]
+                + ["pitch", "confidence"]
+            )
+
+    return frames.select(*key_cols, window_col).mapInArrow(
+        gen, schema=out_schema
+    )
