@@ -100,3 +100,65 @@ def stream_frame_features(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PITCH_OUT_SCHEMA = (
+    "doc_id string, frame_idx long, pitch_corrected double, "
+    "pitch double, f0_multiple double, salience double, "
+    "stability double"
+)
+PITCH_STATE_SCHEMA = "hist array<double>, prev double"
+
+
+def stream_pitch_track(detections: DataFrame) -> DataFrame:
+    """Stateful streaming pitch post-processor — the literal
+    ProcessAudioStream analog (pitch_detection.go:1016-1029: one
+    PitchDetector instance accumulates pitchHistory/previousPitch
+    across frames of a stream).  Per-doc GroupState holds exactly
+    that pair (history list + previous smoothed pitch); frames
+    arriving across micro-batches are tracked identically to the
+    batch operator `operators.temporal.pitch_track` (tested
+    equivalence).
+
+    detections: streaming df (doc_id string, frame_idx long,
+    pitch double, confidence double), in-order arrival per doc
+    (frames sorted within a micro-batch; cross-batch order trusted —
+    the same assumption as stream_frame_features)."""
+    from ..operators.temporal import PitchTracker
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        tr = PitchTracker()
+        if state.exists:
+            hist, prev = state.get
+            tr.hist = list(hist)
+            tr.prev_smoothed = prev
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("frame_idx")
+            for f, p, c in zip(
+                pdf["frame_idx"], pdf["pitch"], pdf["confidence"]
+            ):
+                pc, sm, f0m, sal, st = tr.step(float(p), float(c))
+                rows.append((doc_id, int(f), pc, sm, f0m, sal, st))
+        state.update((list(tr.hist), tr.prev_smoothed))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "pitch_corrected", "pitch",
+                    "f0_multiple", "salience", "stability",
+                ],
+            )
+
+    return detections.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=PITCH_OUT_SCHEMA,
+        stateStructType=PITCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -67,3 +67,88 @@ def test_stream_equals_batch(spark, tmp_path):
     assert len(got) > 50
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-12)
+
+
+def test_stream_pitch_track_equals_batch(spark, tmp_path):
+    """Streaming pitch post-processor across micro-batches ==
+    the batch pitch_track operator (ProcessAudioStream's persistent
+    detector state reproduced in GroupState)."""
+    from sonar_spark.operators.temporal import pitch_track
+    from sonar_spark.streaming.stateful import stream_pitch_track
+
+    rng = np.random.default_rng(41)
+    # per-doc frame detections: lattice pitches (32/tau) with
+    # confidences straddling the 0.5 gate, long enough to cross the
+    # 20-deep history cap
+    docs = {}
+    for i in range(5):
+        n = 24 + 3 * i
+        taus = rng.integers(2, 12, size=n)
+        confs = np.round(rng.uniform(0.3, 0.95, size=n), 6)
+        docs[f"d{i}"] = [
+            (float(round(32.0 / float(t), 6)), float(c))
+            for t, c in zip(taus, confs)
+        ]
+    src = tmp_path / "det"
+    src.mkdir()
+    n_chunks = 3
+    for ci in range(n_chunks):
+        rows = []
+        for d, det in docs.items():
+            per = len(det) // n_chunks
+            lo = ci * per
+            hi = (ci + 1) * per if ci < n_chunks - 1 else len(det)
+            rows += [
+                (d, f, p, c) for f, (p, c) in enumerate(det) if lo <= f < hi
+            ]
+        spark.createDataFrame(
+            rows,
+            "doc_id string, frame_idx long, pitch double,"
+            " confidence double",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{ci}"))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, frame_idx long, pitch double,"
+            " confidence double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "c*"))
+    )
+    out = stream_pitch_track(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pitch_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["doc_id"], r["frame_idx"]): (
+            r["pitch_corrected"], r["pitch"], r["f0_multiple"],
+            r["salience"], r["stability"],
+        )
+        for r in spark.table("pitch_stream").collect()
+    }
+
+    batch_in = spark.createDataFrame(
+        [
+            (int(d[1:]), f, p, c)
+            for d, det in docs.items()
+            for f, (p, c) in enumerate(det)
+        ],
+        "doc_id long, frame_idx long, pitch double, confidence double",
+    )
+    want = {
+        (f"d{r['doc_id']}", r["frame_idx"]): (
+            r["pitch_corrected"], r["pitch"], r["f0_multiple"],
+            r["salience"], r["stability"],
+        )
+        for r in pitch_track(batch_in).collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) == sum(len(v) for v in docs.values())
+    for k in want:
+        assert got[k] == want[k], k  # bit-identical, same kernel
