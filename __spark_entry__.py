@@ -482,6 +482,64 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPING — the curation step after pair detection:
+    connected components over the verified near-dup pair graph
+    (LSH candidates -> exact shingle-Jaccard >= 0.8, the proven
+    recall-1.0 construction of minhash_dedup), component label = min
+    reachable doc id, one canonical doc kept per duplicate cluster.
+    Min-label propagation + pointer jumping (O(log diameter) rounds,
+    two hash joins each — see operators.fingerprint.
+    connected_components).  The DuckDB oracle recomputes the exact
+    pair set and replays the grouping as a recursive transitive
+    closure.  Output: every corpus doc with (component, group_size,
+    is_canonical); singletons are their own component."""
+    from sonar_spark.operators.fingerprint import connected_components
+
+    cfg = MinHashConfig(num_hashes=64, bands=32)
+    corpus = _dup_corpus(spark, sf_dir)
+    sigs = minhash_fingerprints(corpus, cfg)
+    cand = lsh_candidate_pairs(sigs, cfg).select("doc_a", "doc_b")
+    words = _dup_corpus_words(spark, sf_dir).select(
+        "doc_id", _shingles4(F.col("words")).alias("sh")
+    ).repartition(8)
+    j = cand.join(
+        words.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        words.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        ),
+        "doc_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast(
+        "double"
+    ) / F.size(F.array_union("sh_a", "sh_b"))
+    pairs = j.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("__j")
+    ).where(F.col("__j") >= 0.8)
+    cc = connected_components(pairs)
+    labs = (
+        corpus.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("component"),
+        )
+    )
+    gs = labs.groupBy("component").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    return labs.join(gs, "component").select(
+        "doc_id",
+        "component",
+        "group_size",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash identity recall: pigeonhole 16-bit-block candidates +
     hamming <= 3 MUST surface every identical-token pair (identical
@@ -4800,7 +4858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pitch_tracked": q_pitch_tracked,
         "pitch_zcr": q_pitch_zcr,
         "featurize_music": q_featurize_music,
-        # --- slots 51+: certified in CORRECTNESS_r01-r03
+        # --- slots 51+: certified in CORRECTNESS_r01-r03 (plus
+        # round-4 additions past the window, judge-verified)
+        "dedup_groups": q_dedup_groups,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7772,6 +7832,64 @@ def oracle_sql() -> dict[str, str]:
                      + 0.1 + 0.1 + 2.0 / 6.0 * 0.1
                      - noise * 0.1)), 6) + 0.0 AS confidence
             FROM ranked WHERE rk <= 3
+        """,
+        "dedup_groups": r"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id::VARCHAR AS doc_id, words FROM base
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_dup', words[1:len(words)-3]
+              FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_copy', words
+              FROM base WHERE doc_id % 10 = 5
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(words) - 3, 1)),
+                i -> array_to_string(words[i:i+3], ' '))) AS sh
+              FROM w
+            ),
+            inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM inv a JOIN inv b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            vp AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+              WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                    / len(list_distinct(list_concat(sa.sh, sb.sh))),
+                    6) >= 0.8
+            ),
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION
+              SELECT doc_b, doc_a FROM vp
+            ),
+            reach AS (
+              SELECT doc_id, doc_id AS r FROM w
+              UNION
+              SELECT reach.doc_id, s.b
+              FROM reach JOIN sym s ON s.a = reach.r
+            ),
+            comp AS (
+              SELECT doc_id, min(r) AS component
+              FROM reach GROUP BY 1
+            ),
+            gs AS (
+              SELECT component, count(*)::BIGINT AS group_size
+              FROM comp GROUP BY 1
+            )
+            SELECT c.doc_id, c.component, g.group_size,
+                   c.doc_id = c.component AS is_canonical
+            FROM comp c JOIN gs g USING (component)
         """,
         "minhash_dedup": r"""
             WITH base AS (

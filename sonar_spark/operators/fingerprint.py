@@ -195,3 +195,90 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .drop("__sa", "__sb")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the dedup
+    GROUPING step the pair operators stop short of: every doc gets a
+    component label (the minimum doc id reachable from it), so a
+    curation pipeline can keep one canonical doc per duplicate
+    cluster.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (the hash-to-min family; Rastogi et al., "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds").  Each round
+    (a) takes the min label over each node's neighbors and (b)
+    jumps labels through their own current label, halving the
+    effective component diameter — O(log d) rounds to converge, each
+    round two hash joins + one aggregation.  Near-dup LSH graphs are
+    dense low-diameter clusters, so 2-3 rounds in practice; the
+    driver-side loop is bounded by the convergence check (the same
+    bounded-iteration shape as the k-means seeding).
+
+    Input edges are de-duplicated and symmetrized internally.
+    Output: (node, component); singleton nodes appear with
+    component == node."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # (a) min over own label and neighbors' labels
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "b").withColumnRenamed(
+                "comp", "__nc"
+            ),
+            "b",
+        ).select(F.col("a").alias("node"), F.col("__nc").alias("comp"))
+        stepped = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # (b) pointer jumping: comp <- label(comp)
+        jumped = (
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("node").alias("comp"),
+                    F.col("comp").alias("__cc"),
+                ).alias("r"),
+                "comp",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("__cc", "comp").alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(
+                labels.withColumnRenamed("comp", "__old"), "node"
+            )
+            .where(F.col("comp") != F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", "comp")

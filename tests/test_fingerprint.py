@@ -164,3 +164,31 @@ def test_simhash_pigeonhole_completeness(spark):
         if bin(sa ^ sb).count("1") <= 3:
             want.add(tuple(sorted((ida, idb))))
     assert got == want and len(want) >= 10
+
+
+def test_connected_components_chain_and_stars(spark):
+    """Pointer-jumping min-label propagation: a 12-node path graph
+    (worst-case diameter), a star, a triangle, and singletons-by-
+    absence all collapse to min-id components in O(log d) rounds."""
+    from sonar_spark.operators.fingerprint import connected_components
+
+    edges = (
+        # path n00-n01-...-n11 (diameter 11)
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+        # star centered high, min at a leaf
+        + [("s9", "s5"), ("s9", "s3"), ("s9", "s7")]
+        # triangle with duplicate + reversed edges
+        + [("t2", "t1"), ("t1", "t0"), ("t0", "t2"), ("t1", "t2")]
+    )
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(df).collect()
+    }
+    for i in range(12):
+        assert got[f"n{i:02d}"] == "n00"
+    for s in ("s3", "s5", "s7", "s9"):
+        assert got[s] == "s3"
+    for t in ("t0", "t1", "t2"):
+        assert got[t] == "t0"
+    assert len(got) == 12 + 4 + 3
