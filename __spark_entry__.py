@@ -494,6 +494,23 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set and replays the grouping as a recursive transitive
     closure.  Output: every corpus doc with (component, group_size,
     is_canonical); singletons are their own component."""
+    labs = _dup_group_labels(spark, sf_dir)
+    gs = labs.groupBy("component").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    return labs.join(gs, "component").select(
+        "doc_id",
+        "component",
+        "group_size",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _dup_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) labels over the planted-dup corpus:
+    verified near-dup pairs (LSH -> exact shingle Jaccard >= 0.8)
+    grouped by connected components; singletons get their own id.
+    Shared by dedup_groups and curation_filter."""
     from sonar_spark.operators.fingerprint import connected_components
 
     cfg = MinHashConfig(num_hashes=64, bands=32)
@@ -521,7 +538,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.round(jac, 6).alias("__j")
     ).where(F.col("__j") >= 0.8)
     cc = connected_components(pairs)
-    labs = (
+    return (
         corpus.select("doc_id")
         .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
@@ -529,14 +546,48 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("comp", F.col("doc_id")).alias("component"),
         )
     )
-    gs = labs.groupBy("component").agg(
-        F.count("*").cast("long").alias("group_size")
-    )
-    return labs.join(gs, "component").select(
+
+
+def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision a training-data pipeline
+    makes per document, in ONE composed pass over the planted-dup
+    corpus: language-ID (n-gram marker heuristic), quality score
+    (alpha ratio / word-length band / terminal punctuation), token
+    count, near-dup component + canonical flag (LSH -> exact-verify
+    -> connected components), and the keep/drop verdict
+    (keep = canonical AND quality >= 0.5 AND >= 5 tokens — a policy
+    example; every term is a column, so policies are plan-time
+    edits).  Text is reconstructed from the word arrays
+    (whitespace-normalized) so base docs and planted copies flow
+    through identical semantics — and so the DuckDB oracle can
+    recompute every stage exactly."""
+    from sonar_spark.functions.text import detect_language, quality_score
+
+    words = _dup_corpus_words(spark, sf_dir)
+    text = F.array_join("words", " ")
+    d = words.select(
         "doc_id",
+        text.alias("text"),
+        F.size("words").cast("long").alias("n_tokens"),
+    )
+    scored = d.select(
+        "doc_id",
+        "n_tokens",
+        detect_language(F.col("text")).alias("lang"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    labs = _dup_group_labels(spark, sf_dir)
+    out = scored.join(labs, "doc_id")
+    is_canon = F.col("doc_id") == F.col("component")
+    keep = is_canon & (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+    return out.select(
+        "doc_id",
+        "lang",
+        "quality",
+        "n_tokens",
         "component",
-        "group_size",
-        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+        is_canon.alias("is_canonical"),
+        keep.alias("keep"),
     )
 
 
@@ -4861,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 51+: certified in CORRECTNESS_r01-r03 (plus
         # round-4 additions past the window, judge-verified)
         "dedup_groups": q_dedup_groups,
+        "curation_filter": q_curation_filter,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7890,6 +7942,118 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.component, g.group_size,
                    c.doc_id = c.component AS is_canonical
             FROM comp c JOIN gs g USING (component)
+        """,
+        "curation_filter": r"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id::VARCHAR AS doc_id, words FROM base
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_dup', words[1:len(words)-3]
+              FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_copy', words
+              FROM base WHERE doc_id % 10 = 5
+            ),
+            txt AS (
+              SELECT doc_id, array_to_string(words, ' ') AS text,
+                     len(words)::BIGINT AS n_tokens
+              FROM w
+            ),
+            ls AS (
+              SELECT doc_id, n_tokens, text,
+                ((length(lower(text)) - length(replace(lower(text), 'the', '')))
+                   / 3.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' and ', ''))) / 5.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' of ', ''))) / 4.0)
+                  * 1000.0 / greatest(length(text), 1) AS s_en,
+                ((length(lower(text)) - length(replace(lower(text), ' der ', '')))
+                   / 5.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' und ', ''))) / 5.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), 'sch', ''))) / 3.0)
+                  * 1000.0 / greatest(length(text), 1) AS s_de,
+                ((length(lower(text)) - length(replace(lower(text), ' le ', '')))
+                   / 4.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' et ', ''))) / 4.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' des ', ''))) / 5.0)
+                  * 1000.0 / greatest(length(text), 1) AS s_fr,
+                ((length(lower(text)) - length(replace(lower(text), ' el ', '')))
+                   / 4.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), ' que ', ''))) / 5.0
+                 + (length(lower(text))
+                    - length(replace(lower(text), 'ción', ''))) / 4.0)
+                  * 1000.0 / greatest(length(text), 1) AS s_es
+              FROM txt
+            ),
+            qs AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                     ELSE 'fr' END AS lang,
+                round(
+                  0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         ::DOUBLE / greatest(length(text), 1))
+                  + 0.4 * (CASE WHEN length(text)::DOUBLE
+                                     / greatest(n_tokens, 1) >= 3.0
+                                AND length(text)::DOUBLE
+                                     / greatest(n_tokens, 1) <= 10.0
+                           THEN 1.0 ELSE 0.5 END)
+                  + 0.2 * (CASE WHEN regexp_matches(text, '[.!?]\s*$')
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality
+              FROM ls
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(words) - 3, 1)),
+                i -> array_to_string(words[i:i+3], ' '))) AS sh
+              FROM w
+            ),
+            inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM inv a JOIN inv b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            vp AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+              WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                    / len(list_distinct(list_concat(sa.sh, sb.sh))),
+                    6) >= 0.8
+            ),
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION
+              SELECT doc_b, doc_a FROM vp
+            ),
+            reach AS (
+              SELECT doc_id, doc_id AS r FROM w
+              UNION
+              SELECT reach.doc_id, s.b
+              FROM reach JOIN sym s ON s.a = reach.r
+            ),
+            comp AS (
+              SELECT doc_id, min(r) AS component
+              FROM reach GROUP BY 1
+            )
+            SELECT q.doc_id, q.lang, q.quality, q.n_tokens,
+                   c.component,
+                   q.doc_id = c.component AS is_canonical,
+                   (q.doc_id = c.component AND q.quality >= 0.5
+                    AND q.n_tokens >= 5) AS keep
+            FROM qs q JOIN comp c ON c.doc_id = q.doc_id
         """,
         "minhash_dedup": r"""
             WITH base AS (
