@@ -1403,11 +1403,14 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> checksum gate -> stub decode ->
-    features. Rows-only BY DESIGN: the decode step is an honestly
-    stubbed deterministic fake (no codec libs in this environment), so
-    a SQL oracle would only re-verify the fake; the Spark-side
-    plumbing (schema, checksum gate, Arrow batching) is pytest-covered
-    (tests/test_multimodal.py)."""
+    features.  The decode is an honestly-stubbed deterministic fake
+    (no codec libs in this environment; decode='real' raises naming
+    the library), but the payload bytes follow a pure integer
+    formula (multimodal.media_payload), so the DuckDB oracle
+    reconstructs the byte values and VALUE-verifies the whole
+    pipeline — checksum-gated binary ingestion, mean/rms feature
+    math, and the shared frame-count plumbing.  The corrupted-
+    checksum path is pytest-covered (tests/test_multimodal.py)."""
     from sonar_spark.operators.multimodal import media_features, synth_media_table
 
     media = synth_media_table(spark, 64)
@@ -8348,6 +8351,42 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM lineitem l JOIN q USING (l_returnflag)
             GROUP BY 1
+        """,
+        "multimodal": """
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 63)) AS i
+            ),
+            meta AS (
+              SELECT i,
+                     CASE WHEN i % 2 = 0 THEN 'image'
+                          ELSE 'audio' END AS kind,
+                     CASE WHEN i % 2 = 0 THEN 768 ELSE 4000 END AS n
+              FROM ids
+            ),
+            vals AS (
+              SELECT i, kind, n,
+                     unnest(generate_series(0, n - 1)) AS j
+              FROM meta
+            ),
+            v AS (
+              SELECT i, kind, n,
+                     (197 * i + 17 * j + (j * j) % 251) % 256 AS x
+              FROM vals
+            ),
+            agg AS (
+              SELECT i, kind, n,
+                     avg(x::DOUBLE) AS mean,
+                     sqrt(avg((x * x)::DOUBLE)) AS rms
+              FROM v GROUP BY 1, 2, 3
+            )
+            SELECT printf('m%06d', i) AS media_id, kind,
+                   true AS ok, n::INT AS n_values,
+                   round(mean, 6) + 0.0 AS mean,
+                   round(rms, 6) + 0.0 AS rms,
+                   (CASE WHEN kind = 'audio'
+                         THEN (n - 256) // 64 + 1
+                         ELSE 0 END)::BIGINT AS n_frames
+            FROM agg
         """,
         "embedding_knn": _KNN_SQL,
         "ivf_knn": _KNN_SQL,

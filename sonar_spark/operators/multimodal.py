@@ -35,23 +35,34 @@ MEDIA_SCHEMA = (
 )
 
 
+def media_payload(i: int) -> np.ndarray:
+    """Deterministic payload bytes for media row i:
+    byte[j] = (197 i + 17 j + (j^2 mod 251)) mod 256 — a pure integer
+    formula (NOT an opaque RNG) so the DuckDB oracle can reconstruct
+    the byte values and value-verify the whole decode->feature
+    pipeline, while the payload still exercises a real binary column
+    + checksum path."""
+    size = 32 * 24 if i % 2 == 0 else 4000
+    j = np.arange(size, dtype=np.int64)
+    return ((197 * i + 17 * j + (j * j) % 251) % 256).astype(np.uint8)
+
+
 def synth_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table: alternating image/audio
-    rows with seeded binary payloads + integrity checksum."""
+    rows with formula-derived binary payloads + integrity checksum
+    (see media_payload — SQL-reconstructible by design)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                rng = np.random.default_rng(7000 + i)
+                payload = media_payload(i)
                 if i % 2 == 0:
                     w, h, sr = 32, 24, 0
-                    payload = rng.integers(0, 256, size=w * h, dtype=np.uint8)
                     kind = "image"
                 else:
                     w, h, sr = 0, 0, 8000
-                    payload = rng.integers(0, 256, size=4000, dtype=np.uint8)
                     kind = "audio"
                 raw = payload.tobytes()
                 rows.append(

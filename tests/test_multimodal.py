@@ -60,9 +60,9 @@ def test_audio_frames_match_token_kernel(spark):
     for r in frames:
         by_media.setdefault(r["media_id"], []).append(r)
     assert set(by_media) == {"m000001", "m000003"}
-    rng = np.random.default_rng(7001)  # m000001's seed
-    payload = rng.integers(0, 256, size=4000, dtype=np.uint8)
-    x = payload.astype(np.int64)
+    from sonar_spark.operators.multimodal import media_payload
+
+    x = media_payload(1).astype(np.int64)  # m000001
     feats, nf = kernels.frame_features_flat(
         x.astype(np.float64), np.array([len(x)]), 256, 64
     )
