@@ -252,6 +252,12 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
         )
         # (b) pointer jumping: comp <- label(comp)
+        # localCheckpoint truncates the lineage each round — an
+        # iterative self-referencing plan otherwise deepens by two
+        # joins per round and blows the analyzer stack (and would
+        # re-plan the whole history at scale).  The previous label
+        # rides along so the convergence count reads only the
+        # checkpointed data (no extra join/recompute per round).
         jumped = (
             stepped.alias("l")
             .join(
@@ -262,22 +268,17 @@ def connected_components(
                 "comp",
                 "left",
             )
+            .join(labels.withColumnRenamed("comp", "__old"), "node")
             .select(
                 "node",
                 F.coalesce("__cc", "comp").alias("comp"),
+                "__old",
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(
-                labels.withColumnRenamed("comp", "__old"), "node"
-            )
-            .where(F.col("comp") != F.col("__old"))
-            .count()
-        )
+        changed = jumped.where(F.col("comp") != F.col("__old")).count()
         labels.unpersist()
-        labels = jumped
+        labels = jumped.drop("__old")
         if changed == 0:
             break
     sym.unpersist()
