@@ -103,9 +103,12 @@ def main() -> None:
     # one warm-up run spawns python workers + sizes scratch pools)
     tokens_path = materialize_tokens(spark, N_DOCS)
     flagship_pipeline(spark, N_DOCS, tokens_path).collect()
-    t0 = time.time()
-    row = flagship_pipeline(spark, N_DOCS, tokens_path).collect()[0]
-    t_flag = time.time() - t0
+    t_flag = None
+    for _ in range(2):  # best-of-2, same rationale as the queries
+        t0 = time.time()
+        row = flagship_pipeline(spark, N_DOCS, tokens_path).collect()[0]
+        dt = time.time() - t0
+        t_flag = dt if t_flag is None or dt < t_flag else t_flag
     timings["featurize_asof"] = round(t_flag, 3)
     n_frames = row["n_frames"]
 
