@@ -1401,6 +1401,126 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_points(spark: SparkSession, sf_dir: str, n: int, dims: int):
+    """Bounded point set for the clustering queries: first n
+    embeddings, first `dims` dimensions, cast float32 -> double (the
+    identical cast runs in DuckDB, so both engines cluster the same
+    bytes)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < n)
+    return emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.transform(
+            F.slice("embedding", 1, dims), lambda x: x.cast("double")
+        ).alias("vec"),
+    )
+
+
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (stats/clustering.go:930-1046) over an embedding
+    slice, relational form: epsilon self-join -> strict-neighbor
+    core test -> connected components over core-core edges -> border
+    adoption -> noise.  Label numbering reproduces the Go's
+    scan-order ids exactly (creation order = ascending minimal core
+    id; ambiguous borders claimed by the earliest cluster) —
+    equivalence vs a line-for-line Go port is pinned in pytest over
+    random geometry.  eps/min_pts chosen so clusters, borders AND
+    noise all occur on this data."""
+    from sonar_spark.operators.clustering import dbscan
+
+    pts = _emb_points(spark, sf_dir, 64, 4)
+    out = dbscan(pts, eps=0.15, min_pts=3)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        "is_core",
+    )
+
+
+def q_dbscan_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster evaluation metrics (clustering.go:441-657) over the
+    DBSCAN labeling: silhouette (noise participates as its own
+    label, as the Go writes it), Davies-Bouldin, Calinski-Harabasz
+    and inertia over 6-dp-rounded centroid centers (the quantized
+    interface; the reference computes centroids at :1007-1030).
+    Inertia/CH cover labeled points only — the Go indexes
+    centers[label] and would panic on noise (documented
+    reproduction-by-deviation)."""
+    from sonar_spark.operators.clustering import cluster_eval, dbscan
+
+    pts = _emb_points(spark, sf_dir, 64, 4)
+    lab = dbscan(pts, eps=0.15, min_pts=3)
+    labeled = pts.join(lab, "id")
+    mem = labeled.where(F.col("label") >= 0)
+    centers = mem.groupBy("label").agg(
+        F.array(
+            *[F.round(F.avg(F.col("vec")[i]), 6) for i in range(4)]
+        ).alias("center")
+    )
+    out = cluster_eval(labeled, centers)
+    return out.select(
+        "n_points",
+        "n_clusters",
+        F.round("silhouette", 6).alias("silhouette"),
+        F.round("davies_bouldin", 6).alias("davies_bouldin"),
+        F.round("calinski_harabasz", 6).alias("calinski_harabasz"),
+        F.round("inertia", 6).alias("inertia"),
+    )
+
+
+def q_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAM k-medoids (clustering.go:659-776) over a bounded
+    embedding slice; initial medoids = the k smallest ids
+    (deterministic stand-in for the PRNG draw — the update semantics
+    are ported branch-for-branch, incl. both strict-< tie-breaks and
+    the zero-initialized prevLabels convergence).  The DuckDB oracle
+    replays the full PAM iteration as a recursive CTE carrying the
+    medoid list."""
+    from sonar_spark.operators.clustering import kmedoids_cluster
+
+    pts = _emb_points(spark, sf_dir, 24, 4)
+    out = kmedoids_cluster(pts, k=3, max_iter=20)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        "is_medoid",
+    )
+
+
+def q_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agglomerative clustering, simplified-Ward linkage
+    (clustering.go:779-871, :913-923) over a bounded embedding
+    slice; merge order ties broken by the slice scan (first pair
+    wins).  The DuckDB oracle replays the merge sequence as a
+    recursive CTE carrying the cluster membership lists."""
+    from sonar_spark.operators.clustering import hierarchical_clusters
+
+    pts = _emb_points(spark, sf_dir, 16, 4)
+    out = hierarchical_clusters(pts, k=4, linkage="ward")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def q_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance GMM via EM (clustering.go:1066-1228) over
+    a bounded embedding slice: identity initial covariances, uniform
+    mixing, first-k initial means, responsibilities 9-dp quantized
+    per E-step (the cross-engine transcendental boundary), exactly
+    max_iter iterations (tolerance 0).  The DuckDB oracle replays
+    the EM loop as a recursive CTE carrying means/variances/mixing
+    weights."""
+    from sonar_spark.operators.clustering import gmm_cluster
+
+    pts = _emb_points(spark, sf_dir, 24, 2)
+    out = gmm_cluster(pts, k=2, max_iter=4)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.round("resp", 6).alias("resp"),
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> checksum gate -> stub decode ->
     features.  The decode is an honestly-stubbed deterministic fake
@@ -4916,6 +5036,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions past the window, judge-verified)
         "dedup_groups": q_dedup_groups,
         "curation_filter": q_curation_filter,
+        "dbscan_embeddings": q_dbscan_embeddings,
+        "dbscan_eval": q_dbscan_eval,
+        "kmedoids": q_kmedoids,
+        "hierarchical": q_hierarchical,
+        "gmm": q_gmm,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -8351,6 +8476,485 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM lineitem l JOIN q USING (l_returnflag)
             GROUP BY 1
+        """,
+        "dbscan_embeddings": r"""
+            WITH RECURSIVE pts AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding[1:4],
+                                    x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id < 64
+            ),
+            pr AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM pts a JOIN pts b ON a.id != b.id
+              WHERE sqrt(list_sum(list_transform(range(4), t ->
+                      (a.v[t+1] - b.v[t+1])
+                      * (a.v[t+1] - b.v[t+1])))) <= 0.15
+            ),
+            deg AS (SELECT ia, count(*) AS d FROM pr GROUP BY 1),
+            cores AS (SELECT ia AS c FROM deg WHERE d >= 3),
+            ce AS (
+              SELECT p.ia AS a, p.ib AS b FROM pr p
+              JOIN cores x ON x.c = p.ia
+              JOIN cores y ON y.c = p.ib
+            ),
+            reach AS (
+              SELECT c AS id, c AS r FROM cores
+              UNION
+              SELECT reach.id, ce.b
+              FROM reach JOIN ce ON ce.a = reach.r
+            ),
+            comp AS (SELECT id, min(r) AS cmp FROM reach GROUP BY 1),
+            cl AS (
+              SELECT cmp,
+                     (dense_rank() OVER (ORDER BY cmp) - 1)::INT
+                       AS label
+              FROM (SELECT DISTINCT cmp FROM comp) t
+            ),
+            corelab AS (
+              SELECT c.id, cl.label
+              FROM comp c JOIN cl USING (cmp)
+            ),
+            border AS (
+              SELECT p.ia AS id, min(k.label) AS label
+              FROM pr p JOIN corelab k ON k.id = p.ib
+              WHERE p.ia NOT IN (SELECT id FROM corelab)
+              GROUP BY 1
+            )
+            SELECT p.id AS vec_id,
+                   coalesce(k.label, b.label, -1)::BIGINT AS label,
+                   k.label IS NOT NULL AS is_core
+            FROM pts p
+            LEFT JOIN corelab k ON k.id = p.id
+            LEFT JOIN border b ON b.id = p.id
+        """,
+        "dbscan_eval": r"""
+            WITH RECURSIVE pts AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding[1:4],
+                                    x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id < 64
+            ),
+            pr AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM pts a JOIN pts b ON a.id != b.id
+              WHERE sqrt(list_sum(list_transform(range(4), t ->
+                      (a.v[t+1] - b.v[t+1])
+                      * (a.v[t+1] - b.v[t+1])))) <= 0.15
+            ),
+            deg AS (SELECT ia, count(*) AS d FROM pr GROUP BY 1),
+            cores AS (SELECT ia AS c FROM deg WHERE d >= 3),
+            ce AS (
+              SELECT p.ia AS a, p.ib AS b FROM pr p
+              JOIN cores x ON x.c = p.ia
+              JOIN cores y ON y.c = p.ib
+            ),
+            reach AS (
+              SELECT c AS id, c AS r FROM cores
+              UNION
+              SELECT reach.id, ce.b
+              FROM reach JOIN ce ON ce.a = reach.r
+            ),
+            comp AS (SELECT id, min(r) AS cmp FROM reach GROUP BY 1),
+            cl AS (
+              SELECT cmp,
+                     (dense_rank() OVER (ORDER BY cmp) - 1)::INT
+                       AS label
+              FROM (SELECT DISTINCT cmp FROM comp) t
+            ),
+            corelab AS (
+              SELECT c.id, cl.label
+              FROM comp c JOIN cl USING (cmp)
+            ),
+            border AS (
+              SELECT p.ia AS id, min(k.label) AS label
+              FROM pr p JOIN corelab k ON k.id = p.ib
+              WHERE p.ia NOT IN (SELECT id FROM corelab)
+              GROUP BY 1
+            ),
+            lab AS (
+              SELECT p.id, p.v,
+                     coalesce(k.label, b.label, -1) AS l
+              FROM pts p
+              LEFT JOIN corelab k ON k.id = p.id
+              LEFT JOIN border b ON b.id = p.id
+            ),
+            centers AS (
+              SELECT l AS cl,
+                     [round(avg(v[1]), 6), round(avg(v[2]), 6),
+                      round(avg(v[3]), 6), round(avg(v[4]), 6)] AS cv
+              FROM lab WHERE l >= 0 GROUP BY 1
+            ),
+            pd2 AS (
+              SELECT a.id AS ia, a.l AS la, b.l AS lb,
+                     sqrt(list_sum(list_transform(range(4), t ->
+                       (a.v[t+1] - b.v[t+1])
+                       * (a.v[t+1] - b.v[t+1])))) AS d
+              FROM lab a JOIN lab b ON a.id != b.id
+            ),
+            intra AS (
+              SELECT ia, avg(d) AS a_
+              FROM pd2 WHERE la = lb GROUP BY 1
+            ),
+            nearest AS (
+              SELECT ia, min(ad) AS b_ FROM (
+                SELECT ia, lb, avg(d) AS ad
+                FROM pd2 WHERE la != lb GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            sil AS (
+              SELECT avg(CASE
+                WHEN b_ IS NULL THEN 0.0
+                WHEN coalesce(a_, 0.0) < b_
+                  THEN (b_ - coalesce(a_, 0.0)) / b_
+                WHEN coalesce(a_, 0.0) > b_
+                  THEN (b_ - coalesce(a_, 0.0)) / coalesce(a_, 0.0)
+                ELSE 0.0 END) AS silhouette
+              FROM lab
+              LEFT JOIN intra ON intra.ia = lab.id
+              LEFT JOIN nearest ON nearest.ia = lab.id
+            ),
+            mdist AS (
+              SELECT lab.l, sqrt(list_sum(list_transform(range(4),
+                       t -> (lab.v[t+1] - c.cv[t+1])
+                       * (lab.v[t+1] - c.cv[t+1])))) AS dc
+              FROM lab JOIN centers c ON c.cl = lab.l
+            ),
+            scat AS (
+              SELECT l, avg(dc) AS scatter, count(*) AS cnt,
+                     sum(dc * dc) AS ssq
+              FROM mdist GROUP BY 1
+            ),
+            iner AS (
+              SELECT sum(ssq) AS inertia FROM scat
+            ),
+            cdist AS (
+              SELECT i.cl AS ci, j.cl AS cj,
+                     sqrt(list_sum(list_transform(range(4), t ->
+                       (i.cv[t+1] - j.cv[t+1])
+                       * (i.cv[t+1] - j.cv[t+1])))) AS cd
+              FROM centers i JOIN centers j ON i.cl != j.cl
+            ),
+            ratios AS (
+              SELECT ci, max((coalesce(si.scatter, 0.0)
+                              + coalesce(sj.scatter, 0.0)) / cd)
+                       AS mr
+              FROM cdist
+              LEFT JOIN scat si ON si.l = ci
+              LEFT JOIN scat sj ON sj.l = cj
+              WHERE cd > 0 GROUP BY 1
+            ),
+            kt AS (SELECT count(*) AS k FROM centers),
+            dbx AS (
+              SELECT sum(coalesce(r.mr, 0.0))
+                       / (SELECT k FROM kt)::DOUBLE AS davies_bouldin
+              FROM centers c LEFT JOIN ratios r ON r.ci = c.cl
+            ),
+            overall AS (
+              SELECT [avg(v[1]), avg(v[2]), avg(v[3]), avg(v[4])]
+                       AS oc
+              FROM lab
+            ),
+            bgss AS (
+              SELECT sum(s.cnt::DOUBLE
+                * list_sum(list_transform(range(4), t ->
+                    (c.cv[t+1] - o.oc[t+1])
+                    * (c.cv[t+1] - o.oc[t+1])))) AS bg
+              FROM scat s JOIN centers c ON c.cl = s.l
+              CROSS JOIN overall o
+            )
+            SELECT 64::BIGINT AS n_points,
+                   (SELECT k FROM kt)::BIGINT AS n_clusters,
+                   round((SELECT silhouette FROM sil), 6) + 0.0
+                     AS silhouette,
+                   round((SELECT davies_bouldin FROM dbx), 6) + 0.0
+                     AS davies_bouldin,
+                   round(CASE WHEN (SELECT k FROM kt) < 2
+                              OR 64 = (SELECT k FROM kt)
+                              OR (SELECT inertia FROM iner) = 0
+                         THEN 0.0
+                         ELSE ((SELECT bg FROM bgss)
+                               / ((SELECT k FROM kt) - 1)::DOUBLE)
+                              / ((SELECT inertia FROM iner)
+                                 / (64 - (SELECT k FROM kt))::DOUBLE)
+                         END, 6) + 0.0 AS calinski_harabasz,
+                   round((SELECT inertia FROM iner), 6) + 0.0
+                     AS inertia
+        """,
+        "kmedoids": r"""
+            WITH RECURSIVE pts AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding[1:4],
+                                    x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id < 24
+            ),
+            dmx AS (
+              SELECT list_transform(vs, a -> list_transform(vs, b ->
+                sqrt(list_sum(list_transform(range(4), t ->
+                  (a[t+1] - b[t+1]) * (a[t+1] - b[t+1])))))) AS dm
+              FROM (SELECT list(v ORDER BY id) AS vs FROM pts)
+            ),
+            st AS (
+              SELECT 0 AS t,
+                     [0, 1, 2]::INT[] AS med,
+                     list_transform(range(24), i -> 0::INT) AS labels,
+                     false AS done,
+                     dm
+              FROM dmx
+              UNION ALL
+              SELECT s.t + 1, x2.med2, x1.l1,
+                     x1.l1 = s.labels AS done, s.dm
+              FROM st s,
+              LATERAL (
+                SELECT list(lab ORDER BY i) AS l1
+                FROM (
+                  SELECT pi.i,
+                         (min({'d': s.dm[pi.i+1][s.med[pj.j+1]+1],
+                               'j': pj.j}))['j']::INT AS lab
+                  FROM (SELECT unnest(range(24)) AS i) pi,
+                       (SELECT unnest(range(3)) AS j) pj
+                  GROUP BY pi.i
+                )
+              ) x1,
+              LATERAL (
+                SELECT list(m ORDER BY j) AS med2
+                FROM (
+                  SELECT sl.j,
+                         coalesce(bb.best, s.med[sl.j+1]) AS m
+                  FROM (SELECT unnest(range(3)) AS j) sl
+                  LEFT JOIN (
+                    SELECT cj, (min({'c': cost, 'i': cand}))['i']::INT
+                             AS best
+                    FROM (
+                      SELECT a.cj, a.i AS cand,
+                             list_sum(list(s.dm[a.i+1][b.i+1]
+                                           ORDER BY b.i)) AS cost
+                      FROM (SELECT pi.i, x1.l1[pi.i+1] AS cj
+                            FROM (SELECT unnest(range(24)) AS i) pi) a
+                      JOIN (SELECT pi.i, x1.l1[pi.i+1] AS cj
+                            FROM (SELECT unnest(range(24)) AS i) pi) b
+                        ON a.cj = b.cj
+                      GROUP BY a.cj, a.i
+                    ) GROUP BY cj
+                  ) bb ON bb.cj = sl.j
+                )
+              ) x2
+              WHERE s.t < 20 AND NOT s.done
+            ),
+            fin AS (SELECT * FROM st ORDER BY t DESC LIMIT 1)
+            SELECT i::BIGINT AS vec_id,
+                   labels[i+1]::BIGINT AS label,
+                   list_contains(med, i::INT) AS is_medoid
+            FROM fin, (SELECT unnest(range(24)) AS i)
+        """,
+        "hierarchical": r"""
+            WITH RECURSIVE pts AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding[1:4],
+                                    x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id < 16
+            ),
+            dmx AS (
+              SELECT list_transform(vs, a -> list_transform(vs, b ->
+                sqrt(list_sum(list_transform(range(4), t ->
+                  (a[t+1] - b[t+1]) * (a[t+1] - b[t+1])))))) AS dm
+              FROM (SELECT list(v ORDER BY id) AS vs FROM pts)
+            ),
+            st AS (
+              SELECT 0 AS step,
+                     list_transform(range(16),
+                                    i -> [i::INT]) AS cl,
+                     dm
+              FROM dmx
+              UNION ALL
+              SELECT s.step + 1, x3.newcl, s.dm
+              FROM st s,
+              LATERAL (
+                SELECT min({'d': pd_.d, 'i': pd_.i, 'j': pd_.j})
+                         AS best
+                FROM (
+                  SELECT ca.pos - 1 AS i, cb.pos - 1 AS j,
+                         sqrt(list_sum(list(
+                             s.dm[ma.v+1][mb.v+1]
+                             * s.dm[ma.v+1][mb.v+1]
+                             ORDER BY ma.p, mb.p))
+                           / (len(ca.members)
+                              * len(cb.members))::DOUBLE) AS d
+                  FROM (SELECT unnest(s.cl) AS members,
+                               generate_subscripts(s.cl, 1) AS pos)
+                       ca,
+                       (SELECT unnest(s.cl) AS members,
+                               generate_subscripts(s.cl, 1) AS pos)
+                       cb,
+                       LATERAL (SELECT unnest(ca.members) AS v,
+                                generate_subscripts(ca.members, 1)
+                                  AS p) ma,
+                       LATERAL (SELECT unnest(cb.members) AS v,
+                                generate_subscripts(cb.members, 1)
+                                  AS p) mb
+                  WHERE cb.pos > ca.pos
+                  GROUP BY ca.pos, cb.pos, ca.members, cb.members
+                ) pd_
+              ) x1,
+              LATERAL (
+                SELECT list(CASE WHEN pos - 1 = x1.best['i']
+                              THEN members
+                                   || s.cl[x1.best['j']+1]
+                              ELSE members END ORDER BY pos)
+                         AS newcl
+                FROM (SELECT unnest(s.cl) AS members,
+                             generate_subscripts(s.cl, 1) AS pos)
+                WHERE pos - 1 != x1.best['j']
+              ) x3
+              WHERE len(s.cl) > 4
+            ),
+            fin AS (SELECT * FROM st ORDER BY step DESC LIMIT 1),
+            memb AS (
+              SELECT unnest(cl) AS members,
+                     generate_subscripts(cl, 1) - 1 AS pos
+              FROM fin
+            )
+            SELECT unnest(members)::BIGINT AS vec_id,
+                   pos::BIGINT AS label
+            FROM memb
+        """,
+        "gmm": r"""
+            WITH RECURSIVE pts AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding[1:2],
+                                    x -> x::DOUBLE) AS v
+              FROM embeddings WHERE vec_id < 24
+            ),
+            datax AS (SELECT list(v ORDER BY id) AS xs FROM pts),
+            st AS (
+              SELECT 0 AS t,
+                     [xs[1], xs[2]] AS means,
+                     [[1.0::DOUBLE, 1.0], [1.0::DOUBLE, 1.0]]
+                       AS vars,
+                     [0.5::DOUBLE, 0.5] AS mix,
+                     list_transform(range(24),
+                       i -> [0.0::DOUBLE, 0.0]) AS resp,
+                     xs
+              FROM datax
+              UNION ALL
+              SELECT s.t + 1, x3.nm, x3.nv, x3.nx, x1.r, s.xs
+              FROM st s,
+              LATERAL (
+                SELECT list(rr ORDER BY i) AS r
+                FROM (
+                  SELECT i,
+                         CASE WHEN raw1 + raw2 > 0
+                           THEN [round(raw1 / (raw1 + raw2), 9),
+                                 round(raw2 / (raw1 + raw2), 9)]
+                           ELSE [raw1, raw2] END AS rr
+                  FROM (
+                    SELECT pi.i,
+                      s.mix[1] * (1.0 / sqrt(pow(2 * pi(), 2)
+                        * (s.vars[1][1] * s.vars[1][2])))
+                        * exp(-0.5 * (
+                          CASE WHEN s.vars[1][1] > 0 THEN
+                            (s.xs[pi.i+1][1] - s.means[1][1])
+                            * (s.xs[pi.i+1][1] - s.means[1][1])
+                            / s.vars[1][1] ELSE 0.0 END
+                          + CASE WHEN s.vars[1][2] > 0 THEN
+                            (s.xs[pi.i+1][2] - s.means[1][2])
+                            * (s.xs[pi.i+1][2] - s.means[1][2])
+                            / s.vars[1][2] ELSE 0.0 END)) AS raw1,
+                      s.mix[2] * (1.0 / sqrt(pow(2 * pi(), 2)
+                        * (s.vars[2][1] * s.vars[2][2])))
+                        * exp(-0.5 * (
+                          CASE WHEN s.vars[2][1] > 0 THEN
+                            (s.xs[pi.i+1][1] - s.means[2][1])
+                            * (s.xs[pi.i+1][1] - s.means[2][1])
+                            / s.vars[2][1] ELSE 0.0 END
+                          + CASE WHEN s.vars[2][2] > 0 THEN
+                            (s.xs[pi.i+1][2] - s.means[2][2])
+                            * (s.xs[pi.i+1][2] - s.means[2][2])
+                            / s.vars[2][2] ELSE 0.0 END)) AS raw2
+                    FROM (SELECT unnest(range(24)) AS i) pi
+                  )
+                )
+              ) x1,
+              LATERAL (
+                SELECT
+                  (SELECT list_sum(list(x1.r[pi.i+1][1]
+                                        ORDER BY pi.i))
+                   FROM (SELECT unnest(range(24)) AS i) pi) AS nj1,
+                  (SELECT list_sum(list(x1.r[pi.i+1][2]
+                                        ORDER BY pi.i))
+                   FROM (SELECT unnest(range(24)) AS i) pi) AS nj2
+              ) x2,
+              LATERAL (
+                SELECT
+                  [CASE WHEN x2.nj1 > 0 THEN
+                     [(SELECT list_sum(list(x1.r[pi.i+1][1]
+                         * s.xs[pi.i+1][1] ORDER BY pi.i))
+                       FROM (SELECT unnest(range(24)) AS i) pi)
+                        / x2.nj1,
+                      (SELECT list_sum(list(x1.r[pi.i+1][1]
+                         * s.xs[pi.i+1][2] ORDER BY pi.i))
+                       FROM (SELECT unnest(range(24)) AS i) pi)
+                        / x2.nj1]
+                   ELSE s.means[1] END,
+                   CASE WHEN x2.nj2 > 0 THEN
+                     [(SELECT list_sum(list(x1.r[pi.i+1][2]
+                         * s.xs[pi.i+1][1] ORDER BY pi.i))
+                       FROM (SELECT unnest(range(24)) AS i) pi)
+                        / x2.nj2,
+                      (SELECT list_sum(list(x1.r[pi.i+1][2]
+                         * s.xs[pi.i+1][2] ORDER BY pi.i))
+                       FROM (SELECT unnest(range(24)) AS i) pi)
+                        / x2.nj2]
+                   ELSE s.means[2] END] AS nm0
+              ) x2b,
+              LATERAL (
+                SELECT x2b.nm0 AS nm,
+                  [CASE WHEN x2.nj1 > 0 THEN
+                     [(SELECT list_sum(list(x1.r[pi.i+1][1]
+                         * (s.xs[pi.i+1][1] - x2b.nm0[1][1])
+                         * (s.xs[pi.i+1][1] - x2b.nm0[1][1])
+                         ORDER BY pi.i))
+                       FROM (SELECT unnest(range(24)) AS i) pi)
+                        / x2.nj1 + 1e-6,
+                      (SELECT list_sum(list(x1.r[pi.i+1][1]
+                         * (s.xs[pi.i+1][2] - x2b.nm0[1][2])
+                         * (s.xs[pi.i+1][2] - x2b.nm0[1][2])
+                         ORDER BY pi.i))
+                       FROM (SELECT unnest(range(24)) AS i) pi)
+                        / x2.nj1 + 1e-6]
+                   ELSE s.vars[1] END,
+                   CASE WHEN x2.nj2 > 0 THEN
+                     [(SELECT list_sum(list(x1.r[pi.i+1][2]
+                         * (s.xs[pi.i+1][1] - x2b.nm0[2][1])
+                         * (s.xs[pi.i+1][1] - x2b.nm0[2][1])
+                         ORDER BY pi.i))
+                       FROM (SELECT unnest(range(24)) AS i) pi)
+                        / x2.nj2 + 1e-6,
+                      (SELECT list_sum(list(x1.r[pi.i+1][2]
+                         * (s.xs[pi.i+1][2] - x2b.nm0[2][2])
+                         * (s.xs[pi.i+1][2] - x2b.nm0[2][2])
+                         ORDER BY pi.i))
+                       FROM (SELECT unnest(range(24)) AS i) pi)
+                        / x2.nj2 + 1e-6]
+                   ELSE s.vars[2] END] AS nv,
+                  [CASE WHEN x2.nj1 > 0 THEN x2.nj1 / 24.0
+                        ELSE s.mix[1] END,
+                   CASE WHEN x2.nj2 > 0 THEN x2.nj2 / 24.0
+                        ELSE s.mix[2] END] AS nx
+              ) x3
+              WHERE s.t < 4
+            ),
+            fin AS (SELECT * FROM st ORDER BY t DESC LIMIT 1)
+            SELECT i::BIGINT AS vec_id,
+                   (CASE WHEN resp[i+1][2] > resp[i+1][1]
+                          AND resp[i+1][2] > 0
+                         THEN 1 ELSE 0 END)::BIGINT AS label,
+                   round(CASE WHEN resp[i+1][2] > resp[i+1][1]
+                               AND resp[i+1][2] > 0
+                              THEN resp[i+1][2]
+                              ELSE resp[i+1][1] END, 6) + 0.0
+                     AS resp
+            FROM fin, (SELECT unnest(range(24)) AS i)
         """,
         "multimodal": """
             WITH ids AS (
