@@ -1401,6 +1401,51 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fractional-index interpolation family
+    (common/interpolation.go): every doc's token-length series
+    resampled at ratio 4/3 (ResampleSignal :195-215), with all four
+    point methods — linear :46-66, Catmull-Rom cubic :69-104,
+    Hermite :107-149, Lanczos a=3 :152-192 — evaluated at each
+    fractional source index.  Pure Catalyst closed forms (6
+    neighbours max, no UDFs); boundary branches, truncating index
+    and short-series fallbacks reproduced branch-for-branch (golden
+    test vs a scalar Go port in tests/test_stats_ops.py)."""
+    from sonar_spark.functions.interpolate import interpolate_at
+
+    ratio = 4.0 / 3.0
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    d = toks.where(F.col("n_tok") >= 8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform("tokens", lambda x: x.cast("double")).alias("s"),
+        F.floor(F.col("n_tok") / ratio).cast("int").alias("__nl"),
+    )
+    e = d.select(
+        "doc_id",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.col("__nl") - 1)).alias(
+            "pos"
+        ),
+    )
+    idx = F.col("pos").cast("double") * ratio
+    return e.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(interpolate_at(F.col("s"), idx, "linear"), 6).alias(
+            "lin"
+        ),
+        F.round(interpolate_at(F.col("s"), idx, "cubic"), 6).alias(
+            "cubic"
+        ),
+        F.round(interpolate_at(F.col("s"), idx, "hermite"), 6).alias(
+            "hermite"
+        ),
+        F.round(interpolate_at(F.col("s"), idx, "lanczos"), 6).alias(
+            "lanczos"
+        ),
+    )
+
+
 def _emb_points(spark: SparkSession, sf_dir: str, n: int, dims: int):
     """Bounded point set for the clustering queries: first n
     embeddings, first `dims` dimensions, cast float32 -> double (the
@@ -5041,6 +5086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmedoids": q_kmedoids,
         "hierarchical": q_hierarchical,
         "gmm": q_gmm,
+        "interpolate": q_interpolate,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -8476,6 +8522,142 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM lineitem l JOIN q USING (l_returnflag)
             GROUP BY 1
+        """,
+        "interpolate": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            s0 AS (
+              SELECT doc_id,
+                     list_transform(tl, w -> length(w)::DOUBLE) AS s,
+                     len(tl) AS n
+              FROM toks WHERE len(tl) >= 8
+            ),
+            posx AS (
+              SELECT doc_id, s, n,
+                     unnest(generate_series(0,
+                       floor(n / (4.0 / 3.0))::BIGINT - 1)) AS p
+              FROM s0
+            ),
+            c AS (
+              SELECT doc_id, s, n, p,
+                     p * (4.0 / 3.0) AS idx,
+                     floor(p * (4.0 / 3.0))::BIGINT AS i,
+                     p * (4.0 / 3.0)
+                       - floor(p * (4.0 / 3.0)) AS frac,
+                     CASE WHEN floor(p * (4.0 / 3.0))::BIGINT < 1
+                          THEN 1
+                          WHEN floor(p * (4.0 / 3.0))::BIGINT >= n - 2
+                          THEN n - 3
+                          ELSE floor(p * (4.0 / 3.0))::BIGINT
+                     END AS ic
+              FROM posx
+            ),
+            lv AS (
+              SELECT doc_id, p, s, n, idx, i, frac, ic,
+                     CASE WHEN n = 0 THEN 0.0
+                          WHEN idx <= 0 THEN s[1]
+                          WHEN idx >= (n - 1)::DOUBLE THEN s[n]
+                          WHEN i >= n - 1 THEN s[n]
+                          ELSE s[i+1] + frac * (s[i+2] - s[i+1])
+                     END AS lin,
+                     s[ic] AS y0, s[ic+1] AS y1,
+                     s[ic+2] AS y2, s[ic+3] AS y3
+              FROM c
+            ),
+            cv AS (
+              SELECT doc_id, p, s, n, idx, i, frac, lin,
+                     CASE WHEN n < 4 THEN lin
+                          WHEN idx <= 1
+                            THEN s[floor(greatest(idx, 0.0))::BIGINT
+                                   + 1]
+                          WHEN idx >= (n - 2)::DOUBLE THEN s[n]
+                          ELSE (-0.5*y0 + 1.5*y1 - 1.5*y2 + 0.5*y3)
+                                 * frac * frac * frac
+                               + (y0 - 2.5*y1 + 2*y2 - 0.5*y3)
+                                 * frac * frac
+                               + (-0.5*y0 + 0.5*y2) * frac + y1
+                     END AS cubic,
+                     CASE WHEN n < 4 THEN lin
+                          WHEN idx <= 1
+                            THEN s[floor(greatest(idx, 0.0))::BIGINT
+                                   + 1]
+                          WHEN idx >= (n - 2)::DOUBLE THEN s[n]
+                          ELSE (2*frac*frac*frac - 3*frac*frac + 1)
+                                 * y1
+                               + (frac*frac*frac - 2*frac*frac
+                                  + frac) * (0.5 * (y2 - y0))
+                               + (-2*frac*frac*frac + 3*frac*frac)
+                                 * y2
+                               + (frac*frac*frac - frac*frac)
+                                 * (0.5 * (y3 - y1))
+                     END AS hermite
+              FROM lv
+            )
+            SELECT doc_id, p AS pos,
+                   round(lin, 6) + 0.0 AS lin,
+                   round(cubic, 6) + 0.0 AS cubic,
+                   round(hermite, 6) + 0.0 AS hermite,
+                   round(CASE WHEN n < 6 THEN cubic
+                         WHEN i < 3 THEN s[1]
+                         WHEN i >= n - 3 THEN s[n]
+                         ELSE
+                             s[i-1]
+                             * (CASE WHEN abs(idx - (i-2)) < 1e-10
+                                  THEN 1.0
+                                WHEN abs(idx - (i-2)) >= 3.0
+                                  THEN 0.0
+                                ELSE (3.0 * sin(pi() * (idx - (i-2)))
+                                  * sin(pi() * (idx - (i-2)) / 3.0))
+                                  / ((pi() * (idx - (i-2)))
+                                     * (pi() * (idx - (i-2)))) END)
+                           + s[i]
+                             * (CASE WHEN abs(idx - (i-1)) < 1e-10
+                                  THEN 1.0
+                                WHEN abs(idx - (i-1)) >= 3.0
+                                  THEN 0.0
+                                ELSE (3.0 * sin(pi() * (idx - (i-1)))
+                                  * sin(pi() * (idx - (i-1)) / 3.0))
+                                  / ((pi() * (idx - (i-1)))
+                                     * (pi() * (idx - (i-1)))) END)
+                           + s[i+1]
+                             * (CASE WHEN abs(idx - i) < 1e-10
+                                  THEN 1.0
+                                WHEN abs(idx - i) >= 3.0 THEN 0.0
+                                ELSE (3.0 * sin(pi() * (idx - i))
+                                  * sin(pi() * (idx - i) / 3.0))
+                                  / ((pi() * (idx - i))
+                                     * (pi() * (idx - i))) END)
+                           + s[i+2]
+                             * (CASE WHEN abs(idx - (i+1)) < 1e-10
+                                  THEN 1.0
+                                WHEN abs(idx - (i+1)) >= 3.0
+                                  THEN 0.0
+                                ELSE (3.0 * sin(pi() * (idx - (i+1)))
+                                  * sin(pi() * (idx - (i+1)) / 3.0))
+                                  / ((pi() * (idx - (i+1)))
+                                     * (pi() * (idx - (i+1)))) END)
+                           + s[i+3]
+                             * (CASE WHEN abs(idx - (i+2)) < 1e-10
+                                  THEN 1.0
+                                WHEN abs(idx - (i+2)) >= 3.0
+                                  THEN 0.0
+                                ELSE (3.0 * sin(pi() * (idx - (i+2)))
+                                  * sin(pi() * (idx - (i+2)) / 3.0))
+                                  / ((pi() * (idx - (i+2)))
+                                     * (pi() * (idx - (i+2)))) END)
+                           + s[i+4]
+                             * (CASE WHEN abs(idx - (i+3)) < 1e-10
+                                  THEN 1.0
+                                WHEN abs(idx - (i+3)) >= 3.0
+                                  THEN 0.0
+                                ELSE (3.0 * sin(pi() * (idx - (i+3)))
+                                  * sin(pi() * (idx - (i+3)) / 3.0))
+                                  / ((pi() * (idx - (i+3)))
+                                     * (pi() * (idx - (i+3)))) END)
+                     END, 6) + 0.0 AS lanczos
+            FROM cv
         """,
         "dbscan_embeddings": r"""
             WITH RECURSIVE pts AS (

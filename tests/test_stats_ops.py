@@ -240,3 +240,143 @@ def test_quantile_histogram_bit_identical_to_percentile(spark):
         assert got[g]["__n"] == want[g]["__n"]
         for k in qs:
             assert got[g][k] == want[g][k], (g, k, got[g][k], want[g][k])
+
+
+def test_interpolation_family_matches_go(spark):
+    """Catalyst interpolation expressions vs a scalar port of
+    interpolation.go across methods, fractional indices, boundary
+    branches, and short-array fallbacks."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sonar_spark.functions.interpolate import (
+        downsample_signal,
+        interpolate_at,
+        resample_signal,
+        upsample_signal,
+    )
+
+    def lin(d, x):
+        n = len(d)
+        if n == 0:
+            return 0.0
+        if x <= 0:
+            return d[0]
+        if x >= n - 1:
+            return d[-1]
+        i = int(x)
+        if i >= n - 1:
+            return d[-1]
+        return d[i] + (x - i) * (d[i + 1] - d[i])
+
+    def cub(d, x):
+        n = len(d)
+        if n < 4:
+            return lin(d, x)
+        if x <= 1:
+            return d[int(max(0.0, x))]
+        if x >= n - 2:
+            return d[-1]
+        i = min(max(int(x), 1), n - 3)
+        f = x - int(x)
+        y0, y1, y2, y3 = d[i - 1], d[i], d[i + 1], d[i + 2]
+        a0 = -0.5 * y0 + 1.5 * y1 - 1.5 * y2 + 0.5 * y3
+        a1 = y0 - 2.5 * y1 + 2 * y2 - 0.5 * y3
+        a2 = -0.5 * y0 + 0.5 * y2
+        return a0 * f ** 3 + a1 * f ** 2 + a2 * f + y1
+
+    def herm(d, x):
+        n = len(d)
+        if n < 4:
+            return lin(d, x)
+        if x <= 1:
+            return d[int(max(0.0, x))]
+        if x >= n - 2:
+            return d[-1]
+        i = min(max(int(x), 1), n - 3)
+        t = x - int(x)
+        y0, y1, y2, y3 = d[i - 1], d[i], d[i + 1], d[i + 2]
+        m0, m1 = 0.5 * (y2 - y0), 0.5 * (y3 - y1)
+        t2, t3 = t * t, t ** 3
+        return ((2 * t3 - 3 * t2 + 1) * y1 + (t3 - 2 * t2 + t) * m0
+                + (-2 * t3 + 3 * t2) * y2 + (t3 - t2) * m1)
+
+    def lanc(d, x):
+        n = len(d)
+        if n < 6:
+            return cub(d, x)
+        a = 3.0
+        i = int(x)
+        if i < 3:
+            return d[0]
+        if i >= n - 3:
+            return d[-1]
+        s = 0.0
+        for j in range(i - 2, i + 4):
+            xx = x - j
+            if abs(xx) < 1e-10:
+                w = 1.0
+            elif abs(xx) >= a:
+                w = 0.0
+            else:
+                px = math.pi * xx
+                w = (a * math.sin(px) * math.sin(px / a)) / (px * px)
+            s += d[j] * w
+        return s
+
+    ref = {"linear": lin, "cubic": cub, "hermite": herm,
+           "lanczos": lanc}
+    series = [
+        [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0],
+        [2.0, 7.0, 1.0],          # short: cubic/hermite -> linear
+        [1.0, 2.0, 3.0, 4.0, 5.0],  # lanczos -> cubic fallback
+    ]
+    idxs = [0.0, 0.5, 1.0, 2.5, 3.75, 5.25, 8.9, 9.0, 11.0, -1.0]
+    rows = [(si, s) for si, s in enumerate(series)]
+    df = spark.createDataFrame(rows, "sid long, s array<double>")
+    sel = [F.col("sid")]
+    expect = {}
+    for m in ref:
+        for xi, x in enumerate(idxs):
+            sel.append(
+                interpolate_at(F.col("s"), F.lit(x), m).alias(
+                    f"{m}_{xi}"
+                )
+            )
+    got = {r["sid"]: r for r in df.select(*sel).collect()}
+    for si, s in enumerate(series):
+        for m, fn in ref.items():
+            for xi, x in enumerate(idxs):
+                g = got[si][f"{m}_{xi}"]
+                w = fn(s, x)
+                assert abs(g - w) < 1e-12, (si, m, x, g, w)
+
+    # signal-level ops vs go loops
+    d = series[0]
+    out = df.where(F.col("sid") == 0).select(
+        resample_signal(F.col("s"), 4, 3, "linear").alias("rs"),
+        upsample_signal(F.col("s"), 2).alias("up"),
+        downsample_signal(F.col("s"), 2).alias("dn"),
+    ).collect()[0]
+    ratio = 4.0 / 3.0
+    want_rs = [lin(d, i * ratio) for i in range(int(len(d) / ratio))]
+    assert len(out["rs"]) == len(want_rs)
+    for g, w in zip(out["rs"], want_rs):
+        assert abs(g - w) < 1e-12
+    # upsample: go port with the as-written zero-stuff fill
+    up = [0.0] * (len(d) * 2)
+    for i, v in enumerate(d):
+        up[i * 2] = v
+    for i in range(1, len(up)):
+        if up[i] == 0.0:
+            prev = (i // 2) * 2
+            nxt = prev + 2
+            if nxt < len(up):
+                up[i] = up[prev] + ((i - prev) / 2.0) * (
+                    up[nxt] - up[prev]
+                )
+    assert [round(x, 12) for x in out["up"]] == [
+        round(x, 12) for x in up
+    ]
+    assert out["dn"] == [d[i * 2] for i in range(len(d) // 2)]
