@@ -2427,6 +2427,12 @@ def q_voice_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplitude stability, the HNR join, and the overall/analysis
     quality composites — docs with < 3 periods dropped as the
     reference errors."""
+    return _voice_quality_df(spark, sf_dir)
+
+
+def _voice_quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded AnalyzeVoiceQuality table (shared by
+    voice_quality_full and the speech_analysis composite)."""
     from sonar_spark.operators.sessionize import detect_onsets
     from sonar_spark.operators.temporal import (
         hnr,
@@ -2466,6 +2472,217 @@ def q_voice_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("amp_stability", 6).alias("amp_stability"),
         F.round("overall_quality", 6).alias("overall_quality"),
         F.round("analysis_quality", 6).alias("analysis_quality"),
+    )
+
+
+def q_speech_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SpeechAnalyzer composite (speech/speech_analysis.go):
+
+    - detectSpeech gate (:105-133): min length, moderate-ZCR band
+      with the Go sign-boundary rule, RMS energy >= 0.001, and the
+      autocorrelation periodicity check (:165-207, max normalized
+      lag correlation > 0.1).  Token analog: the series is
+      DC-removed once (PCM is zero-mean; token lengths are not), the
+      audio-rate constants scale by the repo's sr-analog convention
+      — min length 8 (sampleRate/4), the 1024-sample periodicity
+      frame -> first 32 tokens, lag band 20..400 -> 2..12 — and the
+      speech ZCR band [0.02, 0.2]-of-audio is re-centred to
+      [0.3, 0.7] because a centred token-length series crosses sign
+      ~every other token at baseline (the band keeps its
+      exclude-the-extremes role; ZCR is signal-character dependent,
+      not rate-scalable).  Per-lag correlations and the frame
+      energy are 6-dp rounded on both engines before the ratio
+      compare.
+    - speech quality (:210-229) and intelligibility (:231-264):
+      running blends with the formant-summary quality and the
+      voice-quality overall score, F1-F2 separation > 500 (the
+      formant queries' Hz-analog scale), HNR > 10 dB, jitter < 2% /
+      shimmer < 5% — exact branch order, zeroed when not speech.
+    - EstimateGender (:272-296) from F1/F2 (thresholds unchanged —
+      the formant chain already runs in the 8000 Hz analog) and
+      EstimateAge (:298-313) from jitter/shimmer/F0 (F0 thresholds
+      scaled by period_rate/sample_rate = 1e-3: 200 -> 0.2,
+      100 -> 0.1); the reference's error paths (no formants / < 3
+      periods) surface as 'unknown' with confidence 0."""
+    from sonar_spark.operators.formants import formant_summary, formants
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    n = F.col("n_tok")
+    d = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform("tokens", lambda x: x.cast("double")).alias("s"),
+        F.col("n_tok"),
+    )
+    mean = F.aggregate("s", F.lit(0.0), lambda a, x: a + x) / n
+    d = d.withColumn("__m", mean).withColumn(
+        "c", F.transform("s", lambda x: x - F.col("__m"))
+    )
+    cross = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice("c", 2, n - 1),
+                F.slice("c", 1, n - 1),
+                lambda cur, prv: ((prv >= 0) & (cur < 0))
+                | ((prv < 0) & (cur >= 0)),
+            ),
+            lambda b: b,
+        )
+    )
+    zcr = F.when(
+        n > 1, cross.cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    sq = F.aggregate("c", F.lit(0.0), lambda a, x: a + x * x)
+    rms_full = F.sqrt(sq / n)
+    fen = F.round(
+        F.aggregate(
+            F.slice("c", 1, 32), F.lit(0.0), lambda a, x: a + x * x
+        )
+        / 32.0,
+        6,
+    )
+    corrs = []
+    for lag in range(2, 13):
+        corrs.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("c", 1, 32 - lag),
+                        F.slice("c", 1 + lag, 32 - lag),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / float(32 - lag),
+                6,
+            )
+        )
+    maxc = F.greatest(*corrs)
+    periodic = (n >= 32) & (fen > 0) & (maxc / fen > 0.1)
+    gate = d.select(
+        "doc_id",
+        (
+            (n >= 8)
+            & (zcr >= 0.3)
+            & (zcr <= 0.7)
+            & (rms_full >= 0.001)
+            & periodic
+        ).alias("is_speech"),
+    )
+    coeffs = _lpc_coeffs(spark, sf_dir)
+    fm = formants(coeffs)
+    f12 = fm.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("formant_idx") == 1, F.round("frequency", 6))
+        ).alias("__f1"),
+        F.max(
+            F.when(F.col("formant_idx") == 2, F.round("frequency", 6))
+        ).alias("__f2"),
+    )
+    fs = formant_summary(coeffs, fm).select(
+        "doc_id",
+        F.col("num_formants").alias("__nf"),
+        F.round("quality", 6).alias("__fq"),
+    )
+    vq = _voice_quality_df(spark, sf_dir).select(
+        "doc_id",
+        F.col("jitter_pct").alias("__jit"),
+        F.col("shimmer_pct").alias("__shm"),
+        F.col("hnr_db").alias("__hnr"),
+        F.col("mean_f0").alias("__mf0"),
+        F.col("f0_range").alias("__f0r"),
+        F.col("overall_quality").alias("__ov"),
+    )
+    j = (
+        gate.join(fs, "doc_id", "left")
+        .join(f12, "doc_id", "left")
+        .join(vq, "doc_id", "left")
+    )
+    has_f = F.col("__fq").isNotNull()
+    has_v = F.col("__ov").isNotNull()
+    q1 = F.when(has_f, (0.5 + F.col("__fq")) / 2.0).otherwise(
+        F.lit(0.5)
+    )
+    q2 = F.when(has_v, (q1 + F.col("__ov")) / 2.0).otherwise(q1)
+    sep_boost = F.when(
+        (F.col("__f2") > F.col("__f1"))
+        & (F.col("__f2") - F.col("__f1") > 500.0),
+        F.lit(0.2),
+    ).otherwise(F.lit(0.0))
+    i1 = F.when(
+        has_f & (F.col("__nf") >= 2),
+        ((0.5 + sep_boost) + F.col("__fq")) / 2.0,
+    ).otherwise(F.lit(0.5))
+    i2 = (
+        i1
+        + F.when(has_v & (F.col("__hnr") > 10.0), 0.1).otherwise(0.0)
+        + F.when(
+            has_v & (F.col("__jit") < 2.0) & (F.col("__shm") < 5.0),
+            0.1,
+        ).otherwise(0.0)
+    )
+    gender = F.when(
+        has_f & (F.col("__nf") >= 2),
+        F.when(
+            (F.col("__f1") < 450.0) & (F.col("__f2") < 2200.0),
+            F.lit("male"),
+        )
+        .when(
+            (F.col("__f1") > 500.0) & (F.col("__f2") > 2400.0),
+            F.lit("female"),
+        )
+        .otherwise(F.lit("unknown")),
+    ).otherwise(F.lit("unknown"))
+    gconf = F.when(
+        has_f & (F.col("__nf") >= 2),
+        F.when(
+            (F.col("__f1") < 450.0) & (F.col("__f2") < 2200.0), 0.7
+        )
+        .when(
+            (F.col("__f1") > 500.0) & (F.col("__f2") > 2400.0), 0.7
+        )
+        .otherwise(0.3),
+    ).otherwise(F.lit(0.0))
+    age = F.when(
+        has_v,
+        F.when(
+            (F.col("__jit") > 3.0) | (F.col("__shm") > 8.0),
+            F.lit("elderly"),
+        )
+        .when(
+            (F.col("__mf0") > 0.2) & (F.col("__f0r") > 0.1),
+            F.lit("young"),
+        )
+        .otherwise(F.lit("adult")),
+    ).otherwise(F.lit("unknown"))
+    aconf = F.when(
+        has_v,
+        F.when(
+            (F.col("__jit") > 3.0) | (F.col("__shm") > 8.0), 0.4
+        )
+        .when((F.col("__mf0") > 0.2) & (F.col("__f0r") > 0.1), 0.4)
+        .otherwise(0.3),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        "is_speech",
+        # +1e-12 before rounding: the /2 blends of 6-dp inputs land
+        # EXACTLY on x.xxxxxx5 whenever the micro-unit sum is odd —
+        # the r3 structural-tie class (HALF_UP vs double-round)
+        F.round(
+            F.when(F.col("is_speech"), q2).otherwise(0.0) + 1e-12, 6
+        ).alias("speech_quality"),
+        F.round(
+            F.when(
+                F.col("is_speech"), F.least(F.lit(1.0), i2)
+            ).otherwise(0.0)
+            + 1e-12,
+            6,
+        ).alias("intelligibility"),
+        gender.alias("gender"),
+        F.round(gconf, 6).alias("gender_conf"),
+        age.alias("age_group"),
+        F.round(aconf, 6).alias("age_conf"),
     )
 
 
@@ -5087,6 +5304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical": q_hierarchical,
         "gmm": q_gmm,
         "interpolate": q_interpolate,
+        "speech_analysis": q_speech_analysis,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -5183,6 +5401,305 @@ SELECT l.event_id, l.user_id, l.ts_sec,
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts_sec >= r.ref_ts
 """
+
+
+def _speech_oracle_sql() -> str:
+    """SpeechAnalyzer composite oracle: the formant chain (toks/v +
+    LPC + envelope peaks + spacing chain + summary quality), the
+    voice-quality chain (windows renamed sv* for statement
+    uniqueness), the detectSpeech gate over the centred token
+    series, and the quality/intelligibility/gender/age formulas —
+    all per speech_analysis.go with the q_speech_analysis docstring's
+    analog scalings."""
+    corr_terms = ", ".join(
+        f"""round(list_sum(list_transform(range({32 - lag}),
+               ii -> cx[ii+1] * cx[ii+1+{lag}])) / {32 - lag}.0, 6)"""
+        for lag in range(2, 13)
+    )
+    return _formant_chain_sql() + r""",
+            fsum AS (
+              SELECT doc_id, count(*) AS nf,
+                     avg(s.conf) AS avg_conf,
+                     sum(CASE WHEN s.f > 0 AND s.conf > 0.3
+                          AND (2.0 * formant_idx - 1.0) * 35000.0
+                              / (4.0 * s.f) >= 10.0
+                          AND (2.0 * formant_idx - 1.0) * 35000.0
+                              / (4.0 * s.f) <= 25.0
+                         THEN (2.0 * formant_idx - 1.0) * 35000.0
+                              / (4.0 * s.f) END) AS vtl_sum
+              FROM ex GROUP BY 1
+            ),
+            f12 AS (
+              SELECT doc_id,
+                     max(CASE WHEN formant_idx = 1
+                         THEN round(s.f, 6) END) AS f1v,
+                     max(CASE WHEN formant_idx = 2
+                         THEN round(s.f, 6) END) AS f2v
+              FROM ex GROUP BY 1
+            ),
+            fqual AS (
+              SELECT s8.doc_id, coalesce(fsum.nf, 0) AS nf,
+                     round(CASE WHEN coalesce(nf, 0) = 0 THEN 0.0
+                           ELSE (least(nf / 3.0, 1.0) + avg_conf
+                             + CASE WHEN e4 > 0
+                               THEN greatest(0.0,
+                                      1.0 - least(1.0, e4))
+                               ELSE 1.0 END
+                             + CASE WHEN abs(a4_1) < 1.0
+                                     AND abs(a4_2) < 1.0
+                                     AND abs(a4_3) < 1.0
+                                     AND abs(a4_4) < 1.0
+                               THEN 1.0 ELSE 0.0 END) / 4.0
+                           END, 6) + 0.0 AS fq
+              FROM s8 LEFT JOIN fsum USING (doc_id)
+            ),
+            svf AS (
+              SELECT doc_id, pos AS strt, count(*) OVER svw AS cnt,
+                     sqrt(avg(val * val) OVER svw) AS rms
+              FROM v
+              WINDOW svw AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+            ),
+            svfr AS (
+              SELECT doc_id, (strt / 4)::BIGINT AS frame_idx, rms
+              FROM svf WHERE strt % 4 = 0 AND cnt = 16
+            ),
+            svx AS (
+              SELECT doc_id, frame_idx, rms,
+                     lag(rms) OVER svdw AS prv,
+                     lead(rms) OVER svdw AS nxt,
+                     1.05 * avg(rms) OVER (PARTITION BY doc_id) AS thr
+              FROM svfr
+              WINDOW svdw AS (PARTITION BY doc_id ORDER BY frame_idx)
+            ),
+            svonsets AS (
+              SELECT doc_id, frame_idx FROM svx
+              WHERE rms > prv AND rms >= coalesce(nxt, -1e308)
+                AND rms > thr
+            ),
+            svioi AS (
+              SELECT doc_id,
+                     frame_idx - lag(frame_idx) OVER
+                       (PARTITION BY doc_id ORDER BY frame_idx) AS ioi
+              FROM svonsets
+            ),
+            svhist AS (
+              SELECT doc_id, ioi, count(*) AS c FROM svioi
+              WHERE ioi IS NOT NULL GROUP BY 1, 2
+            ),
+            svdom AS (
+              SELECT doc_id, ioi AS dominant_ioi,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, ioi ASC) AS rk
+              FROM svhist
+            ),
+            svspan AS (
+              SELECT doc_id, count(*) AS n_onsets
+              FROM svonsets GROUP BY 1
+            ),
+            svexp AS (
+              SELECT s.doc_id, (d.dominant_ioi * 4)::BIGINT AS L
+              FROM svspan s JOIN svdom d
+                ON d.doc_id = s.doc_id AND d.rk = 1
+              WHERE s.n_onsets >= 2
+            ),
+            svbase AS (
+              SELECT doc_id, count(*)::BIGINT AS n,
+                     sum(val * val) / count(*) AS acf0
+              FROM v GROUP BY 1
+            ),
+            svlags AS (
+              SELECT e.doc_id, b.acf0,
+                     unnest(generate_series(
+                       greatest(1, e.L - e.L // 4),
+                       least(b.n - 1, e.L + e.L // 4))) AS lag
+              FROM svexp e JOIN svbase b USING (doc_id)
+              WHERE e.L <= b.n - 1
+            ),
+            svacf AS (
+              SELECT l.doc_id, l.acf0, l.lag,
+                     sum(a.val * bb.val) / count(*) AS ac
+              FROM svlags l
+              JOIN v a ON a.doc_id = l.doc_id
+              JOIN v bb ON bb.doc_id = l.doc_id
+                AND bb.pos = a.pos + l.lag
+              GROUP BY 1, 2, 3
+            ),
+            svagg AS (
+              SELECT doc_id, acf0, greatest(max(ac), 0.0) AS mx
+              FROM svacf GROUP BY 1, 2
+            ),
+            svhnr AS (
+              SELECT e.doc_id,
+                     round(coalesce(CASE WHEN g.mx > 0
+                         AND g.mx < g.acf0
+                       THEN 10.0 * log10(greatest(g.mx, 1e-300)
+                            / greatest(g.acf0 - g.mx, 1e-300))
+                       ELSE 0.0 END, 0.0), 6) AS hnr_db
+              FROM svexp e LEFT JOIN svagg g USING (doc_id)
+            ),
+            svpf AS (
+              SELECT fr0.doc_id, fr0.frame_idx, fr0.rms,
+                     sum(CASE WHEN o.frame_idx IS NOT NULL
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY fr0.doc_id
+                             ORDER BY fr0.frame_idx) AS period
+              FROM svfr fr0 LEFT JOIN svonsets o
+                ON o.doc_id = fr0.doc_id
+                AND o.frame_idx = fr0.frame_idx
+            ),
+            svpp AS (
+              SELECT doc_id, period, count(*)::DOUBLE AS plen,
+                     sqrt(avg(rms * rms)) AS amp
+              FROM svpf WHERE period >= 1 GROUP BY 1, 2
+            ),
+            svdd AS (
+              SELECT doc_id, plen, amp,
+                     abs(plen - lag(plen) OVER svpw) AS dlen,
+                     abs(amp - lag(amp) OVER svpw) AS damp
+              FROM svpp
+              WINDOW svpw AS (PARTITION BY doc_id ORDER BY period)
+            ),
+            svag AS (
+              SELECT doc_id, count(*) AS n_periods,
+                     avg(plen) AS mean_len, avg(amp) AS mean_amp,
+                     sum(dlen) AS sum_dlen, sum(damp) AS sum_damp,
+                     avg(8.0 / plen) AS mean_f0,
+                     max(8.0 / plen) - min(8.0 / plen) AS f0_range,
+                     avg((8.0 / plen) * (8.0 / plen)) AS f0_sq
+              FROM svdd GROUP BY 1
+              HAVING count(*) >= 3
+            ),
+            svvq AS (
+              SELECT a.doc_id,
+                     round(CASE WHEN a.mean_len != 0
+                       THEN (a.sum_dlen / (a.n_periods - 1.0))
+                            / a.mean_len * 100.0
+                       ELSE 0.0 END, 6) + 0.0 AS jit6,
+                     round(CASE WHEN a.mean_amp != 0
+                       THEN (a.sum_damp / (a.n_periods - 1.0))
+                            / a.mean_amp * 100.0
+                       ELSE 0.0 END, 6) + 0.0 AS shm6,
+                     round(coalesce(h.hnr_db, 0.0), 6) + 0.0 AS hnr6,
+                     round(a.mean_f0, 6) + 0.0 AS mf06,
+                     round(a.f0_range, 6) + 0.0 AS f0r6,
+                     round((greatest(0.0, 1.0
+                         - (CASE WHEN a.mean_len != 0
+                            THEN (a.sum_dlen / (a.n_periods - 1.0))
+                                 / a.mean_len * 100.0
+                            ELSE 0.0 END) / 5.0)
+                       + greatest(0.0, 1.0
+                         - (CASE WHEN a.mean_amp != 0
+                            THEN (a.sum_damp / (a.n_periods - 1.0))
+                                 / a.mean_amp * 100.0
+                            ELSE 0.0 END) / 10.0)
+                       + least(1.0, greatest(0.0,
+                           coalesce(h.hnr_db, 0.0) / 20.0))
+                       + (CASE WHEN a.n_periods >= 2
+                               AND a.mean_f0 != 0
+                          THEN greatest(0.0, 1.0
+                            - sqrt(greatest(a.f0_sq
+                                - a.mean_f0 * a.mean_f0, 0.0))
+                              / a.mean_f0)
+                          ELSE 0.0 END)) / 4.0, 6) + 0.0 AS ov6
+              FROM svag a LEFT JOIN svhnr h USING (doc_id)
+            ),
+            sgc AS (
+              SELECT doc_id, len(tl) AS n,
+                     list_transform(tl,
+                                    wd -> length(wd)::DOUBLE) AS sx
+              FROM toks
+            ),
+            sgm AS (
+              SELECT doc_id, n,
+                     list_transform(sx,
+                                    x -> x - list_sum(sx) / n) AS cx
+              FROM sgc
+            ),
+            sgate AS (
+              SELECT doc_id,
+                     n >= 8
+                     AND (CASE WHEN n > 1
+                          THEN len(list_filter(list_transform(
+                            range(n - 1), ii ->
+                              CASE WHEN (cx[ii+1] >= 0
+                                         AND cx[ii+2] < 0)
+                                        OR (cx[ii+1] < 0
+                                            AND cx[ii+2] >= 0)
+                                   THEN 1 END),
+                            x -> x IS NOT NULL))::DOUBLE
+                            / (n - 1)
+                          ELSE 0.0 END) BETWEEN 0.3 AND 0.7
+                     AND sqrt(list_sum(list_transform(cx,
+                           x -> x * x)) / n) >= 0.001
+                     AND n >= 32
+                     AND round(list_sum(list_transform(cx[1:32],
+                           x -> x * x)) / 32.0, 6) > 0
+                     AND greatest(""" + corr_terms + r""")
+                         / round(list_sum(list_transform(cx[1:32],
+                             x -> x * x)) / 32.0, 6) > 0.1
+                       AS is_speech
+              FROM sgm
+            )
+            SELECT g.doc_id, g.is_speech,
+                   round(CASE WHEN g.is_speech THEN
+                     CASE WHEN q.ov6 IS NOT NULL THEN
+                       ((CASE WHEN fql.fq IS NOT NULL
+                         THEN (0.5 + fql.fq) / 2.0 ELSE 0.5 END)
+                        + q.ov6) / 2.0
+                     ELSE CASE WHEN fql.fq IS NOT NULL
+                       THEN (0.5 + fql.fq) / 2.0 ELSE 0.5 END END
+                   ELSE 0.0 END + 1e-12, 6) + 0.0 AS speech_quality,
+                   round(CASE WHEN g.is_speech THEN least(1.0,
+                     (CASE WHEN fql.fq IS NOT NULL
+                           AND fql.nf >= 2
+                      THEN ((0.5 + CASE WHEN p.f2v > p.f1v
+                                        AND p.f2v - p.f1v > 500.0
+                                   THEN 0.2 ELSE 0.0 END)
+                            + fql.fq) / 2.0
+                      ELSE 0.5 END)
+                     + CASE WHEN q.ov6 IS NOT NULL
+                            AND q.hnr6 > 10.0
+                       THEN 0.1 ELSE 0.0 END
+                     + CASE WHEN q.ov6 IS NOT NULL
+                            AND q.jit6 < 2.0 AND q.shm6 < 5.0
+                       THEN 0.1 ELSE 0.0 END)
+                   ELSE 0.0 END + 1e-12, 6) + 0.0
+                     AS intelligibility,
+                   CASE WHEN fql.fq IS NOT NULL AND fql.nf >= 2
+                     THEN CASE WHEN p.f1v < 450.0 AND p.f2v < 2200.0
+                               THEN 'male'
+                               WHEN p.f1v > 500.0 AND p.f2v > 2400.0
+                               THEN 'female'
+                               ELSE 'unknown' END
+                     ELSE 'unknown' END AS gender,
+                   round(CASE WHEN fql.fq IS NOT NULL
+                              AND fql.nf >= 2
+                     THEN CASE WHEN p.f1v < 450.0 AND p.f2v < 2200.0
+                               THEN 0.7
+                               WHEN p.f1v > 500.0 AND p.f2v > 2400.0
+                               THEN 0.7
+                               ELSE 0.3 END
+                     ELSE 0.0 END, 6) + 0.0 AS gender_conf,
+                   CASE WHEN q.ov6 IS NOT NULL
+                     THEN CASE WHEN q.jit6 > 3.0 OR q.shm6 > 8.0
+                               THEN 'elderly'
+                               WHEN q.mf06 > 0.2 AND q.f0r6 > 0.1
+                               THEN 'young'
+                               ELSE 'adult' END
+                     ELSE 'unknown' END AS age_group,
+                   round(CASE WHEN q.ov6 IS NOT NULL
+                     THEN CASE WHEN q.jit6 > 3.0 OR q.shm6 > 8.0
+                               THEN 0.4
+                               WHEN q.mf06 > 0.2 AND q.f0r6 > 0.1
+                               THEN 0.4
+                               ELSE 0.3 END
+                     ELSE 0.0 END, 6) + 0.0 AS age_conf
+            FROM sgate g
+            LEFT JOIN fqual fql ON fql.doc_id = g.doc_id
+            LEFT JOIN f12 p ON p.doc_id = g.doc_id
+            LEFT JOIN svvq q ON q.doc_id = g.doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5314,6 +5831,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chroma_cqt": _chroma_cqt_oracle_sql(),
         "chroma_vector_stats": _cvstats_oracle_sql(),
+        "speech_analysis": _speech_oracle_sql(),
         "voice_quality_full": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
