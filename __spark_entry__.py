@@ -2475,6 +2475,298 @@ def _voice_quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_content_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full acoustic content detector
+    (fingerprint/content_detector.go DetectFromAudio :72-121 +
+    extractAcousticFeatures :120-154 + classifyFromFeatures
+    :156-221): basic-DFT magnitude spectrum over the analysis
+    window, nine acoustic features, additive per-class rule scores
+    (music / news / talk=news*0.9 / sports), argmax above the
+    AutoDetectThreshold 2.0 (fingerprint.go:95), confidence =
+    bestScore/6.
+
+    Token analog (documented scalings): the series is DC-removed
+    once; analysis window 2048 -> min(32, n); energy/silence frames
+    1024/512 -> 16/8; temporal-stability frame sampleRate/10 -> 3;
+    spectral-centroid speech band 800-3000 Hz scaled by
+    sr_analog/8000 -> 3.2-12; the ZCR bands re-centred for the
+    token domain (music < 0.1 -> < 0.45, speech (0.05, 0.3) ->
+    (0.45, 0.7)) as in speech_analysis; every other threshold is
+    naturally discriminative on this scale and kept verbatim.  The
+    Go's winner scan iterates a map (runtime-random tie order) —
+    ties resolve in the fixed order music, news, talk, sports here.
+    The 6-dp-rounded spectrum is the cross-engine transcendental
+    boundary; dynamic range and centroid are 6-dp rounded before
+    their threshold compares."""
+    import math as _m
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    n = F.col("n_tok")
+    d = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform("tokens", lambda x: x.cast("double")).alias("s"),
+        "n_tok",
+    )
+    mean = F.aggregate("s", F.lit(0.0), lambda a, x: a + x) / n
+    d = d.withColumn("__m", mean).withColumn(
+        "c", F.transform("s", lambda x: x - F.col("__m"))
+    )
+    # zcr (go boundary rule)
+    cross = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice("c", 2, n - 1),
+                F.slice("c", 1, n - 1),
+                lambda cur, prv: ((prv >= 0) & (cur < 0))
+                | ((prv < 0) & (cur >= 0)),
+            ),
+            lambda b: b,
+        )
+    )
+    zcr = F.when(
+        n > 1, cross.cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    # basic DFT spectrum over the first min(32, n) values, 6-dp
+    ws = F.least(n, F.lit(32))
+    wi = F.zip_with(
+        F.slice("c", 1, ws),
+        F.sequence(F.lit(0), ws - 1),
+        lambda v, j: F.struct(v.alias("v"), j.alias("j")),
+    )
+    d = d.withColumn("__wi", wi).withColumn("__ws", ws)
+
+    def dft_bin(k):
+        ang = (
+            -2.0
+            * _m.pi
+            * k.cast("double")
+        )
+        re = F.aggregate(
+            F.col("__wi"),
+            F.lit(0.0),
+            lambda a, s: a
+            + s["v"]
+            * F.cos(
+                ang * s["j"].cast("double") / F.col("__ws").cast("double")
+            ),
+        )
+        im = F.aggregate(
+            F.col("__wi"),
+            F.lit(0.0),
+            lambda a, s: a
+            + s["v"]
+            * F.sin(
+                ang * s["j"].cast("double") / F.col("__ws").cast("double")
+            ),
+        )
+        return F.round(F.sqrt(re * re + im * im), 6)
+
+    spec = F.transform(
+        F.sequence(F.lit(0), F.floor(F.col("__ws") / 2).cast("int")),
+        dft_bin,
+    )
+    d = d.withColumn("spec", spec)
+    nb = F.size("spec")
+    # spectral centroid, freq = k * 32 / (nb * 2)
+    wsum = F.aggregate(
+        F.zip_with(
+            "spec",
+            F.sequence(F.lit(0), nb - 1),
+            lambda m_, k: F.struct(m_.alias("m"), k.alias("k")),
+        ),
+        F.lit(0.0),
+        lambda a, s: a
+        + s["k"].cast("double") * 32.0 / (nb * 2).cast("double") * s["m"],
+    )
+    msum = F.aggregate("spec", F.lit(0.0), lambda a, x: a + x)
+    centroid = F.round(
+        F.when(msum == 0, 0.0).otherwise(wsum / msum), 6
+    )
+    # energy/silence frames W=16 H=8 (1024/512 analog)
+    nfs = F.when(
+        n > 16, (F.floor((n - 17) / 8) + 1).cast("int")
+    ).otherwise(F.lit(0))
+    energies = F.transform(
+        F.sequence(F.lit(1), nfs) ,
+        lambda f: F.aggregate(
+            F.slice("c", (f - 1) * 8 + 1, 16),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        / 16.0,
+    )
+    d = d.withColumn("__es", F.when(nfs > 0, energies).otherwise(
+        F.array().cast("array<double>")
+    ))
+    ne = F.size("__es")
+    emean = F.aggregate("__es", F.lit(0.0), lambda a, x: a + x) / ne
+    evar = F.when(
+        (n >= 32) & (ne > 1),
+        F.aggregate(
+            "__es",
+            F.lit(0.0),
+            lambda a, x: a + (x - emean) * (x - emean),
+        )
+        / ne,
+    ).otherwise(F.lit(0.0))
+    silence = F.when(
+        ne > 0,
+        F.size(
+            F.filter("__es", lambda e: F.sqrt(e) < 0.01)
+        ).cast("double")
+        / ne,
+    ).otherwise(F.lit(0.0))
+    # dynamic range over |c|
+    absc = F.transform("c", F.abs)
+    maxv = F.array_max(absc)
+    posc = F.filter(absc, lambda x: x > 1e-10)
+    minv = F.array_min(posc)
+    dr = F.round(
+        F.when(
+            minv.isNotNull() & (minv > 0),
+            20.0 * F.log10(maxv / minv),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    # low/high frequency energy ratio (split at nb/4)
+    sp = F.floor(nb / 4).cast("int")
+    lowe = F.aggregate(
+        F.slice("spec", 1, sp), F.lit(0.0), lambda a, x: a + x * x
+    )
+    highe = F.aggregate(
+        F.slice("spec", sp + 1, nb - sp),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    tote = lowe + highe
+    lowr = F.when(tote == 0, 0.0).otherwise(lowe / tote)
+    highr = F.when(tote == 0, 0.0).otherwise(highe / tote)
+    # harmonic ratio from spectrum peaks (nb guard: sequence(2, nb-3)
+    # would generate DESCENDING below 5 bins and index out of range)
+    peaks = F.filter(
+        F.sequence(F.lit(2), nb - 3),
+        lambda i: (F.element_at("spec", i + 1) > F.element_at("spec", i))
+        & (F.element_at("spec", i + 1) > F.element_at("spec", i + 2))
+        & (F.element_at("spec", i + 1) > F.element_at("spec", i - 1))
+        & (F.element_at("spec", i + 1) > F.element_at("spec", i + 3)),
+    )
+    d = d.withColumn(
+        "__pk",
+        F.when(nb >= 5, peaks).otherwise(F.array().cast("array<int>")),
+    )
+    f0b = F.element_at("__pk", 1).cast("double")
+    ratio = lambda p: p.cast("double") / f0b
+    hp = F.aggregate(
+        F.slice("__pk", 2, F.size("__pk") - 1),
+        F.lit(0),
+        lambda a, p: a
+        + F.when(
+            F.abs(ratio(p) - F.round(ratio(p), 0)) < 0.1, 1
+        ).otherwise(0),
+    )
+    hr = F.when(
+        (nb >= 10) & (F.size("__pk") >= 2),
+        hp.cast("double") / (F.size("__pk") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    # temporal stability, frame = 3 (sampleRate/10 analog)
+    nft = F.when(
+        n > 3, (F.floor((n - 4) / 3) + 1).cast("int")
+    ).otherwise(F.lit(0))
+    fes = F.transform(
+        F.sequence(F.lit(1), nft),
+        lambda f: F.aggregate(
+            F.slice("c", (f - 1) * 3 + 1, 3),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        ),
+    )
+    d = d.withColumn("__fe", F.when(nft > 0, fes).otherwise(
+        F.array().cast("array<double>")
+    ))
+    nfe = F.size("__fe")
+    fmean = F.aggregate("__fe", F.lit(0.0), lambda a, x: a + x) / nfe
+    fvar = (
+        F.aggregate(
+            "__fe",
+            F.lit(0.0),
+            lambda a, x: a + (x - fmean) * (x - fmean),
+        )
+        / nfe
+    )
+    ts = F.when(
+        (n >= 9) & (nfe > 1) & (fmean > 0),
+        F.greatest(F.lit(0.0), 1.0 - F.sqrt(fvar) / fmean),
+    ).otherwise(F.lit(0.0))
+
+    feat = d.select(
+        "doc_id",
+        zcr.alias("zcr"),
+        centroid.alias("cen"),
+        evar.alias("ev"),
+        silence.alias("sil"),
+        dr.alias("dr"),
+        lowr.alias("lowr"),
+        highr.alias("highr"),
+        hr.alias("hr"),
+        ts.alias("ts"),
+    )
+    music = (
+        F.when(F.col("zcr") < 0.45, 2.0).otherwise(0.0)
+        + F.when(F.col("hr") > 0.3, 2.0).otherwise(0.0)
+        + F.when(F.col("ts") > 0.5, 1.0).otherwise(0.0)
+        + F.when(F.col("dr") > 20.0, 1.0).otherwise(0.0)
+    )
+    speech = (
+        F.when(
+            (F.col("zcr") > 0.45) & (F.col("zcr") < 0.7), 2.0
+        ).otherwise(0.0)
+        + F.when(
+            (F.col("cen") > 3.2) & (F.col("cen") < 12.0), 2.0
+        ).otherwise(0.0)
+        + F.when(F.col("hr") < 0.2, 1.0).otherwise(0.0)
+        + F.when(
+            (F.col("sil") > 0.1) & (F.col("sil") < 0.4), 1.0
+        ).otherwise(0.0)
+    )
+    sports = (
+        F.when(F.col("ev") > 0.3, 2.0).otherwise(0.0)
+        + F.when(F.col("dr") > 30.0, 1.5).otherwise(0.0)
+        + F.when(F.col("ts") < 0.4, 1.0).otherwise(0.0)
+    )
+    sc = feat.withColumn("s_music", music).withColumn(
+        "s_news", speech
+    ).withColumn("s_talk", speech * 0.9).withColumn(
+        "s_sports", sports
+    )
+    thr = F.lit(2.0)
+    best = F.greatest(
+        thr, F.col("s_music"), F.col("s_news"), F.col("s_talk"),
+        F.col("s_sports"),
+    )
+    ctype = (
+        F.when(F.col("s_music") == best, "music")
+        .when(F.col("s_news") == best, "news")
+        .when(F.col("s_talk") == best, "talk")
+        .when(F.col("s_sports") == best, "sports")
+        .otherwise("unknown")
+    )
+    ctype = F.when(best == thr, F.lit("unknown")).otherwise(ctype)
+    return sc.select(
+        "doc_id",
+        ctype.alias("content_type"),
+        F.round(best / 6.0, 6).alias("confidence"),
+        F.round("zcr", 6).alias("zcr"),
+        F.col("cen").alias("spectral_centroid"),
+        F.round("ev", 6).alias("energy_variance"),
+        F.round("sil", 6).alias("silence_ratio"),
+        F.col("dr").alias("dynamic_range"),
+        F.round("lowr", 6).alias("low_freq_energy"),
+        F.round("highr", 6).alias("high_freq_energy"),
+        F.round("hr", 6).alias("harmonic_ratio"),
+        F.round("ts", 6).alias("temporal_stability"),
+    )
+
+
 def q_speech_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SpeechAnalyzer composite (speech/speech_analysis.go):
 
@@ -5305,6 +5597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmm": q_gmm,
         "interpolate": q_interpolate,
         "speech_analysis": q_speech_analysis,
+        "content_detect": q_content_detect,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -5831,6 +6124,166 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chroma_cqt": _chroma_cqt_oracle_sql(),
         "chroma_vector_stats": _cvstats_oracle_sql(),
+        "content_detect": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            s0 AS (
+              SELECT doc_id,
+                     list_transform(tl, wd -> length(wd)::DOUBLE)
+                       AS sx,
+                     len(tl) AS n
+              FROM toks
+            ),
+            s1 AS (
+              SELECT doc_id, n,
+                     list_transform(sx, x -> x - list_sum(sx) / n)
+                       AS cx,
+                     least(n, 32) AS ws
+              FROM s0
+            ),
+            s3 AS (
+              SELECT doc_id, n, cx, ws,
+                list_transform(range(ws // 2 + 1), k ->
+                  round(sqrt(
+                    pow(list_sum(list_transform(range(ws), j ->
+                      cx[j+1] * cos(-2.0 * pi() * k * j / ws))), 2)
+                    + pow(list_sum(list_transform(range(ws), j ->
+                      cx[j+1] * sin(-2.0 * pi() * k * j / ws))), 2)
+                  ), 6)) AS spec
+              FROM s1
+            ),
+            s4 AS (
+              SELECT doc_id, n, cx, spec, len(spec) AS nb,
+                CASE WHEN n > 1 THEN
+                  len(list_filter(list_transform(range(n - 1), ii ->
+                    CASE WHEN (cx[ii+1] >= 0 AND cx[ii+2] < 0)
+                              OR (cx[ii+1] < 0 AND cx[ii+2] >= 0)
+                         THEN 1 END), x -> x IS NOT NULL))::DOUBLE
+                    / (n - 1)
+                ELSE 0.0 END AS zcr,
+                CASE WHEN n > 16
+                  THEN list_transform(range((n - 17) // 8 + 1), f ->
+                    list_sum(list_transform(range(16), j ->
+                      cx[f*8+j+1] * cx[f*8+j+1])) / 16.0)
+                  ELSE []::DOUBLE[] END AS es,
+                CASE WHEN n > 3
+                  THEN list_transform(range((n - 4) // 3 + 1), f ->
+                    list_sum(list_transform(range(3), j ->
+                      cx[f*3+j+1] * cx[f*3+j+1])))
+                  ELSE []::DOUBLE[] END AS fe
+              FROM s3
+            ),
+            s5 AS (
+              SELECT doc_id, n, cx, spec, nb, zcr, es, fe,
+                round(CASE WHEN list_sum(spec) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(range(nb), k ->
+                         k * 32.0 / (nb * 2) * spec[k+1]))
+                       / list_sum(spec) END, 6) AS cen,
+                CASE WHEN n >= 32 AND len(es) > 1
+                  THEN list_sum(list_transform(es, x ->
+                    (x - list_sum(es) / len(es))
+                    * (x - list_sum(es) / len(es)))) / len(es)
+                  ELSE 0.0 END AS ev,
+                CASE WHEN len(es) > 0
+                  THEN len(list_filter(es,
+                         e -> sqrt(e) < 0.01))::DOUBLE / len(es)
+                  ELSE 0.0 END AS sil,
+                round(CASE WHEN len(list_filter(
+                        list_transform(cx, x -> abs(x)),
+                        x -> x > 1e-10)) > 0
+                  AND list_min(list_filter(
+                        list_transform(cx, x -> abs(x)),
+                        x -> x > 1e-10)) > 0
+                  THEN 20.0 * log10(
+                    list_max(list_transform(cx, x -> abs(x)))
+                    / list_min(list_filter(
+                        list_transform(cx, x -> abs(x)),
+                        x -> x > 1e-10)))
+                  ELSE 0.0 END, 6) AS dr,
+                list_sum(list_transform(spec[1:nb // 4],
+                  x -> x * x)) AS lowe,
+                list_sum(list_transform(spec[nb // 4 + 1:nb],
+                  x -> x * x)) AS highe,
+                CASE WHEN nb >= 5
+                  THEN list_filter(range(2, nb - 2), i ->
+                    spec[i+1] > spec[i] AND spec[i+1] > spec[i+2]
+                    AND spec[i+1] > spec[i-1]
+                    AND spec[i+1] > spec[i+3])
+                  ELSE []::BIGINT[] END AS pk,
+                CASE WHEN n >= 9 AND len(fe) > 1
+                     AND list_sum(fe) / len(fe) > 0
+                  THEN greatest(0.0, 1.0
+                    - sqrt(list_sum(list_transform(fe, x ->
+                        (x - list_sum(fe) / len(fe))
+                        * (x - list_sum(fe) / len(fe)))) / len(fe))
+                      / (list_sum(fe) / len(fe)))
+                  ELSE 0.0 END AS ts
+              FROM s4
+            ),
+            s6 AS (
+              SELECT doc_id, zcr, cen, ev, sil, dr, ts,
+                coalesce(lowe, 0.0) AS lowe,
+                coalesce(highe, 0.0) AS highe,
+                CASE WHEN nb >= 10 AND len(pk) >= 2
+                  THEN list_sum(list_transform(pk[2:len(pk)], p ->
+                    CASE WHEN abs(p::DOUBLE / pk[1]
+                           - round(p::DOUBLE / pk[1])) < 0.1
+                         THEN 1 ELSE 0 END))::DOUBLE
+                       / (len(pk) - 1)
+                  ELSE 0.0 END AS hr
+              FROM s5
+            ),
+            s7 AS (
+              SELECT doc_id, zcr, cen, ev, sil, dr, hr, ts,
+                CASE WHEN lowe + highe = 0 THEN 0.0
+                     ELSE lowe / (lowe + highe) END AS lowr,
+                CASE WHEN lowe + highe = 0 THEN 0.0
+                     ELSE highe / (lowe + highe) END AS highr,
+                (CASE WHEN zcr < 0.45 THEN 2.0 ELSE 0.0 END
+                 + CASE WHEN hr > 0.3 THEN 2.0 ELSE 0.0 END
+                 + CASE WHEN ts > 0.5 THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN dr > 20.0 THEN 1.0 ELSE 0.0 END)
+                  AS s_music,
+                (CASE WHEN zcr > 0.45 AND zcr < 0.7
+                      THEN 2.0 ELSE 0.0 END
+                 + CASE WHEN cen > 3.2 AND cen < 12.0
+                       THEN 2.0 ELSE 0.0 END
+                 + CASE WHEN hr < 0.2 THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN sil > 0.1 AND sil < 0.4
+                       THEN 1.0 ELSE 0.0 END) AS s_news,
+                (CASE WHEN ev > 0.3 THEN 2.0 ELSE 0.0 END
+                 + CASE WHEN dr > 30.0 THEN 1.5 ELSE 0.0 END
+                 + CASE WHEN ts < 0.4 THEN 1.0 ELSE 0.0 END)
+                  AS s_sports
+              FROM s6
+            ),
+            s8x AS (
+              SELECT *, s_news * 0.9 AS s_talk,
+                greatest(2.0, s_music, s_news, s_news * 0.9,
+                         s_sports) AS best
+              FROM s7
+            )
+            SELECT doc_id,
+                   CASE WHEN best = 2.0 THEN 'unknown'
+                        WHEN s_music = best THEN 'music'
+                        WHEN s_news = best THEN 'news'
+                        WHEN s_talk = best THEN 'talk'
+                        WHEN s_sports = best THEN 'sports'
+                        ELSE 'unknown' END AS content_type,
+                   round(best / 6.0, 6) + 0.0 AS confidence,
+                   round(zcr, 6) + 0.0 AS zcr,
+                   cen + 0.0 AS spectral_centroid,
+                   round(ev, 6) + 0.0 AS energy_variance,
+                   round(sil, 6) + 0.0 AS silence_ratio,
+                   dr + 0.0 AS dynamic_range,
+                   round(lowr, 6) + 0.0 AS low_freq_energy,
+                   round(highr, 6) + 0.0 AS high_freq_energy,
+                   round(hr, 6) + 0.0 AS harmonic_ratio,
+                   round(ts, 6) + 0.0 AS temporal_stability
+            FROM s8x
+        """,
         "speech_analysis": _speech_oracle_sql(),
         "voice_quality_full": r"""
             WITH toks AS (
