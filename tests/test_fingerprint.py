@@ -192,3 +192,59 @@ def test_connected_components_chain_and_stars(spark):
     for t in ("t0", "t1", "t2"):
         assert got[t] == "t0"
     assert len(got) == 12 + 4 + 3
+
+
+def test_connected_components_random_graphs(spark):
+    """Random sparse graphs vs a scalar union-find: component labels
+    must equal the min reachable node id everywhere (pointer jumping
+    converges within the iteration cap on every topology)."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        n = int(rng.integers(20, 60))
+        m = int(rng.integers(10, 80))
+        edges = [
+            (f"v{int(a):03d}", f"v{int(b):03d}")
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        if not edges:
+            continue
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for a, b in edges:
+            want[a] = min(want.get(a, a), find(a))
+            want[b] = min(want.get(b, b), find(b))
+        # canonical: min node id of the component
+        comp_min = {}
+        for x in want:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in want}
+
+        from sonar_spark.operators.fingerprint import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(
+            edges, "doc_a string, doc_b string"
+        )
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, trial
