@@ -1446,6 +1446,57 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-level resampling family (common/interpolation.go):
+    ResampleSignal 4->3 linear (:195-215), UpsampleSignal x2 with
+    the as-written zero-stuff fill and trailing-zero block
+    (:218-245), DownsampleSignal x2 decimation (:248-265) — each
+    doc's token series through all three, one tagged row per output
+    sample."""
+    from sonar_spark.functions.interpolate import (
+        downsample_signal,
+        resample_signal,
+        upsample_signal,
+    )
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    d = toks.where(F.col("n_tok") >= 8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tokens").alias("s"),
+    )
+    z = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("resample43").alias("kind"),
+                    resample_signal(F.col("s"), 4, 3, "linear").alias(
+                        "vals"
+                    ),
+                ),
+                F.struct(
+                    F.lit("up2").alias("kind"),
+                    upsample_signal(F.col("s"), 2).alias("vals"),
+                ),
+                F.struct(
+                    F.lit("down2").alias("kind"),
+                    downsample_signal(F.col("s"), 2).alias("vals"),
+                ),
+            )
+        ).alias("t"),
+    )
+    return z.select(
+        "doc_id",
+        F.col("t.kind").alias("kind"),
+        F.posexplode("t.vals").alias("pos", "val"),
+    ).select(
+        "doc_id",
+        "kind",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("val", 6).alias("val"),
+    )
+
+
 def _emb_points(spark: SparkSession, sf_dir: str, n: int, dims: int):
     """Bounded point set for the clustering queries: first n
     embeddings, first `dims` dimensions, cast float32 -> double (the
@@ -5598,6 +5649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": q_interpolate,
         "speech_analysis": q_speech_analysis,
         "content_detect": q_content_detect,
+        "resample": q_resample,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -6124,6 +6176,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chroma_cqt": _chroma_cqt_oracle_sql(),
         "chroma_vector_stats": _cvstats_oracle_sql(),
+        "resample": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+              FROM documents
+            ),
+            s0 AS (
+              SELECT doc_id,
+                     list_transform(tl, wd -> length(wd)::DOUBLE)
+                       AS s,
+                     len(tl) AS n
+              FROM toks WHERE len(tl) >= 8
+            ),
+            rs AS (
+              SELECT doc_id, 'resample43' AS kind, p AS pos,
+                     round(CASE
+                       WHEN p * (4.0 / 3.0) <= 0 THEN s[1]
+                       WHEN p * (4.0 / 3.0) >= (n - 1)::DOUBLE
+                         THEN s[n]
+                       WHEN floor(p * (4.0 / 3.0))::BIGINT >= n - 1
+                         THEN s[n]
+                       ELSE s[floor(p * (4.0 / 3.0))::BIGINT + 1]
+                            + (p * (4.0 / 3.0)
+                               - floor(p * (4.0 / 3.0)))
+                              * (s[floor(p * (4.0 / 3.0))::BIGINT
+                                   + 2]
+                                 - s[floor(p * (4.0 / 3.0))::BIGINT
+                                     + 1])
+                     END, 6) + 0.0 AS val
+              FROM s0, (SELECT unnest(range(0, 200)) AS p)
+              WHERE p < floor(n / (4.0 / 3.0))::BIGINT
+            ),
+            up AS (
+              SELECT doc_id, 'up2' AS kind, i AS pos,
+                     round(CASE
+                       WHEN i % 2 = 0 THEN s[i // 2 + 1]
+                       WHEN (i // 2) * 2 + 2 < n * 2
+                         THEN s[i // 2 + 1]
+                              + ((i - (i // 2) * 2)::DOUBLE / 2.0)
+                                * (s[i // 2 + 2] - s[i // 2 + 1])
+                       ELSE 0.0
+                     END, 6) + 0.0 AS val
+              FROM s0, (SELECT unnest(range(0, 400)) AS i)
+              WHERE i < n * 2
+            ),
+            dn AS (
+              SELECT doc_id, 'down2' AS kind, i AS pos,
+                     round(s[i * 2 + 1], 6) + 0.0 AS val
+              FROM s0, (SELECT unnest(range(0, 100)) AS i)
+              WHERE i < n // 2
+            )
+            SELECT doc_id, kind, pos::BIGINT AS pos, val FROM rs
+            UNION ALL
+            SELECT doc_id, kind, pos::BIGINT AS pos, val FROM up
+            UNION ALL
+            SELECT doc_id, kind, pos::BIGINT AS pos, val FROM dn
+        """,
         "content_detect": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl

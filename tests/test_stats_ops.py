@@ -380,3 +380,36 @@ def test_interpolation_family_matches_go(spark):
         round(x, 12) for x in up
     ]
     assert out["dn"] == [d[i * 2] for i in range(len(d) // 2)]
+
+
+def test_bilinear_interpolate_matches_go(spark):
+    """2-D bilinear vs the Go loops: interior, edges, clamping."""
+    from pyspark.sql import functions as F
+
+    from sonar_spark.functions.interpolate import bilinear_interpolate
+
+    grid = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [7.0, 8.0, 9.0]]
+
+    def go(data, x, y):
+        rows, cols = len(data), len(data[0])
+        x = min(max(x, 0.0), cols - 1.0)
+        y = min(max(y, 0.0), rows - 1.0)
+        x1, y1 = int(x), int(y)
+        x2, y2 = min(x1 + 1, cols - 1), min(y1 + 1, rows - 1)
+        fx, fy = x - x1, y - y1
+        r1 = data[y1][x1] + fx * (data[y1][x2] - data[y1][x1])
+        r2 = data[y2][x1] + fx * (data[y2][x2] - data[y2][x1])
+        return r1 + fy * (r2 - r1)
+
+    pts = [(0.5, 0.5), (1.25, 0.75), (2.0, 2.0), (-1.0, 5.0),
+           (0.0, 0.0), (1.999, 1.001)]
+    df = spark.createDataFrame([(grid,)], "g array<array<double>>")
+    sel = [
+        bilinear_interpolate(F.col("g"), F.lit(x), F.lit(y)).alias(
+            f"p{i}"
+        )
+        for i, (x, y) in enumerate(pts)
+    ]
+    row = df.select(*sel).collect()[0]
+    for i, (x, y) in enumerate(pts):
+        assert abs(row[f"p{i}"] - go(grid, x, y)) < 1e-12, (x, y)
