@@ -327,12 +327,21 @@ def test_interpolation_family_matches_go(spark):
 
     ref = {"linear": lin, "cubic": cub, "hermite": herm,
            "lanczos": lanc}
+    import numpy as np
+
+    rng = np.random.default_rng(31)
     series = [
         [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0],
         [2.0, 7.0, 1.0],          # short: cubic/hermite -> linear
         [1.0, 2.0, 3.0, 4.0, 5.0],  # lanczos -> cubic fallback
+    ] + [
+        # fuzz: random lengths incl. every fallback regime
+        [float(v) for v in rng.standard_normal(int(ln)) * 10]
+        for ln in rng.integers(1, 40, size=6)
     ]
-    idxs = [0.0, 0.5, 1.0, 2.5, 3.75, 5.25, 8.9, 9.0, 11.0, -1.0]
+    idxs = [0.0, 0.5, 1.0, 2.5, 3.75, 5.25, 8.9, 9.0, 11.0, -1.0] + [
+        float(x) for x in rng.uniform(-2, 45, size=8)
+    ]
     rows = [(si, s) for si, s in enumerate(series)]
     df = spark.createDataFrame(rows, "sid long, s array<double>")
     sel = [F.col("sid")]
