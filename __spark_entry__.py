@@ -5637,8 +5637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pitch_tracked": q_pitch_tracked,
         "pitch_zcr": q_pitch_zcr,
         "featurize_music": q_featurize_music,
-        # --- slots 51+: certified in CORRECTNESS_r01-r03 (plus
-        # round-4 additions past the window, judge-verified)
+        # --- slots 51+: certified in CORRECTNESS_r01-r03, plus the
+        # round-4 late additions (dedup_groups .. resample) which are
+        # judge-verified but not yet driver-certified.  ROUND-5 NOTE:
+        # once CORRECTNESS_r04 certifies slots 1-50, rotate the late
+        # additions into the window.
         "dedup_groups": q_dedup_groups,
         "curation_filter": q_curation_filter,
         "dbscan_embeddings": q_dbscan_embeddings,

@@ -120,3 +120,27 @@ def test_asof_bucketed_is_jvm_only(spark):
                   strategy="bucketed")
     )
     assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_featurize_job_forwards_feature_config(spark, tmp_path):
+    """FeaturizeJob's FeatureConfig reaches the frame kernel: the
+    opt-in bark columns land in the written parquet, and pruned
+    groups are absent."""
+    from sonar_spark import datagen
+    from sonar_spark.config import FeatureConfig, FrameConfig
+    from sonar_spark.plans.pipeline import FeaturizeJob
+
+    toks = datagen.token_table(spark, n_docs=40, partitions=2)
+    job = FeaturizeJob(
+        str(tmp_path / "out"),
+        n_buckets=2,
+        frame_cfg=FrameConfig(window=64, hop=16),
+        feat_cfg=FeatureConfig(
+            enable_bark=True, enable_mfcc=False, enable_spectral=False
+        ),
+    )
+    job.run(toks)
+    cols = set(spark.read.parquet(str(tmp_path / "out")).columns)
+    assert any(c.startswith("bark") for c in cols)
+    assert not any(c.startswith("mfcc") for c in cols)
+    assert "rms_energy" in cols
