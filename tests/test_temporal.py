@@ -205,3 +205,61 @@ def test_track_pitch_sequence_reference_semantics():
     mean = sum(valid) / 20
     sd = math.sqrt(sum((x - mean) ** 2 for x in valid) / 19)
     assert abs(st_last - max(0.0, 1.0 - sd / mean)) < 1e-12
+
+
+def test_pitch_track_state_survives_arrow_batch_splits(spark):
+    """mapInPandas splits one partition into many Arrow batches; a
+    doc whose frames straddle a batch boundary must keep its history
+    (the r1 as-of bug class).  Force 16-row batches over 3 docs x
+    40 frames and compare against the scalar kernel."""
+    from pyspark.sql import functions as F
+
+    from sonar_spark.operators.temporal import (
+        pitch_track,
+        track_pitch_sequence,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    docs = {
+        d: [
+            (float(round(32.0 / float(t), 6)), float(c))
+            for t, c in zip(
+                rng.integers(2, 12, size=40),
+                np.round(rng.uniform(0.3, 0.95, size=40), 6),
+            )
+        ]
+        for d in (1, 2, 3)
+    }
+    rows = [
+        (d, f, p, c)
+        for d, det in docs.items()
+        for f, (p, c) in enumerate(det)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx long, pitch double,"
+        " confidence double"
+    )
+    old = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "16"
+        )
+        got = {
+            (r["doc_id"], r["frame_idx"]): (
+                r["pitch_corrected"], r["pitch"], r["f0_multiple"],
+                r["salience"], r["stability"],
+            )
+            for r in pitch_track(df.repartition(1)).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    for d, det in docs.items():
+        want = track_pitch_sequence(det)
+        for f, w in enumerate(want):
+            assert got[(d, f)] == w, (d, f)
