@@ -90,7 +90,25 @@ def flagship_pipeline(
     )
 
 
+def _host_context() -> tuple[float, float, float, int, int]:
+    """(load1, load5, load15, steal_ticks, total_ticks) snapshot."""
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
+    steal = tot = 0
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        tot = sum(int(x) for x in parts[1:])
+        steal = int(parts[8])
+    except (OSError, IndexError, ValueError):
+        pass
+    return load1, load5, load15, steal, tot
+
+
 def main() -> None:
+    load1, load5, load15, steal0, tot0 = _host_context()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -111,6 +129,33 @@ def main() -> None:
         t_flag = dt if t_flag is None or dt < t_flag else t_flag
     timings["featurize_asof"] = round(t_flag, 3)
     n_frames = row["n_frames"]
+
+    # feature-store materialization, timed as its OWN entry: the
+    # shared front ends (frame rms, LPC, formants, onsets, voice
+    # quality, histogram grid, HPCP) are built once here; every
+    # store-backed query below then reads the materialized tables —
+    # the at-100x architecture measured honestly (build cost visible,
+    # not hidden inside whichever query ran first).  A fresh store is
+    # forced so re-runs of bench.py cannot inherit a warm store.
+    import shutil
+
+    store_dir = os.environ.get(
+        "SONAR_FEATURE_STORE_DIR", "/tmp/sonar_feature_store"
+    )
+    if os.environ.get("SONAR_FEATURE_STORE", "1").lower() not in ("0", "off"):
+        shutil.rmtree(store_dir, ignore_errors=True)
+        t0 = time.time()
+        for helper in (
+            E._doc_frame_rms,
+            E._lpc_coeffs,
+            E._formants_df,
+            E._onsets_df,
+            E._voice_quality_df,
+            E._hist_grid,
+            E._doc_hpcp,
+        ):
+            helper(spark, sf_dir)
+        timings["feature_store_build"] = round(time.time() - t0, 3)
 
     # headline 2..n: driver queries on the sf parquet tables
     qs = E.queries()
@@ -136,6 +181,12 @@ def main() -> None:
         "chroma_pivot",
         "featurize_music",
         "pitch_tracked",
+        # LLM-curation composites (r4 verdict #5: flagship pipeline
+        # ops deserve tracked sf0.1 numbers like everything else)
+        "dedup_groups",
+        "curation_filter",
+        "content_detect",
+        "speech_analysis",
     ):
         if name not in qs:
             continue
@@ -153,8 +204,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # host-context telemetry (r4 verdict #7: cross-round comparisons
+    # need the load context recorded next to the numbers — r3->r4
+    # showed 1.3-2x across-the-board swings from external host load);
+    # loadavg at START (before bench's own 32-core load) + steal %
+    # over the bench window.
+    _, _, _, steal1, tot1 = _host_context()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (tot1 - tot0), 2)
+        if tot1 > tot0
+        else -1.0
+    )
     out = {
-        "metric": "headline query wall time (featurize+asof pipeline + driver queries; best-of-2 per query)",
+        "metric": (
+            "headline query wall time (featurize+asof pipeline + driver "
+            "queries; best-of-2 per query; feature_store_build = one-time "
+            f"shared front-end materialization; loadavg_start={load1:.2f}/"
+            f"{load5:.2f}/{load15:.2f} steal_window={steal_pct}%)"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -165,6 +232,10 @@ def main() -> None:
             "docs_per_sec": round(N_DOCS / t_flag, 1),
             "frames_per_sec": round(n_frames / t_flag, 1),
             "cpus": cpus,
+        },
+        "host": {
+            "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+            "steal_cum_pct": steal_pct,
         },
     }
     print(json.dumps(out))

@@ -192,7 +192,14 @@ def cluster_eval(
       over labeled points (same panic caveat).
 
     Output: one row (n_points, n_clusters, silhouette,
-    davies_bouldin, calinski_harabasz, inertia)."""
+    davies_bouldin, calinski_harabasz, inertia).
+
+    Deviations from the Go (documented): an empty points input
+    returns one all-zero row (the Go would index into empty slices);
+    with a single cluster label every point's b is over an empty set
+    — the Go's min over no clusters leaves b=+Inf and (b-a)/b = NaN,
+    which cannot ride the value hash, so this port scores those
+    points 0.0 (the b-is-NULL branch below)."""
     p = points.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -317,7 +324,18 @@ def cluster_eval(
 
     # ---------------- Calinski-Harabasz
     n_total = p.count()
-    dim = len(p.select("__v").first()["__v"])
+    first_row = p.select("__v").first()
+    if first_row is None:
+        # empty input: no dim to read — return the documented
+        # all-zero metrics row instead of crashing
+        spark = points.sparkSession
+        return spark.createDataFrame(
+            [(0, 0, 0.0, 0.0, 0.0, 0.0)],
+            "n_points long, n_clusters long, silhouette double, "
+            "davies_bouldin double, calinski_harabasz double, "
+            "inertia double",
+        )
+    dim = len(first_row["__v"])
     overall = p.agg(
         F.array(
             *[

@@ -203,6 +203,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the dedup
     GROUPING step the pair operators stop short of: every doc gets a
@@ -223,7 +224,9 @@ def connected_components(
 
     Input edges are de-duplicated and symmetrized internally.
     Output: (node, component); singleton nodes appear with
-    component == node."""
+    component == node.  Pass ``stats={}`` to receive
+    {"rounds": r, "changed": [per-round changed-label counts]} —
+    the O(log d) evidence hook (tools/bench_cc_stress.py)."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -279,6 +282,9 @@ def connected_components(
         changed = jumped.where(F.col("comp") != F.col("__old")).count()
         labels.unpersist()
         labels = jumped.drop("__old")
+        if stats is not None:
+            stats.setdefault("changed", []).append(int(changed))
+            stats["rounds"] = len(stats["changed"])
         if changed == 0:
             break
     sym.unpersist()

@@ -824,7 +824,14 @@ class PitchTracker:
             del hist[: len(hist) - self.max_history]
         sm = p
         if len(hist) > 1:
-            if self.median_filter > 0 and len(hist) >= 3:
+            # Go gates on len(getRecentPitches(MedianFilter)) >= 3, i.e.
+            # min(median_filter, len(hist)) >= 3: with median_filter 1-2
+            # the window never reaches 3 entries and the reference falls
+            # through to exponential smoothing (pitch_detection.go:905-921).
+            if (
+                self.median_filter > 0
+                and min(self.median_filter, len(hist)) >= 3
+            ):
                 sm = _median_positive(hist[-self.median_filter:])
             else:
                 sm = 0.3 * p + 0.7 * self.prev_smoothed

@@ -219,3 +219,28 @@ def test_gmm_sequence_separates_blobs():
         assert abs(means[0][d] - 0.0) < 0.3
         assert abs(means[1][d] - 5.0) < 0.3
         assert var[0][d] > 0
+
+
+def test_cluster_eval_empty_and_single_cluster(spark):
+    """Round-4 advice: empty input must not crash (documented all-zero
+    row); a single cluster label scores silhouette 0.0 (documented
+    deviation from the Go's (b-a)/+Inf = NaN)."""
+    empty_p = spark.createDataFrame(
+        [], "id long, vec array<double>, label int"
+    )
+    empty_c = spark.createDataFrame(
+        [], "label int, center array<double>"
+    )
+    row = cluster_eval(empty_p, empty_c).collect()[0]
+    assert row["n_points"] == 0 and row["silhouette"] == 0.0
+
+    pdf = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "id long, vec array<double>, label int",
+    )
+    cdf = spark.createDataFrame(
+        [(0, [1.0 / 3, 1.0 / 3])], "label int, center array<double>"
+    )
+    row = cluster_eval(pdf, cdf).collect()[0]
+    assert row["silhouette"] == 0.0
+    assert row["n_clusters"] == 1

@@ -144,3 +144,35 @@ def test_featurize_job_forwards_feature_config(spark, tmp_path):
     assert any(c.startswith("bark") for c in cols)
     assert not any(c.startswith("mfcc") for c in cols)
     assert "rms_energy" in cols
+
+
+def test_feature_store_write_once_and_values(spark, tmp_path):
+    """FeatureStore.get builds exactly once (write-once via atomic
+    rename), returns identical rows on re-get, and a second builder
+    for the same name is never invoked."""
+    from sonar_spark.plans.pipeline import FeatureStore, store_key
+
+    st = FeatureStore(spark, str(tmp_path / "store"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).select(
+            F.col("id"), (F.col("id") * 2.5).alias("v")
+        )
+
+    a = st.get("t1", build).orderBy("id").collect()
+    b = st.get("t1", build).orderBy("id").collect()
+    assert calls["n"] == 1
+    assert a == b and len(a) == 10 and a[3]["v"] == 7.5
+
+    def boom():
+        raise AssertionError("builder must not run for existing table")
+
+    c = st.get("t1", boom).orderBy("id").collect()
+    assert c == a
+
+    # store_key: same inputs -> same key; different version -> new key
+    k1 = store_key(str(tmp_path), "v1")
+    assert k1 == store_key(str(tmp_path), "v1")
+    assert k1 != store_key(str(tmp_path), "v2")

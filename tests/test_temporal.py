@@ -263,3 +263,24 @@ def test_pitch_track_state_survives_arrow_batch_splits(spark):
         want = track_pitch_sequence(det)
         for f, w in enumerate(want):
             assert got[(d, f)] == w, (d, f)
+
+
+def test_pitch_track_short_median_filter_falls_back_to_exponential():
+    """median_filter=1 or 2: the Go's getRecentPitches(MedianFilter)
+    window never reaches 3 entries, so applyTemporalSmoothing falls
+    through to exponential smoothing (pitch_detection.go:905-921) —
+    a median of 1-2 entries must NOT be taken (round-4 advice)."""
+    from sonar_spark.operators.temporal import track_pitch_sequence
+
+    seq = [(8.0, 0.9), (6.0, 0.9), (4.0, 0.9), (2.0, 0.9)]
+    for mf in (1, 2):
+        out = track_pitch_sequence(seq, median_filter=mf)
+        # frame-by-frame exponential recurrence: sm = .3 p + .7 prev_sm
+        prev = 8.0  # frame 0 is unsmoothed
+        for i in range(1, len(seq)):
+            want = 0.3 * seq[i][0] + 0.7 * prev
+            assert abs(out[i][1] - want) < 1e-12, (mf, i)
+            prev = want
+    # median_filter=3 still takes the median once history >= 3
+    out = track_pitch_sequence(seq, median_filter=3)
+    assert out[3][1] == 4.0  # median of last 3 gated pitches [6,4,2]
