@@ -537,7 +537,20 @@ def _dup_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) labels over the planted-dup corpus:
     verified near-dup pairs (LSH -> exact shingle Jaccard >= 0.8)
     grouped by connected components; singletons get their own id.
-    Shared by dedup_groups and curation_filter."""
+    Shared by dedup_groups and curation_filter — store-backed: the
+    label table IS the materialized output of the dedup-grouping
+    pipeline (exactly what a curation pipeline lands before the
+    keep/drop policy join), so both consumers read one copy instead
+    of re-running minhash + LSH + verify + CC each."""
+    st = _store(spark, sf_dir)
+    if st is None:
+        return _dup_group_labels_build(spark, sf_dir)
+    return st.get(
+        "dup_labels", lambda: _dup_group_labels_build(spark, sf_dir)
+    )
+
+
+def _dup_group_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sonar_spark.operators.fingerprint import connected_components
 
     cfg = MinHashConfig(num_hashes=64, bands=32)
@@ -3534,6 +3547,215 @@ def q_stream_pitch_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_bytes_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecodeURL + bytesToFloat64 (transcode/decoder.go:146-174 +
+    :849-870) — the last two SURVEY §2.1 rows, as sandbox-faithful
+    analogs: a distributed writer lands 200 deterministic float64
+    payload files (little-endian doubles v_ij = ((7i+3j) mod 97)/16 —
+    dyadic rationals, so every sum is exact and order-free — plus
+    i%8 trailing junk bytes to exercise the trim-to-multiple-of-8
+    path; i%11==0 rows are EMPTY payloads, the Go nil branch;
+    i%13==5 rows advertise a corrupted checksum); then
+    fetch_payloads does the DecodeURL role — executor-side file://
+    fetch + sha256 integrity gate + float64 decode + stats (HTTP is
+    a transport detail this sandbox cannot exercise, documented like
+    the multimodal codec stub).  The DuckDB oracle reconstructs every
+    payload's values from the formula and replays the ok/empty/
+    corrupt branches."""
+    import hashlib as _hl
+
+    from sonar_spark.functions.binary import fetch_payloads
+
+    base = "/tmp/sonar_media_files_v1"
+    n_rows = 200
+
+    def gen_files(pdfs):
+        import os as _os
+
+        import numpy as np
+        import pandas as pd
+
+        _os.makedirs(base, exist_ok=True)
+        for pdf in pdfs:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 11 == 0:
+                    raw = b""
+                else:
+                    n = 64 + (i % 7) * 8
+                    j = np.arange(n, dtype=np.int64)
+                    v = ((7 * i + 3 * j) % 97).astype(np.float64) / 16.0
+                    junk = bytes(
+                        ((i + k) % 256 for k in range(i % 8))
+                    )
+                    raw = v.astype("<f8").tobytes() + junk
+                path = f"{base}/m{i:05d}.f64"
+                if not _os.path.exists(path):
+                    tmp = f"{path}.tmp-{_os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(raw)
+                    _os.replace(tmp, path)
+                sha = _hl.sha256(raw).hexdigest()
+                if i % 13 == 5:
+                    # advertise a wrong checksum: integrity gate fires
+                    sha = _hl.sha256(raw + b"\x00").hexdigest()
+                rows.append((i, f"file://{path}", sha))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "uri", "sha256"]
+            )
+
+    uris = spark.range(n_rows).mapInPandas(
+        gen_files, schema="media_id long, uri string, sha256 string"
+    )
+    out = fetch_payloads(uris)
+    return out.select(
+        "media_id",
+        "ok",
+        "n_samples",
+        F.round("mean", 6).alias("mean"),
+        F.round("rms", 6).alias("rms"),
+        F.round("first", 6).alias("first"),
+        F.round("last", 6).alias("last"),
+    )
+
+
+def q_delay_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DelayLine (buffers.go:181-230) over each doc's token-length
+    series: integer tap at 3 samples (Process — out[i] = in[i-3],
+    zero-filled initial ring) and fractional tap at 2.5 samples
+    (ProcessInterpolated — linear interpolation between the 2- and
+    3-sample taps).  Pure window functions — the buffer IS lag()."""
+    from sonar_spark.operators.buffers import (
+        delay_line,
+        delay_line_interpolated,
+    )
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    vals = toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tokens").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    d = delay_line(vals, "v", 3, key="doc_id", order="pos")
+    d = delay_line_interpolated(d, "v", 2.5, key="doc_id", order="pos")
+    return d.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("v").alias("value"),
+        F.round("delayed", 6).alias("delayed"),
+        F.round("delayed_interp", 6).alias("delayed_interp"),
+    )
+
+
+def q_overlap_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OverlapAddBuffer (buffers.go:247-291) reconstruction: W=16/H=4
+    frames of each doc's token-length series, windowed by the linear
+    ramp w_j = j+1 (a deterministic non-trivial synthesis window the
+    oracle reproduces exactly), overlap-added back to a sample
+    stream.  Emitted positions stop at n_frames*H — the Go's ring
+    remainder after the last AddFrame is never flushed.  Closed-form
+    relational overlap-add with a frame-order-pinned float fold (see
+    operators/buffers.py)."""
+    from sonar_spark.operators.buffers import overlap_add
+    from sonar_spark.operators.frames import expand_frames
+
+    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
+    frames = expand_frames(toks, FrameConfig(window=16, hop=4))
+    wf = frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        F.transform(
+            "window",
+            lambda x, j: x.cast("double") * (j + 1).cast("double"),
+        ).alias("window"),
+    )
+    out = overlap_add(
+        wf, key="doc_id", frame_col="frame_idx", window_col="window",
+        hop=4,
+    )
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_stream_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STFTStreamer analog under the driver harness (spectral.go:
+    313-374: consume chunks, hold a carry-over buffer, emit complete
+    frames, advance by hop): each doc's token-length series is split
+    into 3 ordered chunks (positions 1-16, 17-32, 33..n), replayed as
+    micro-batches (file source, maxFilesPerTrigger=1), and framed
+    W=32/H=8 by the stateful streaming featurizer
+    (streaming/stateful.py stream_frame_features — per-doc GroupState
+    holds the unframed tail + next frame index).  With W=32 > the
+    16-token chunks, NO frame completes before chunk 3 for most docs
+    — the emitted stream exists only because the carry-over buffer
+    works across micro-batches.  Oracle: the batch frame_energy SQL
+    (same window formula) minus p50 — streaming output must equal
+    batch framing of the concatenated series exactly."""
+    import shutil
+    import uuid
+
+    from sonar_spark.streaming.stateful import stream_frame_features
+
+    toks = to_token_length_table(
+        _t(spark, sf_dir, "documents")
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform("tokens", lambda x: x.cast("long")).alias("tokens"),
+        "n_tok",
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = f"/tmp/sonar_stream_stft_{run_id}"
+    src = os.path.join(base, "src")
+    n = F.col("n_tok")
+    for ci, (lo, ln) in enumerate(
+        ((1, F.least(n, F.lit(16))),
+         (17, F.greatest(F.least(n - 16, F.lit(16)), F.lit(0))),
+         (33, F.greatest(n - 32, F.lit(0))))
+    ):
+        (
+            toks.select(
+                "doc_id",
+                F.lit(ci).cast("long").alias("chunk_idx"),
+                F.slice("tokens", lo, ln).alias("tokens"),
+            )
+            .where(F.size("tokens") > 0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"c{ci}"))
+        )
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, chunk_idx long, tokens array<long>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "c*"))
+    )
+    table = f"stft_stream_{run_id}"
+    q = (
+        stream_frame_features(stream, FrameConfig(window=32, hop=8))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    res = spark.table(table).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round("rms_energy", 6).alias("rms_energy"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+    )
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
 def q_pitch_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-crossing pitch detection
     (pitch_detection.go:694-727): crossings counted with the Go
@@ -5803,6 +6025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- slots 12+: new round-5 queries, then certified anchors
         # filling out 50.
         "stream_pitch_track": q_stream_pitch_track,
+        "stream_frame_features": q_stream_frame_features,
+        "bytes_decode": q_bytes_decode,
+        "delay_line": q_delay_line,
+        "overlap_add": q_overlap_add,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -6258,6 +6484,128 @@ def oracle_sql() -> dict[str, str]:
     # GroupState twin, equivalence-tested); the driver certifies the
     # equivalence end-to-end against the same recursive-CTE replay.
     d["stream_pitch_track"] = d["pitch_tracked"]
+    # stream_frame_features == batch framing of the concatenated token
+    # stream (carry-over buffer semantics): the frame_energy window
+    # formula minus the p50 column the streaming kernel doesn't emit.
+    d["stream_frame_features"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id,
+                 generate_subscripts(tl, 1) AS pos,
+                 length(unnest(tl))::DOUBLE AS val
+          FROM toks
+        ),
+        f AS (
+          SELECT doc_id, pos - 1 AS strt,
+                 count(*) OVER w AS cnt,
+                 avg(val * val) OVER w AS msq,
+                 avg(val) OVER w AS mu,
+                 var_pop(val) OVER w AS vp
+          FROM v
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+        )
+        SELECT doc_id, (strt / 8)::BIGINT AS frame_idx,
+               round(sqrt(msq), 6) AS rms_energy,
+               round(mu, 6) AS mean,
+               round(sqrt(vp), 6) AS std
+        FROM f WHERE strt % 8 = 0 AND cnt = 32
+    """
+    # bytes_decode: reconstruct every payload's float64 values from
+    # the dyadic-rational formula (exact in both engines, sum-order
+    # free) and replay the corrupt-checksum / empty-payload branches.
+    d["bytes_decode"] = r"""
+        WITH ids AS (SELECT unnest(range(0, 200)) AS i),
+        base AS (SELECT i, 64 + (i % 7) * 8 AS n FROM ids),
+        vals AS (
+          SELECT b.i, b.n, jj.j,
+                 ((7 * b.i + 3 * jj.j) % 97) / 16.0 AS v
+          FROM base b,
+               LATERAL (SELECT unnest(range(0, b.n)) AS j) jj
+        ),
+        agg AS (
+          SELECT i, n,
+                 avg(v) AS mean_v,
+                 sqrt(avg(v * v)) AS rms_v,
+                 min(CASE WHEN j = 0 THEN v END) AS first_v,
+                 min(CASE WHEN j = n - 1 THEN v END) AS last_v
+          FROM vals GROUP BY i, n
+        )
+        SELECT b.i AS media_id,
+               b.i % 13 != 5 AS ok,
+               (CASE WHEN b.i % 13 = 5 OR b.i % 11 = 0
+                     THEN 0 ELSE b.n END)::BIGINT AS n_samples,
+               CASE WHEN b.i % 13 = 5 OR b.i % 11 = 0 THEN NULL
+                    ELSE round(a.mean_v, 6) END AS mean,
+               CASE WHEN b.i % 13 = 5 OR b.i % 11 = 0 THEN NULL
+                    ELSE round(a.rms_v, 6) END AS rms,
+               CASE WHEN b.i % 13 = 5 OR b.i % 11 = 0 THEN NULL
+                    ELSE round(a.first_v, 6) END AS "first",
+               CASE WHEN b.i % 13 = 5 OR b.i % 11 = 0 THEN NULL
+                    ELSE round(a.last_v, 6) END AS "last"
+        FROM base b JOIN agg a USING (i)
+    """
+    # delay_line: lag() IS the zero-initialized ring buffer
+    d["delay_line"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                 length(unnest(tl))::DOUBLE AS val
+          FROM toks
+        )
+        SELECT doc_id, pos::BIGINT AS pos, val AS value,
+               round(lag(val, 3, 0.0) OVER w, 6) AS delayed,
+               round(lag(val, 2, 0.0) OVER w
+                     + 0.5 * (lag(val, 3, 0.0) OVER w
+                              - lag(val, 2, 0.0) OVER w), 6)
+                 AS delayed_interp
+        FROM v
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    """
+    # overlap_add: closed-form reconstruction; frame-order-pinned sum
+    d["overlap_add"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tl
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id, generate_subscripts(tl, 1) - 1 AS pos,
+                 length(unnest(tl))::DOUBLE AS val
+          FROM toks
+        ),
+        cnts AS (
+          SELECT doc_id, count(*) AS n FROM v GROUP BY doc_id
+        ),
+        nf AS (
+          SELECT doc_id, ((n - 16) // 4 + 1)::BIGINT AS nfr
+          FROM cnts WHERE n >= 16
+        ),
+        fr AS (
+          SELECT n.doc_id, ff.f
+          FROM nf n,
+               LATERAL (SELECT unnest(range(0, n.nfr)) AS f) ff
+        ),
+        ex AS (
+          SELECT fr.doc_id, fr.f, jj.j, fr.f * 4 + jj.j AS p
+          FROM fr, LATERAL (SELECT unnest(range(0, 16)) AS j) jj
+        ),
+        contrib AS (
+          SELECT ex.doc_id, ex.f, ex.p, v.val * (ex.j + 1) AS c
+          FROM ex JOIN v
+            ON v.doc_id = ex.doc_id AND v.pos = ex.p
+        )
+        SELECT c.doc_id, c.p::BIGINT AS pos,
+               round(list_sum(list(c.c ORDER BY c.f)), 6) AS value
+        FROM contrib c JOIN nf ON nf.doc_id = c.doc_id
+        WHERE c.p < nf.nfr * 4
+        GROUP BY c.doc_id, c.p, nf.nfr
+    """
     return d
 
 

@@ -153,6 +153,8 @@ def main() -> None:
             E._voice_quality_df,
             E._hist_grid,
             E._doc_hpcp,
+            E._pitch_det6,
+            E._dup_group_labels,
         ):
             helper(spark, sf_dir)
         timings["feature_store_build"] = round(time.time() - t0, 3)
