@@ -3309,6 +3309,74 @@ def q_stream_pitch_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver harness (SURVEY §2.16;
+    operators/fingerprint exact dedup in streaming form): the
+    planted-dup corpus arrives as 3 micro-batches (ordered chunk
+    files, maxFilesPerTrigger=1), dropDuplicatesWithinWatermark keeps
+    the first arrival per content fingerprint with watermark-bounded
+    state — the unbounded-ingest shape at scale (state evicts beyond
+    the lateness horizon instead of growing forever).  Exact copies
+    (the _copy plants and any accidental text collisions) collapse
+    across micro-batch boundaries, which is the cross-batch state
+    working.  Output is content-derived only (md5 fingerprint, token
+    and char counts) so the certified invariant — the deduped content
+    SET — is independent of which arrival survives; arrival-order
+    tie-breaking is covered by the streaming equivalence pytest.
+    Oracle: DISTINCT content rows over the same corpus."""
+    import shutil
+    import uuid
+
+    from sonar_spark.streaming.windows import dedup_stream
+
+    words = _dup_corpus_words(spark, sf_dir)
+    d = words.select(
+        "doc_id",
+        F.array_join("words", " ").alias("text"),
+        F.size("words").cast("long").alias("n_tokens"),
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = f"/tmp/sonar_stream_dedup_{run_id}"
+    src = os.path.join(base, "src")
+    for ci in range(3):
+        (
+            d.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == ci)
+            .withColumn(
+                "ts",
+                F.lit(f"2026-01-01 00:0{ci}:00").cast("timestamp"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"c{ci}"))
+        )
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, text string, n_tokens long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "c*"))
+    )
+    table = f"dedup_stream_{run_id}"
+    q = (
+        dedup_stream(stream, F.md5("text"), ts="ts")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    res = spark.table(table).select(
+        F.md5("text").alias("fp"),
+        "n_tokens",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
 def q_bytes_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecodeURL + bytesToFloat64 (transcode/decoder.go:146-174 +
     :849-870) — the last two SURVEY §2.1 rows, as sandbox-faithful
@@ -5791,6 +5859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bytes_decode": q_bytes_decode,
         "delay_line": q_delay_line,
         "overlap_add": q_overlap_add,
+        "stream_dedup": q_stream_dedup,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -6275,6 +6344,31 @@ def oracle_sql() -> dict[str, str]:
                round(mu, 6) AS mean,
                round(sqrt(vp), 6) AS std
         FROM f WHERE strt % 8 = 0 AND cnt = 32
+    """
+    # stream_dedup: the deduped content SET (arrival-survivor
+    # independent) over the planted-dup corpus
+    d["stream_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id::VARCHAR AS doc_id, words FROM base
+          UNION ALL
+          SELECT doc_id::VARCHAR || '_dup', words[1:len(words)-3]
+          FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+          UNION ALL
+          SELECT doc_id::VARCHAR || '_copy', words
+          FROM base WHERE doc_id % 10 = 5
+        ),
+        txt AS (
+          SELECT array_to_string(words, ' ') AS text,
+                 len(words)::BIGINT AS n_tokens
+          FROM w
+        )
+        SELECT DISTINCT md5(text) AS fp, n_tokens,
+               length(text)::BIGINT AS n_chars
+        FROM txt
     """
     # bytes_decode: reconstruct every payload's float64 values from
     # the dyadic-rational formula (exact in both engines, sum-order
