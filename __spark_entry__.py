@@ -384,18 +384,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    from sonar_spark.functions.arrays import cosine_similarity
+    """Embedding-cosine near-duplicate pairs (threshold 0.4) — the
+    exact all-pairs BASELINE (scale path: embedding_neardup_lsh).
+    Round 5: block nested-loop kernel (operators/ann.allpairs_cosine)
+    replaces the broadcast-join + interpreted zip_with fold — each
+    task scores its left block against the executor-side-read full
+    table with ascending-order accumulation (bit-matching the fold)
+    and applies the threshold in-kernel, so only qualifying pairs
+    materialize.  9.2 s -> ~0.3 s warm at sf0.01."""
+    from sonar_spark.operators.ann import allpairs_cosine
 
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    p = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
-    return (
-        p.select("id_a", "id_b", sim.alias("s"))
-        .where(F.col("s") >= 0.4)
-        .select("id_a", "id_b", F.round("s", 6).alias("cosine_sim"))
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = allpairs_cosine(
+        emb, f"{sf_dir}/embeddings.parquet", threshold=0.4
+    )
+    return out.select(
+        "id_a", "id_b", F.round("s", 6).alias("cosine_sim")
     )
 
 
@@ -1106,24 +1112,11 @@ def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_frame_rms(spark: SparkSession, sf_dir: str, W: int = 16, H: int = 4):
-    """Per-frame (rms, flux) — store-backed: 10 queries consume this
-    front end; the Arrow featurize kernel runs once per corpus, every
-    consumer reads the materialized table."""
+    """Per-frame (rms, flux) — store-backed via
+    plans/feature_tables.frame_rms (10 consumer queries)."""
+    from sonar_spark.plans.feature_tables import frame_rms
 
-    def build() -> DataFrame:
-        docs = _t(spark, sf_dir, "documents")
-        feats = frame_features_arrow(
-            to_token_length_table(docs), FrameConfig(window=W, hop=H)
-        )
-        return feats.select(
-            F.col("doc_id").cast("long").alias("doc_id"), "frame_idx",
-            "rms_energy", "flux",
-        )
-
-    st = _store(spark, sf_dir)
-    if st is None:
-        return build()
-    return st.get(f"frame_rms_w{W}h{H}", build)
+    return frame_rms(spark, sf_dir, _store(spark, sf_dir), W, H)
 
 
 def q_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2381,65 +2374,12 @@ def q_voice_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hist_grid(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
-    """Zero-filled (doc_id, frame_idx, bin, m) histogram-spectrum rows
-    (W=32, H=8, 16 bins, first 4 frames per doc) built with Catalyst
-    expressions — independent of the Arrow kernel's histogram.
-    ``docs`` overrides the source table (e.g. pre-filtered: doc
-    predicates do not push through the chain's aggregates from
-    outside, so bounded queries filter at the source).  The
-    full-corpus grid (docs=None) is store-backed: 15 tonal queries
-    share this front end."""
-    from sonar_spark.operators.frames import expand_frames
+    """Histogram-spectrum grid — plans/feature_tables.hist_grid
+    (store-backed full corpus; ``docs`` = pre-filtered bounded
+    sources, derived inline)."""
+    from sonar_spark.plans.feature_tables import hist_grid
 
-    if docs is None:
-        st = _store(spark, sf_dir)
-        if st is not None:
-            return st.get(
-                "hist_grid",
-                lambda: _hist_grid_build(
-                    spark, _t(spark, sf_dir, "documents")
-                ),
-            )
-        docs = _t(spark, sf_dir, "documents")
-    return _hist_grid_build(spark, docs)
-
-
-def _hist_grid_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    from sonar_spark.operators.frames import expand_frames
-
-    toks = to_token_length_table(docs)
-    frames = expand_frames(toks, FrameConfig(window=32, hop=8))
-    fr = frames.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "frame_idx",
-        F.transform("window", lambda x: x.cast("double")).alias("w"),
-    ).where(F.col("frame_idx") < 4)
-    lo = F.array_min("w")
-    hi0 = F.array_max("w")
-    fr = fr.withColumn("lo", lo).withColumn(
-        "hi", F.when(hi0 > lo, hi0).otherwise(lo + 1.0)
-    )
-    ex = fr.select(
-        "doc_id", "frame_idx", "lo", "hi", F.explode("w").alias("v")
-    )
-    bin_ = F.least(
-        F.greatest(
-            F.floor((F.col("v") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / 16.0)),
-            F.lit(0),
-        ),
-        F.lit(15),
-    )
-    cnts = ex.groupBy("doc_id", "frame_idx", bin_.alias("bin")).agg(
-        F.count("*").cast("double").alias("c")
-    )
-    return (
-        fr.select("doc_id", "frame_idx")
-        .withColumn("bin", F.explode(F.sequence(F.lit(0), F.lit(15))))
-        .withColumn("bin", F.col("bin").cast("long"))
-        .join(cnts, ["doc_id", "frame_idx", "bin"], "left")
-        .withColumn("m", F.coalesce("c", F.lit(0.0)))
-    )
+    return hist_grid(spark, sf_dir, _store(spark, sf_dir), docs)
 
 
 def q_hpcp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2548,79 +2488,18 @@ def q_voice_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _voice_quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rounded AnalyzeVoiceQuality table (shared by
-    voice_quality_full and the speech_analysis composite) —
-    store-backed end-to-end: the whole doc-level result lands as one
-    table, and its internal front ends (frame rms via _doc_frame_rms,
-    the onset table) are store-backed too, so the r4-verdict
-    multi-consumer re-derivation (rms -> onsets AND voice_quality;
-    onsets -> tempo AND voice_quality) happens at most once per
-    corpus."""
+    """Rounded AnalyzeVoiceQuality doc table —
+    plans/feature_tables.voice_quality_table (store-backed end to
+    end, incl. its internal frame-rms/onset front ends)."""
+    from sonar_spark.plans.feature_tables import voice_quality_table
 
-    def build() -> DataFrame:
-        return _voice_quality_build(spark, sf_dir)
-
-    st = _store(spark, sf_dir)
-    if st is None:
-        return build()
-    return st.get("voice_quality", build)
+    return voice_quality_table(spark, sf_dir, _store(spark, sf_dir))
 
 
 def _onsets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-backed RMS onset table (onset_detection.go scaled
-    thresholds) — consumed by tempo_estimate and voice_quality_full."""
-    from sonar_spark.operators.sessionize import detect_onsets
+    from sonar_spark.plans.feature_tables import onsets_rms
 
-    def build() -> DataFrame:
-        return detect_onsets(
-            _doc_frame_rms(spark, sf_dir), key="doc_id",
-            order="frame_idx", signal="rms_energy",
-            threshold_scale=1.05, min_interval=1,
-        )
-
-    st = _store(spark, sf_dir)
-    if st is None:
-        return build()
-    return st.get("onsets_rms", build)
-
-
-def _voice_quality_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sonar_spark.operators.temporal import (
-        hnr,
-        tempo_estimate,
-        voice_quality_full,
-    )
-
-    rms = _doc_frame_rms(spark, sf_dir)
-    on = _onsets_df(spark, sf_dir)
-    t = tempo_estimate(on).where(
-        (F.col("n_onsets") >= 2) & F.col("dominant_ioi").isNotNull()
-    )
-    expected = t.select(
-        "doc_id", (F.col("dominant_ioi") * 4).cast("long").alias("L")
-    )
-    toks = to_token_length_table(_t(spark, sf_dir, "documents"))
-    vals = toks.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode("tokens").alias("pos", "v"),
-    ).withColumn("v", F.col("v").cast("double"))
-    hnr_df = hnr(vals, expected).select(
-        "doc_id", F.round("hnr_db", 6).alias("hnr_db")
-    )
-    out = voice_quality_full(rms, on, hnr_df)
-    return out.select(
-        "doc_id",
-        "n_periods",
-        F.round("jitter_pct", 6).alias("jitter_pct"),
-        F.round("shimmer_pct", 6).alias("shimmer_pct"),
-        F.round("hnr_db", 6).alias("hnr_db"),
-        F.round("mean_f0", 6).alias("mean_f0"),
-        F.round("f0_range", 6).alias("f0_range"),
-        F.round("f0_stability", 6).alias("f0_stability"),
-        F.round("amp_stability", 6).alias("amp_stability"),
-        F.round("overall_quality", 6).alias("overall_quality"),
-        F.round("analysis_quality", 6).alias("analysis_quality"),
-    )
+    return onsets_rms(spark, sf_dir, _store(spark, sf_dir))
 
 
 def q_content_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3210,29 +3089,9 @@ def q_pitch_tracked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pitch_det6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-backed per-frame raw NSDF pitch detections (6-dp rounded
-    — the quantized interface), the shared front end of the batch and
-    streaming pitch post-processors."""
-    from sonar_spark.operators.temporal import pitch_nsdf_tokens
+    from sonar_spark.plans.feature_tables import pitch_det6
 
-    def build() -> DataFrame:
-        toks = to_token_length_table(_t(spark, sf_dir, "documents"))
-        det = pitch_nsdf_tokens(
-            toks.select(
-                F.col("doc_id").cast("long").alias("doc_id"), "tokens"
-            )
-        )
-        return det.select(
-            "doc_id",
-            "frame_idx",
-            F.round("pitch", 6).alias("pitch"),
-            F.round("confidence", 6).alias("confidence"),
-        )
-
-    st = _store(spark, sf_dir)
-    if st is None:
-        return build()
-    return st.get("pitch_det6", build)
+    return pitch_det6(spark, sf_dir, _store(spark, sf_dir))
 
 
 def q_stream_pitch_track(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4456,24 +4315,11 @@ def q_chord_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_hpcp(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
-    """Per-frame HPCP over the histogram spectrum (the chroma front
-    end shared by the tonal queries).  The full-corpus table
-    (docs=None) is store-backed — 12 chroma/key/chord queries read
-    the one materialized copy."""
-    from sonar_spark.operators.peaks import hpcp, spectral_peaks
+    """Per-frame HPCP — plans/feature_tables.doc_hpcp (store-backed
+    full corpus; 12 tonal consumers)."""
+    from sonar_spark.plans.feature_tables import doc_hpcp
 
-    def build(d: DataFrame | None) -> DataFrame:
-        grid = _hist_grid(spark, sf_dir, d)
-        peaks = spectral_peaks(
-            grid, ["doc_id", "frame_idx"], max_peaks=16, min_height=1e-05
-        )
-        return hpcp(peaks, ["doc_id", "frame_idx"])
-
-    if docs is None:
-        st = _store(spark, sf_dir)
-        if st is not None:
-            return st.get("hpcp", lambda: build(None))
-    return build(docs)
+    return doc_hpcp(spark, sf_dir, _store(spark, sf_dir), docs)
 
 
 def q_tonnetz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5613,39 +5459,15 @@ def q_lpc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpc_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared order-4 LPC table over the token-length series (the
-    formant front end, format.go:96-101) — store-backed: the Arrow
-    LPC kernel runs once per corpus; formants / formant_summary /
-    lpc_envelope / speech_analysis all read the materialized table."""
+    from sonar_spark.plans.feature_tables import lpc_coeffs
 
-    def build() -> DataFrame:
-        from sonar_spark.operators.lpc import lpc4
-
-        toks = to_token_length_table(_t(spark, sf_dir, "documents"))
-        vals = toks.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.posexplode("tokens").alias("pos", "v"),
-        ).withColumn("v", F.col("v").cast("double"))
-        return lpc4(vals)
-
-    st = _store(spark, sf_dir)
-    if st is None:
-        return build()
-    return st.get("lpc4", build)
+    return lpc_coeffs(spark, sf_dir, _store(spark, sf_dir))
 
 
 def _formants_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-backed formant peak table (format.go:148-357): built once
-    from the materialized LPC table; q_formants, formant_summary and
-    the speech_analysis composite read the same copy."""
-    from sonar_spark.operators.formants import formants
+    from sonar_spark.plans.feature_tables import formants_table
 
-    st = _store(spark, sf_dir)
-    if st is None:
-        return formants(_lpc_coeffs(spark, sf_dir))
-    return st.get(
-        "formants", lambda: formants(_lpc_coeffs(spark, sf_dir))
-    )
+    return formants_table(spark, sf_dir, _store(spark, sf_dir))
 
 
 def q_formants(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -342,3 +342,76 @@ def ivf_search_pruned(
         index, queries, centroids, id_col=id_col, vec_col=vec_col, k=k,
         n_probe=n_probe, probe_df=probe_df,
     )
+
+
+def allpairs_cosine(
+    emb: DataFrame,
+    emb_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs cosine similarity above a threshold — the exact
+    quadratic near-dup BASELINE (the scale path is the LSH variant,
+    hyperplane_lsh_pairs).  Block nested-loop shape: each task takes
+    its partition of the left side and scores it against the FULL
+    right side, which it reads executor-side from the (small) parquet
+    file — the build side of a broadcast hash join, built per task
+    without shipping pair rows through a join first.  The threshold
+    is applied INSIDE the kernel, so only qualifying pairs ever
+    materialize (the expression-join form materialized all O(n^2)
+    pair rows before filtering).
+
+    Float semantics match the Catalyst fold version bit-for-bit:
+    dot and norm accumulate over the dimension axis in ascending
+    order (the r2 BLAS-gemm lesson — np.dot's batch-size-dependent
+    summation would not be reproducible), s = dot / (na * nb) with
+    the zero-denominator -> 0.0 guard of distance.go:48-70.
+
+    Output: (id_a, id_b, s) with id_a < id_b, s >= threshold, s RAW
+    (caller rounds at its quantization boundary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        right = pd.read_parquet(emb_path, columns=[id_col, vec_col])
+        rb = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in right[vec_col]]
+        )
+        rid = right[id_col].to_numpy()
+        dim = rb.shape[1]
+        nb = np.zeros(len(rid))
+        for k in range(dim):  # ascending: matches asum(transform) order
+            nb += rb[:, k] * rb[:, k]
+        nb = np.sqrt(nb)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            la = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            lid = pdf[id_col].to_numpy()
+            na = np.zeros(len(lid))
+            dots = np.zeros((len(lid), len(rid)))
+            for k in range(dim):  # ascending over the dim axis
+                na += la[:, k] * la[:, k]
+                dots += np.outer(la[:, k], rb[:, k])
+            na = np.sqrt(na)
+            denom = np.outer(na, nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(denom > 0, dots / denom, 0.0)
+            mask = (lid[:, None] < rid[None, :]) & (s >= threshold)
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": lid[ii],
+                    "id_b": rid[jj],
+                    "s": s[ii, jj],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, schema="id_a long, id_b long, s double"
+    )

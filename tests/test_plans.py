@@ -176,3 +176,24 @@ def test_feature_store_write_once_and_values(spark, tmp_path):
     k1 = store_key(str(tmp_path), "v1")
     assert k1 == store_key(str(tmp_path), "v1")
     assert k1 != store_key(str(tmp_path), "v2")
+
+
+def test_feature_store_job_build_all_and_resume(spark, tmp_path, sf_dir):
+    """jobs/feature_store_job path: build_all materializes the named
+    tables write-once; a re-run touches nothing (resume semantics) and
+    returns the same counts."""
+    from sonar_spark.plans.feature_tables import build_all
+    from sonar_spark.plans.pipeline import FeatureStore
+
+    store = FeatureStore(spark, str(tmp_path / "store"))
+    c1 = build_all(spark, sf_dir, store, ["lpc4", "formants"])
+    assert set(c1) == {"lpc4", "formants"} and c1["lpc4"] > 0
+    import os
+
+    mt = {
+        t: os.path.getmtime(store.path(t)) for t in c1
+    }
+    c2 = build_all(spark, sf_dir, store, ["lpc4", "formants"])
+    assert c2 == c1
+    for t in c1:
+        assert os.path.getmtime(store.path(t)) == mt[t]
