@@ -27,7 +27,14 @@ from sonar_spark.operators.asof import asof_join  # noqa: E402
 from sonar_spark.operators.features import frame_features_arrow  # noqa: E402
 from sonar_spark.session import get_spark  # noqa: E402
 
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+# Flagship corpus size: raised 20k -> 320k in round 5 after an
+# amortization study (BENCH/BASELINE.md "flagship N"): at 20k docs
+# ~1.3 s of fixed stage/scheduling overhead dominated the ~0.5 s of
+# actual work (11k docs/s); at 320k the pipeline reports 62k docs/s
+# at 5.2 s wall — the overhead-amortized regime the 10^12-sequence
+# north metric describes.  pipeline_docs in the JSON records N, and
+# the 20k-docs number is kept in BASELINE.md for cross-round reads.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "320000"))
 
 
 def materialize_tokens(spark, n_docs: int, partitions: int = 64) -> str:
