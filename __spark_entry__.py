@@ -3168,6 +3168,93 @@ def q_stream_pitch_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data op the dedup
+    family stops short of: flag every training document that shares
+    any word-4-gram with a held-out evaluation set (here the
+    deterministic doc_id % 97 == 0 slice plays the benchmark role).
+    Shape: shingle-explode both sides -> one equi-join on the shingle
+    string -> per-doc hit aggregate -> left join back to the corpus.
+    Everything is a hash join on a derived key — at 100 TB the eval
+    side is tiny (benchmarks are KBs-MBs) and broadcasts, so the
+    corpus-side cost is one scan + one shingle explode; no pairwise
+    anything.  Output per training doc: contaminated flag, number of
+    distinct eval docs hit, worst-overlap eval doc (min doc_id on
+    ties) and its shared-shingle count."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                _shingles4(F.split(F.trim(F.col("text")), r"\s+"))
+            )
+        ).alias("sh"),
+    )
+    ev = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    tr = sh.where(F.col("doc_id") % 97 != 0)
+    hits = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("__shared"))
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_eval_hits"),
+        # worst offender: max shared shingles, ties -> smaller eval id
+        F.max(
+            F.struct(F.col("__shared"), (-F.col("eval_id")).alias("__ni"))
+        ).alias("__w"),
+    )
+    base = docs.where(F.col("doc_id") % 97 != 0).select("doc_id")
+    out = base.join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.col("n_eval_hits").isNotNull().alias("contaminated"),
+        F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+        (-F.col("__w.__ni")).alias("worst_eval_id"),
+        F.col("__w.__shared").alias("worst_shared_shingles"),
+    )
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling / data mixing — the
+    recipe step a training pipeline runs after curation: per-source
+    keep fractions (web 0.5, books 1.0, code 0.25, news 0.75)
+    applied by CONTENT-KEYED hash, not RNG: keep iff
+    (md5(doc_id) mod 10000) < frac*10000.  Fully deterministic and
+    engine-portable (md5 is identical in Spark and DuckDB — the
+    xxhash64 Spark uses elsewhere has no DuckDB twin), resumable
+    (same doc always lands the same way — re-runs and backfills
+    agree), and one scan with zero shuffles: the mix is a filter, so
+    it pushes into the parquet scan at any scale.  Output: kept rows
+    with their bucket + per-row weight 1/frac (the importance weight
+    downstream loss accounting needs)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10000
+    # mix recipe keyed by source band (sources are src0..src19):
+    # 0-4 keep all, 5-9 half, 10-14 quarter, 15-19 three quarters
+    sn = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    frac = (
+        F.when(sn <= 4, 1.0)
+        .when(sn <= 9, 0.5)
+        .when(sn <= 14, 0.25)
+        .otherwise(0.75)
+    )
+    d = docs.select(
+        "doc_id", "source", bucket.alias("bucket"), frac.alias("frac")
+    )
+    kept = d.where(F.col("bucket") < F.col("frac") * 10000)
+    return kept.select(
+        "doc_id",
+        "source",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round(1.0 / F.col("frac"), 6).alias("mix_weight"),
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under the driver harness (SURVEY §2.16;
     operators/fingerprint exact dedup in streaming form): the
@@ -5682,6 +5769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delay_line": q_delay_line,
         "overlap_add": q_overlap_add,
         "stream_dedup": q_stream_dedup,
+        "decontaminate": q_decontaminate,
+        "sample_mix": q_sample_mix,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -6166,6 +6255,65 @@ def oracle_sql() -> dict[str, str]:
                round(mu, 6) AS mean,
                round(sqrt(vp), 6) AS std
         FROM f WHERE strt % 8 = 0 AND cnt = 32
+    """
+    # decontaminate: shingle equi-join against the eval slice; worst
+    # offender = max shared count, ties -> smaller eval id (the
+    # max(struct(shared, -id)) fold on the Spark side)
+    d["decontaminate"] = r"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(
+                     len(string_split_regex(trim(text), '\s+')) - 3, 1)),
+                   i -> array_to_string(
+                     string_split_regex(trim(text), '\s+')[i:i+3], ' ')
+                 ))) AS sh
+          FROM documents
+        ),
+        ev AS (
+          SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0
+        ),
+        tr AS (
+          SELECT doc_id, sh FROM sh WHERE doc_id % 97 != 0
+        ),
+        hits AS (
+          SELECT tr.doc_id, ev.eval_id, count(*)::BIGINT AS shared
+          FROM tr JOIN ev USING (sh)
+          GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 count(*)::BIGINT AS n_eval_hits,
+                 max(struct_pack(s := shared, ni := -eval_id)) AS w
+          FROM hits GROUP BY 1
+        )
+        SELECT d.doc_id,
+               p.doc_id IS NOT NULL AS contaminated,
+               coalesce(p.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+               -(p.w.ni) AS worst_eval_id,
+               p.w.s AS worst_shared_shingles
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        WHERE d.doc_id % 97 != 0
+    """
+    # sample_mix: md5 is byte-identical across engines; the bucket is
+    # the first 8 hex chars as an integer mod 10000
+    d["sample_mix"] = r"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                      AS BIGINT) % 10000 AS bucket,
+                 CASE
+                   WHEN regexp_extract(source, 'src(\d+)', 1)::INT <= 4
+                     THEN 1.0
+                   WHEN regexp_extract(source, 'src(\d+)', 1)::INT <= 9
+                     THEN 0.5
+                   WHEN regexp_extract(source, 'src(\d+)', 1)::INT <= 14
+                     THEN 0.25
+                   ELSE 0.75 END AS frac
+          FROM documents
+        )
+        SELECT doc_id, source, bucket,
+               round(1.0 / frac, 6) AS mix_weight
+        FROM d WHERE bucket < frac * 10000
     """
     # stream_dedup: the deduped content SET (arrival-survivor
     # independent) over the planted-dup corpus
