@@ -3168,6 +3168,131 @@ def q_stream_pitch_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows under the driver harness (SURVEY
+    §2.16; streaming/windows.sessionize_stream): the events table
+    arrives as 3 micro-batches in ARBITRARY order (event_id % 3
+    chunks — session fragments of one user land in different
+    batches), session_window(gap=30min) merges fragments in the
+    state store, and complete-mode output after trigger(availableNow)
+    is the final merged session table.  Session semantics are
+    Spark's: an event joins a session while ts < last + gap (a gap of
+    EXACTLY 1800 s starts a new session — the strict boundary differs
+    from the batch sessionize_by_gap operator's > rule, which is why
+    this query carries its own oracle), session_end = last + gap.
+    The DuckDB oracle replays that rule with a lag/cumsum window."""
+    import shutil
+    import uuid
+
+    from sonar_spark.streaming.windows import sessionize_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = f"/tmp/sonar_stream_sess_{run_id}"
+    src = os.path.join(base, "src")
+    for ci in range(3):
+        (
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == ci)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"c{ci}"))
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "c*"))
+    )
+    table = f"sess_stream_{run_id}"
+    q = (
+        sessionize_stream(
+            stream, ts="ts", key="user_id", gap="30 minutes",
+            watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    res = spark.table(table).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+def q_stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window stats under the driver harness
+    (SURVEY §2.16; streaming/windows.windowed_stats_stream): events
+    arrive as 3 arbitrary-order micro-batches (event_id % 3),
+    1-hour event-time windows aggregate per event_type in the state
+    store, complete-mode output after trigger(availableNow).  Oracle:
+    the same epoch-floor bucketing in SQL (window_start =
+    floor(epoch/3600)*3600)."""
+    import shutil
+    import uuid
+
+    from sonar_spark.streaming.windows import windowed_stats_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = f"/tmp/sonar_stream_wstats_{run_id}"
+    src = os.path.join(base, "src")
+    for ci in range(3):
+        (
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == ci)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"c{ci}"))
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp, "
+            "value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "c*"))
+    )
+    table = f"wstats_stream_{run_id}"
+    q = (
+        windowed_stats_stream(
+            stream, ts="ts", value="value", group="event_type",
+            window="1 hour", watermark="3650 days",
+        )
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    res = spark.table(table).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data op the dedup
     family stops short of: flag every training document that shares
@@ -5769,6 +5894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delay_line": q_delay_line,
         "overlap_add": q_overlap_add,
         "stream_dedup": q_stream_dedup,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_windowed_stats": q_stream_windowed_stats,
         "decontaminate": q_decontaminate,
         "sample_mix": q_sample_mix,
         "compare_topk_lsh": q_compare_topk_lsh,
@@ -6255,6 +6382,48 @@ def oracle_sql() -> dict[str, str]:
                round(mu, 6) AS mean,
                round(sqrt(vp), 6) AS std
         FROM f WHERE strt % 8 = 0 AND cnt = 32
+    """
+    # stream_windowed_stats: tumbling 1h event-time windows
+    d["stream_windowed_stats"] = r"""
+        WITH e AS (
+          SELECT event_type, value,
+                 (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start
+          FROM events
+        )
+        SELECT window_start::BIGINT AS window_start, event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(avg(value), 6) AS avg_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM e GROUP BY 1, 2
+    """
+    # stream_sessionize: Spark session_window rule — join while
+    # ts < last + gap (diff == gap starts a NEW session), end =
+    # last + gap; replayed with lag/cumsum
+    d["stream_sessionize"] = r"""
+        WITH e AS (
+          SELECT user_id, floor(epoch(ts))::BIGINT AS t FROM events
+        ),
+        o AS (
+          SELECT user_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR t - lag(t) OVER w >= 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        ),
+        s AS (
+          SELECT user_id, t,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id,
+               min(t) AS session_start,
+               max(t) + 1800 AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, sid
     """
     # decontaminate: shingle equi-join against the eval slice; worst
     # offender = max shared count, ties -> smaller eval id (the

@@ -280,13 +280,49 @@ class FeatureStore:
         if not os.path.isdir(p):
             import shutil
 
+            # a crashed previous build leaves only its tmp dir (the
+            # rename never ran): clear stale tmps so they cannot
+            # accumulate, then build fresh
+            for stale in (
+                d
+                for d in os.listdir(self.base_dir)
+                if d.startswith(f"{name}.tmp-")
+            ):
+                shutil.rmtree(
+                    os.path.join(self.base_dir, stale), ignore_errors=True
+                )
             tmp = f"{p}.tmp-{os.getpid()}"
+            t0 = time.time()
             builder().write.mode("overwrite").parquet(tmp)
             try:
                 os.rename(tmp, p)  # write-once: fails if a winner exists
+                # lineage sidecar (the FeaturizeJob marker idea at
+                # table granularity): who built it, when, how long —
+                # next to the table so consumers/auditors can read it
+                meta = {
+                    "table": name,
+                    "build_wall_sec": round(time.time() - t0, 3),
+                    "built_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "pid": os.getpid(),
+                }
+                mtmp = f"{p}.meta.json.tmp-{os.getpid()}"
+                with open(mtmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(mtmp, f"{p}.meta.json")
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)
         return self.spark.read.parquet(p)
+
+    def metrics(self) -> list[dict]:
+        """Lineage sidecars of every materialized table."""
+        out = []
+        for f in sorted(os.listdir(self.base_dir)):
+            if f.endswith(".meta.json"):
+                with open(os.path.join(self.base_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
 
 
 def store_key(sf_dir: str, version: str) -> str:
