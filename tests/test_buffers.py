@@ -143,3 +143,77 @@ def test_fetch_payloads_integrity_and_missing(spark, tmp_path):
     assert got[0]["mean"] == 4.0 and got[0]["first"] == 3.5
     assert not got[1]["ok"] and got[1]["mean"] is None
     assert not got[2]["ok"]
+
+
+def test_bytes_to_float64_roundtrip_hypothesis():
+    """Property: decode(pack(v) + junk) == v for arbitrary float64
+    payloads (NaN/inf/-0.0 included) and any junk tail < 8 bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            max_size=40,
+        ),
+        st.binary(max_size=7),
+    )
+    def check(vals, junk):
+        raw = np.asarray(vals, dtype="<f8").tobytes() + junk
+        out = bytes_to_float64(raw)
+        assert len(out) == len(vals)
+        a = np.asarray(vals, dtype=np.float64)
+        same = (out == a) | (np.isnan(out) & np.isnan(a))
+        assert same.all()
+        # sign of zero preserved (bit-level decode)
+        assert (np.signbit(out) == np.signbit(a)).all()
+
+    check()
+
+
+def test_content_features_match_bruteforce():
+    """The cumsum-based content kernel equals a literal fold-order
+    Python port on random token arrays (the ascending-accumulation
+    bit-identity claim, checked directly)."""
+    import math
+
+    from sonar_spark.operators.content import _features_one
+
+    rng = np.random.default_rng(23)
+    for n in (1, 2, 3, 7, 8, 9, 16, 17, 31, 32, 33, 50, 100):
+        s = rng.integers(1, 15, size=n).astype(np.float64)
+        got = _features_one(s)
+        # brute-force reference: explicit sequential folds
+        mean = 0.0
+        for x in s:
+            mean += x
+        mean /= n
+        c = [x - mean for x in s]
+        if n > 1:
+            cross = sum(
+                1
+                for i in range(1, n)
+                if (c[i - 1] >= 0 and c[i] < 0)
+                or (c[i - 1] < 0 and c[i] >= 0)
+            )
+            zcr = cross / (n - 1)
+        else:
+            zcr = 0.0
+        assert got[0] == zcr, n
+        ws = min(n, 32)
+        nb = ws // 2 + 1
+        spec = []
+        for k in range(nb):
+            re = im = 0.0
+            for j in range(ws):
+                ang = -2.0 * np.pi * k * j / ws
+                re += c[j] * math.cos(ang)
+                im += c[j] * math.sin(ang)
+            spec.append(np.floor(math.sqrt(re * re + im * im) * 1e6 + 0.5) / 1e6)
+        wsum = msum = 0.0
+        for k in range(nb):
+            wsum += k * 32.0 / (nb * 2) * spec[k]
+            msum += spec[k]
+        cen = np.floor(wsum / msum * 1e6 + 0.5) / 1e6 if msum != 0 else 0.0
+        assert got[1] == cen, n
