@@ -1444,6 +1444,124 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ quantized ANN — the memory-bounded similarity-search
+    path a 100 TB embedding store needs beyond IVF pruning: 64
+    float64 dims (512 B) compress to 1 coarse-cell byte + 8 residual
+    code bytes, and search never touches the raw vectors after
+    indexing (asymmetric-distance computation over codebook lookups).
+    Codebooks are trained offline on a seeded synthetic sample
+    (operators/ann.pq_train) which makes them plan-time constants
+    BOTH engines embed — so unlike ivf_knn (whose oracle sidesteps
+    the index by exhaustive probing), the quantized index itself is
+    value-verified: the DuckDB oracle re-derives cell assignments,
+    residual codes, probe sets and ADC distances from the identical
+    literal codebooks.  Quantized boundaries: cell/code argmins and
+    the final ADC ranking compare 6-dp-rounded distances (ties ->
+    smaller index / neighbor id)."""
+    from sonar_spark.operators.ann import pq_index, pq_search, pq_train
+
+    C, B = pq_train()
+    emb = _t(spark, sf_dir, "embeddings")
+    index = pq_index(emb, C, B)
+    qs = emb.where(F.col("vec_id") < 8)
+    out = pq_search(index, qs, C, B, k=5, n_probe=2)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        F.col("adc_dist").alias("adc_dist"),
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """IVF-PQ replay: the trained codebooks rendered as VALUES rows
+    (repr floats round-trip float64 exactly — the mfcc/CQT-kernel
+    precedent), then cell assignment, residual codes, probe sets and
+    ADC ranking re-derived relationally."""
+    from sonar_spark.operators.ann import pq_train
+
+    C, B = pq_train()
+    c_rows = ", ".join(
+        f"({j}, {d}, {float(C[j, d])!r})"
+        for j in range(C.shape[0])
+        for d in range(C.shape[1])
+    )
+    b_rows = ", ".join(
+        f"({s}, {cc}, {d}, {float(B[s, cc, d])!r})"
+        for s in range(B.shape[0])
+        for cc in range(B.shape[1])
+        for d in range(B.shape[2])
+    )
+    return rf"""
+        WITH cb(cell, d, w) AS (VALUES {c_rows}),
+        pb(s, cc, d, w) AS (VALUES {b_rows}),
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cd AS (
+          SELECT e.vec_id, cb.cell,
+                 round(sum((e.v[cb.d + 1] - cb.w)
+                           * (e.v[cb.d + 1] - cb.w)), 6) AS d6
+          FROM e CROSS JOIN cb GROUP BY 1, 2
+        ),
+        acell AS (
+          SELECT vec_id,
+                 min(struct_pack(d := d6, cell := cell)).cell AS cell
+          FROM cd GROUP BY 1
+        ),
+        res AS (
+          SELECT e.vec_id, a.cell, cb.d, e.v[cb.d + 1] - cb.w AS r
+          FROM e JOIN acell a USING (vec_id)
+          JOIN cb ON cb.cell = a.cell
+        ),
+        sd AS (
+          SELECT r.vec_id, pb.s, pb.cc,
+                 round(sum((r.r - pb.w) * (r.r - pb.w)), 6) AS d6
+          FROM res r JOIN pb ON pb.s = r.d // 8 AND pb.d = r.d % 8
+          GROUP BY 1, 2, 3
+        ),
+        code AS (
+          SELECT vec_id, s,
+                 min(struct_pack(d := d6, cc := cc)).cc AS cc
+          FROM sd GROUP BY 1, 2
+        ),
+        probe AS (
+          SELECT query_id, cell FROM (
+            SELECT vec_id AS query_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d6, cell) AS rk
+            FROM cd WHERE vec_id < 8
+          ) WHERE rk <= 2
+        ),
+        recon AS (
+          SELECT a.vec_id, a.cell, cb.d, cb.w + pb.w AS xr
+          FROM acell a
+          JOIN code k ON k.vec_id = a.vec_id
+          JOIN cb ON cb.cell = a.cell AND cb.d // 8 = k.s
+          JOIN pb ON pb.s = k.s AND pb.cc = k.cc AND pb.d = cb.d % 8
+        ),
+        adc AS (
+          SELECT p.query_id, r.vec_id AS neighbor_id,
+                 round(sum((q.v[r.d + 1] - r.xr)
+                           * (q.v[r.d + 1] - r.xr)), 6) AS adc_dist
+          FROM probe p
+          JOIN recon r ON r.cell = p.cell
+          JOIN e q ON q.vec_id = p.query_id
+          WHERE r.vec_id != p.query_id
+          GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT query_id, neighbor_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS rank
+          FROM adc
+        )
+        SELECT query_id, rank::INT AS rank, neighbor_id, adc_dist
+        FROM rk WHERE rank <= 5
+    """
+
+
 def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fractional-index interpolation family
     (common/interpolation.go): every doc's token-length series
@@ -5897,6 +6015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_windowed_stats": q_stream_windowed_stats,
         "decontaminate": q_decontaminate,
+        "ivfpq_knn": q_ivfpq_knn,
         "sample_mix": q_sample_mix,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
@@ -6383,6 +6502,7 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(vp), 6) AS std
         FROM f WHERE strt % 8 = 0 AND cnt = 32
     """
+    d["ivfpq_knn"] = _pq_oracle_sql()
     # stream_windowed_stats: tumbling 1h event-time windows
     d["stream_windowed_stats"] = r"""
         WITH e AS (

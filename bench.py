@@ -196,6 +196,7 @@ def main() -> None:
         "curation_filter",
         "content_detect",
         "speech_analysis",
+        "ivfpq_knn",
     ):
         if name not in qs:
             continue

@@ -415,3 +415,207 @@ def allpairs_cosine(
     return emb.select(id_col, vec_col).mapInPandas(
         gen, schema="id_a long, id_b long, s double"
     )
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def pq_train(
+    *,
+    dim: int = 64,
+    n_cells: int = 8,
+    n_sub: int = 8,
+    n_codes: int = 64,
+    n_iter: int = 10,
+    seed: int = 7,
+    sample: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Product-quantization codebooks: coarse centroids C
+    (n_cells, dim) + per-subspace codebooks B (n_sub, n_codes,
+    dim/n_sub), trained with plain Lloyd k-means on a SEEDED SYNTHETIC
+    sample — codebooks are trained offline on a representative sample
+    in any real deployment; a deterministic synthetic sample makes
+    them plan-time constants BOTH engines can embed (the CQT-kernel /
+    tonnetz-coordinate precedent), so the quantized search is fully
+    value-oracle-able.  Euclidean k-means (PQ quantizes residual
+    geometry, not direction).  The sample is drawn uniform on the
+    unit sphere — the embeddings table is unit-normalized, and
+    codebooks must live in the data's geometry (training on raw
+    N(0,1) vectors of norm ~8 put every reconstruction hopelessly
+    far from the sphere: measured recall 0)."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0.0, 1.0, size=(sample, dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def lloyd(data: np.ndarray, k: int) -> np.ndarray:
+        C = data[rng.choice(len(data), size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((data[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                m = data[a == j]
+                C[j] = m.mean(axis=0) if len(m) else data[
+                    rng.integers(0, len(data))
+                ]
+        return C
+
+    C = lloyd(X, n_cells)
+    sub = dim // n_sub
+    # residuals against the assigned coarse centroid
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    R = X - C[d2.argmin(axis=1)]
+    B = np.stack(
+        [lloyd(R[:, s * sub : (s + 1) * sub], n_codes) for s in range(n_sub)]
+    )
+    return C, B
+
+
+def _d2_asc(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise squared distance with ascending-dim accumulation
+    (fixed float order — reproducible across batch shapes and
+    engines).  a: (n, d), b: (d,) -> (n,)."""
+    out = np.zeros(len(a))
+    for k in range(a.shape[1]):
+        diff = a[:, k] - b[k]
+        out += diff * diff
+    return out
+
+
+def _r6pos(x: np.ndarray) -> np.ndarray:
+    """Half-up 6-dp for non-negative values (the quantized compare
+    boundary shared with the SQL side's round(x, 6))."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def pq_index(
+    emb: DataFrame,
+    C: np.ndarray,
+    B: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector: coarse cell (argmin 6-dp-rounded squared
+    distance, ties -> smaller cell) + per-subspace residual codes
+    (same rule).  Output (id, cell, codes array<int>) — the 100 TB
+    memory story: 64 float64 dims (512 B) become 1 cell byte + 8 code
+    bytes."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((C, B))
+
+    def gen(pdfs):
+        import pandas as pd
+
+        Cl, Bl = bc.value
+        n_sub = Bl.shape[0]
+        sub = Cl.shape[1] // n_sub
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cd = np.stack(
+                [_r6pos(_d2_asc(X, Cl[j])) for j in range(len(Cl))], axis=1
+            )
+            cell = cd.argmin(axis=1)  # first minimum = smaller cell
+            R = X - Cl[cell]
+            codes = np.empty((len(X), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                rs = R[:, s * sub : (s + 1) * sub]
+                dd = np.stack(
+                    [_r6pos(_d2_asc(rs, Bl[s, c])) for c in range(Bl.shape[1])],
+                    axis=1,
+                )
+                codes[:, s] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    id_type = dict(emb.dtypes)[id_col]
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, cell int, codes array<int>"
+    )
+
+
+def pq_search(
+    index: DataFrame,
+    queries: DataFrame,
+    C: np.ndarray,
+    B: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) IVF-PQ search: each query probes its
+    n_probe nearest coarse cells (6-dp-rounded distance, ties ->
+    smaller cell), candidates are the index rows of the probed cells
+    (a broadcast join on cell — the partition-pruning shape), and the
+    approximate distance is the ADC sum over subspaces
+    sum_s ||q_s - C_cell_s - B_s,code_s||^2, 6-dp-rounded before
+    ranking (rank ties -> smaller neighbor id).  The exact vectors
+    are never touched after indexing."""
+    spark = index.sparkSession
+    qpdf = queries.select(id_col, vec_col).toPandas()  # bounded query set
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    qids = qpdf[id_col].to_numpy()
+    n_sub = B.shape[0]
+    sub = C.shape[1] // n_sub
+    # probe set per query (driver-side planning over tiny matrices)
+    probes = []
+    for qi, q in zip(qids, Q):
+        cd = _r6pos(np.array([
+            float(_d2_asc(q[None, :], C[j])[0]) for j in range(len(C))
+        ]))
+        order = np.lexsort((np.arange(len(C)), cd))
+        for cell in order[:n_probe]:
+            probes.append((int(qi), int(cell)))
+    pr = spark.createDataFrame(probes, f"query_id long, cell int")
+    cand = index.join(F.broadcast(pr), "cell")
+    bc = spark.sparkContext.broadcast((C, B, {int(i): q for i, q in zip(qids, Q)}))
+
+    def gen(pdfs):
+        import pandas as pd
+
+        Cl, Bl, qmap = bc.value
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            dists = np.zeros(len(pdf))
+            cells = pdf["cell"].to_numpy()
+            codes = np.stack([np.asarray(c) for c in pdf["codes"]])
+            qs = np.stack([qmap[int(q)] for q in pdf["query_id"]])
+            for s in range(n_sub):
+                qsv = qs[:, s * sub : (s + 1) * sub]
+                recon = Cl[cells][:, s * sub : (s + 1) * sub] + Bl[s][codes[:, s]]
+                diffsq = np.zeros(len(pdf))
+                for d in range(sub):  # ascending dims inside subspace
+                    dd = qsv[:, d] - recon[:, d]
+                    diffsq += dd * dd
+                dists += diffsq  # ascending subspaces
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "adc_dist": _r6pos(dists),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    scored = cand.mapInPandas(
+        gen, schema="query_id long, neighbor_id long, adc_dist double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
