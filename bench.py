@@ -150,20 +150,18 @@ def main() -> None:
         "SONAR_FEATURE_STORE_DIR", "/tmp/sonar_feature_store"
     )
     if os.environ.get("SONAR_FEATURE_STORE", "1").lower() not in ("0", "off"):
+        from sonar_spark.plans.feature_tables import build_all
+
         shutil.rmtree(store_dir, ignore_errors=True)
         t0 = time.time()
-        for helper in (
-            E._doc_frame_rms,
-            E._lpc_coeffs,
-            E._formants_df,
-            E._onsets_df,
-            E._voice_quality_df,
-            E._hist_grid,
-            E._doc_hpcp,
-            E._pitch_det6,
-            E._dup_group_labels,
-        ):
-            helper(spark, sf_dir)
+        # dependency-ordered waves of CONCURRENT builds (dup_labels is
+        # an independent root living in the entry module)
+        build_all(
+            spark,
+            sf_dir,
+            E._store(spark, sf_dir),
+            extra_roots=(lambda: E._dup_group_labels(spark, sf_dir),),
+        )
         timings["feature_store_build"] = round(time.time() - t0, 3)
 
     # headline 2..n: driver queries on the sf parquet tables

@@ -271,16 +271,80 @@ BUILDERS = {
 }
 
 
+#: build-dependency DAG (edges = which STORE TABLE a builder reads);
+#: roots have no edges.  Used to schedule concurrent builds so a
+#: dependent starts the moment its own inputs land, without waiting
+#: on unrelated long builds.
+DEPS = {
+    "frame_rms_w16h4": [],
+    "lpc4": [],
+    "hist_grid": [],
+    "pitch_det6": [],
+    "formants": ["lpc4"],
+    "onsets_rms": ["frame_rms_w16h4"],
+    "hpcp": ["hist_grid"],
+    "voice_quality": ["frame_rms_w16h4", "onsets_rms"],
+}
+
+
 def build_all(
     spark: SparkSession,
     sf_dir: str,
     store: FeatureStore,
     tables: list[str] | None = None,
+    extra_roots: tuple = (),
 ) -> dict[str, int]:
     """Materialize the named feature tables (default: all) into the
-    store; returns {table: row_count} from the landed parquet."""
-    out = {}
-    for name in tables or list(BUILDERS):
-        df = BUILDERS[name](spark, sf_dir, store)
-        out[name] = df.count()
-    return out
+    store; returns {table: row_count} from the landed parquet.
+
+    Builds run CONCURRENTLY, scheduled by the DEPS dag: no
+    individual builder keeps 32 cores busy end-to-end (single-file
+    scans, small task counts, parquet commit and driver planning are
+    serial), so overlapping independent builders hides one table's
+    serial phases behind another's compute; and gating only on a
+    table's OWN inputs keeps long independent chains (the dedup
+    label table) off everyone else's critical path.  Thread-per
+    -builder is the standard Spark concurrent-job-submission pattern
+    (the scheduler interleaves their stages; on a cluster these are
+    independent writers of independent Iceberg tables).  A dependent
+    never races its own front-end build (the write-once rename would
+    keep that correct, but both racers would pay the build cost).
+
+    Measured at sf0.1 idle (BENCH/store_scale.json): sequential
+    33.2 s -> waves 19.0 s -> dag ~15 s.
+
+    ``extra_roots``: zero-arg callables for independent root tables
+    owned by other modules (e.g. the dedup label table); they start
+    immediately and gate nothing."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    want = list(BUILDERS) if tables is None else list(tables)
+    unknown = [t for t in want if t not in BUILDERS]
+    if unknown:
+        raise KeyError(f"unknown feature tables: {unknown}")
+    dfs: dict[str, DataFrame] = {}
+    futs: dict[str, object] = {}
+
+    def _run(name: str):
+        # a requested table waits only for its REQUESTED deps; an
+        # unrequested dep is derived inside the builder itself (and
+        # still lands in the store via the builder's own store.get)
+        for d in DEPS[name]:
+            if d in futs:
+                futs[d].result()
+        dfs[name] = BUILDERS[name](spark, sf_dir, store)
+
+    # one worker per task: a dependent blocks its thread while its
+    # deps run, so the pool must be able to hold every task at once
+    # (topological submission order alone does not guarantee a
+    # queued dep is RUNNING when its dependent starts waiting)
+    n_tasks = len(want) + len(extra_roots)
+    with ThreadPoolExecutor(max_workers=max(1, n_tasks)) as pool:
+        extra_futs = [pool.submit(r) for r in extra_roots]
+        # submit in topological order (DEPS insertion order) so a
+        # dependent's future lookup sees its deps already submitted
+        for name in (n for n in DEPS if n in want):
+            futs[name] = pool.submit(_run, name)
+        for f in [*extra_futs, *futs.values()]:
+            f.result()  # propagate the first builder exception
+    return {name: dfs[name].count() for name in want}

@@ -291,7 +291,12 @@ class FeatureStore:
                 shutil.rmtree(
                     os.path.join(self.base_dir, stale), ignore_errors=True
                 )
-            tmp = f"{p}.tmp-{os.getpid()}"
+            import threading
+
+            # unique per thread too: build_all() races wave members
+            # from one process, and a shared tmp dir would interleave
+            # two writers' part files
+            tmp = f"{p}.tmp-{os.getpid()}-{threading.get_ident()}"
             t0 = time.time()
             builder().write.mode("overwrite").parquet(tmp)
             try:
