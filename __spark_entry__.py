@@ -3498,6 +3498,46 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints + cross-doc
+    matches (Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS scheme;
+    the third fingerprint family next to MinHash and SimHash): every
+    4-token shingle is rolling-hashed (md5-prefix, the cross-engine
+    hash convention), a window of 4 consecutive hashes selects its
+    minimum with ties to the RIGHTMOST (the paper's rule), and docs
+    sharing >= 3 selected fingerprints pair up with a containment
+    overlap score.  Guarantee: any shared run of >= w + k - 1 = 7
+    tokens yields a shared fingerprint, so the planted _dup/_copy
+    docs must match their sources.  Fingerprints in > 8 docs are
+    dropped before pairing (stop-fingerprint cap: join buckets stay
+    bounded, candidate pairs linear in the fingerprint table).
+    Plan: one window shuffle (winnow) + one fp-key shuffle (match) —
+    no UDFs, no quadratic stage."""
+    from sonar_spark.operators.fingerprint import (
+        fingerprint_matches,
+        winnow_fingerprints,
+    )
+
+    words = _dup_corpus_words(spark, sf_dir)
+    fps = winnow_fingerprints(words, k=4, w=4)
+    return fingerprint_matches(fps, max_doc_freq=8, min_shared=3)
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition filters (Rae et al. 2021,
+    table A1) over the documents table: most-frequent-token fraction
+    + duplicate 3/5-gram fractions + the policy flag on the rounded
+    metrics — the curation scoring family next to quality_score /
+    langid.  Array expressions ride the corpus scan; the top-word
+    count is the only shuffle (explode + partial-agg groupBy)."""
+    from sonar_spark.functions.text import repetition_profile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return repetition_profile(docs)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under the driver harness (SURVEY §2.16;
     operators/fingerprint exact dedup in streaming form): the
@@ -5986,11 +6026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # certifies only the FIRST 50 entries.  CORRECTNESS_r04 certified
     # the 47 round-2/3 queries plus pitch_tracked/pitch_zcr/
     # featurize_music (50/50 green), so the round-5 window leads with
-    # the 11 late-round-4 additions (dedup_groups .. resample, the
-    # only queries never driver-certified), then any new round-5
-    # queries, then long-certified anchors to fill 50.  With this
-    # rotation every query in the dict has appeared green in a driver
-    # CORRECTNESS snapshot in some round (r01-r05).
+    # the 11 late-round-4 additions (dedup_groups .. resample, never
+    # driver-certified before this round), then the 13 new round-5
+    # queries (stream_* .. repetition_profile), then long-certified
+    # anchors to fill 50.  With this rotation every query in the dict
+    # has appeared green in a driver CORRECTNESS snapshot in some
+    # round (r01-r05).
     return {
         # --- slots 1-11: late-round-4 queries, never snapshotted
         "dedup_groups": q_dedup_groups,
@@ -6017,6 +6058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "ivfpq_knn": q_ivfpq_knn,
         "sample_mix": q_sample_mix,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "repetition_profile": q_repetition_profile,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -6603,6 +6646,114 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, bucket,
                round(1.0 / frac, 6) AS mix_weight
         FROM d WHERE bucket < frac * 10000
+    """
+    # winnow_fingerprints: full replay — shingle rolling hashes
+    # (md5-prefix, byte-identical across engines), the w=4 window
+    # min with rightmost tie (min over {'h','ni'} structs — ties
+    # break to smaller ni = larger pos in BOTH engines), the
+    # stop-fingerprint cap, and the pair aggregation
+    d["winnow_fingerprints"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id::VARCHAR AS doc_id, words FROM base
+          UNION ALL
+          SELECT doc_id::VARCHAR || '_dup', words[1:len(words)-3]
+          FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+          UNION ALL
+          SELECT doc_id::VARCHAR || '_copy', words
+          FROM base WHERE doc_id % 10 = 5
+        ),
+        sh AS (
+          SELECT doc_id, p.i AS pos,
+                 CAST(('0x' || substring(
+                       md5(array_to_string(words[p.i:p.i+3], ' ')),
+                       1, 8)) AS BIGINT) AS h
+          FROM w, LATERAL (
+            SELECT unnest(generate_series(
+                     1, greatest(len(words) - 3, 1))) AS i) p
+        ),
+        sel AS (
+          SELECT doc_id, pos,
+                 min({'h': h, 'ni': -pos}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+                 count(*) OVER (PARTITION BY doc_id) AS ns
+          FROM sh
+        ),
+        docfp AS (
+          SELECT DISTINCT doc_id, s.h AS fp
+          FROM sel WHERE pos <= greatest(ns - 3, 1)
+        ),
+        nf AS (SELECT doc_id, count(*) AS n_fp FROM docfp GROUP BY doc_id),
+        keepfp AS (
+          SELECT fp FROM docfp GROUP BY fp HAVING count(*) <= 8
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_shared
+          FROM docfp a JOIN keepfp USING (fp) JOIN docfp b USING (fp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT doc_a, doc_b, n_shared,
+               round(n_shared * 1.0 / least(na.n_fp, nb.n_fp), 6) + 0.0
+                 AS overlap
+        FROM pairs
+        JOIN nf na ON pairs.doc_a = na.doc_id
+        JOIN nf nb ON pairs.doc_b = nb.doc_id
+    """
+    # repetition_profile: k-gram duplicate fractions + top-word
+    # fraction; the flag compares the ROUNDED metrics on both sides
+    d["repetition_profile"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        g3 AS (
+          SELECT doc_id, count(*) AS t, count(DISTINCT s) AS d
+          FROM (
+            SELECT doc_id,
+                   array_to_string(words[p.i:p.i+2], ' ') AS s
+            FROM base, LATERAL (
+              SELECT unnest(generate_series(
+                       1, greatest(len(words) - 2, 1))) AS i) p
+          ) q3 GROUP BY doc_id
+        ),
+        g5 AS (
+          SELECT doc_id, count(*) AS t, count(DISTINCT s) AS d
+          FROM (
+            SELECT doc_id,
+                   array_to_string(words[p.i:p.i+4], ' ') AS s
+            FROM base, LATERAL (
+              SELECT unnest(generate_series(
+                       1, greatest(len(words) - 4, 1))) AS i) p
+          ) q5 GROUP BY doc_id
+        ),
+        tw AS (
+          SELECT doc_id, max(c) AS topc FROM (
+            SELECT doc_id, count(*) AS c
+            FROM (SELECT doc_id, unnest(words) AS t FROM base) u
+            GROUP BY doc_id, t
+          ) cnt GROUP BY doc_id
+        ),
+        m AS (
+          SELECT b.doc_id, len(b.words)::BIGINT AS n_tokens,
+                 round(tw.topc * 1.0 / len(b.words), 6) + 0.0
+                   AS top_word_frac,
+                 round(1.0 - g3.d * 1.0 / g3.t, 6) + 0.0
+                   AS dup_3gram_frac,
+                 round(1.0 - g5.d * 1.0 / g5.t, 6) + 0.0
+                   AS dup_5gram_frac
+          FROM base b JOIN g3 USING (doc_id) JOIN g5 USING (doc_id)
+               JOIN tw USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, top_word_frac, dup_3gram_frac,
+               dup_5gram_frac,
+               (top_word_frac > 0.2 OR dup_3gram_frac > 0.3) AS flagged
+        FROM m
     """
     # stream_dedup: the deduped content SET (arrival-survivor
     # independent) over the planted-dup corpus

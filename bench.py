@@ -192,6 +192,8 @@ def main() -> None:
         # ops deserve tracked sf0.1 numbers like everything else)
         "dedup_groups",
         "curation_filter",
+        "winnow_fingerprints",
+        "repetition_profile",
         "content_detect",
         "speech_analysis",
         "ivfpq_knn",

@@ -146,3 +146,74 @@ def to_token_length_table(docs: DataFrame) -> DataFrame:
         n_tokens(F.col("text")).cast("int").alias("n_tok"),
         F.col("source"),
     )
+
+
+def ngrams_ws(words: Column, k: int) -> Column:
+    """All k-token shingle strings of a word array, in order,
+    duplicates kept (positions 1..max(n-k+1, 1); shorter docs yield
+    one clamped shingle — the _shingles4 convention, without the
+    distinct)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+
+
+def repetition_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    top_word_max: float = 0.2,
+    dup_3gram_max: float = 0.3,
+) -> DataFrame:
+    """Per-document repetition metrics — the Gopher-style repetition
+    filters (Rae et al. 2021, "Scaling Language Models", table A1)
+    a pretraining curation pipeline runs next to quality/lang-ID:
+
+    - top_word_frac: occurrences of the most frequent token / n
+      (catches 'the the the ...' degenerate pages),
+    - dup_3gram_frac / dup_5gram_frac: 1 - distinct/total k-gram
+      occurrences (catches looped boilerplate),
+    - flagged: policy verdict on the ROUNDED metrics (the quantized
+      interface, so the threshold comparison is engine-portable).
+
+    Physical plan: the k-gram fractions are pure array expressions
+    riding the corpus scan; the top-word count is one explode +
+    partial-aggregated groupBy (the only shuffle).  Every metric is
+    a column, so policy thresholds are plan-time edits."""
+    words = F.col(words_col)
+
+    def dup_frac(k: int) -> Column:
+        g = ngrams_ws(words, k)
+        return F.round(
+            1.0 - F.size(F.array_distinct(g)) / F.size(g), 6
+        )
+
+    base = docs.select(
+        id_col,
+        F.size(words).cast("long").alias("n_tokens"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        dup_frac(5).alias("dup_5gram_frac"),
+        words.alias("__w"),
+    )
+    top = (
+        base.select(id_col, F.explode("__w").alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    out = base.drop("__w").join(top, id_col)
+    twf = F.round(F.col("__top") / F.col("n_tokens"), 6)
+    return out.select(
+        id_col,
+        "n_tokens",
+        twf.alias("top_word_frac"),
+        "dup_3gram_frac",
+        "dup_5gram_frac",
+        (
+            (twf > top_word_max)
+            | (F.col("dup_3gram_frac") > dup_3gram_max)
+        ).alias("flagged"),
+    )

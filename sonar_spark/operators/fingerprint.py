@@ -289,3 +289,143 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("node", "comp")
+
+
+def winnow_fingerprints(
+    words_df: DataFrame,
+    *,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS scheme; the rolling-hash fingerprint
+    family next to MinHash/SimHash, reference
+    fingerprint/comparison.go:74 compact-hash role).
+
+    Per doc: hash every k-token shingle (md5-prefix — identical in
+    Spark and DuckDB, the cross-engine convention), then slide a
+    window of ``w`` consecutive hashes and select each window's
+    minimum, ties to the RIGHTMOST occurrence (the paper's rule);
+    the distinct selected (hash, position) pairs are the doc's
+    fingerprints.  Guarantee: any shared token run of length
+    >= w + k - 1 between two docs yields at least one shared
+    fingerprint; expected density 2/(w+1).
+
+    Physical plan: one shuffle (window partitionBy doc) — shingling
+    and hashing are narrow projections, the per-window argmin is a
+    running ``min(struct(hash, -pos))`` window frame in whole-stage
+    codegen, no UDFs.  Docs shorter than k tokens hash their whole
+    text as one shingle; shingle counts shorter than w winnow as a
+    single window (clamped frame).
+
+    Returns (id_col, fp long, pos long) — pos is the 1-based shingle
+    index the fingerprint was selected at."""
+    words = F.col(words_col)
+    n_sh = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    shingled = words_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            )
+        ).alias("__p0", "__sh"),
+    )
+    hashed = shingled.select(
+        id_col,
+        (F.col("__p0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("__sh"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    bypos = Window.partitionBy(id_col).orderBy("pos")
+    sel = hashed.select(
+        id_col,
+        "pos",
+        F.min(F.struct(F.col("__h"), (-F.col("pos")).alias("__np")))
+        .over(bypos.rowsBetween(0, w - 1))
+        .alias("__s"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("__ns"),
+    )
+    return (
+        sel.where(
+            F.col("pos") <= F.greatest(F.col("__ns") - (w - 1), F.lit(1))
+        )
+        .select(
+            id_col,
+            F.col("__s.__h").alias("fp"),
+            (-F.col("__s.__np")).cast("long").alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def fingerprint_matches(
+    fps: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_doc_freq: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Cross-doc matches over a winnowing fingerprint table: pairs of
+    docs sharing >= min_shared fingerprints, with the shared count
+    and the containment-style overlap n_shared / min(|fp_a|, |fp_b|).
+
+    Scale path: fingerprints occurring in more than ``max_doc_freq``
+    docs are dropped before pairing (the standard stop-fingerprint
+    cap — boilerplate shingles match everything and carry no
+    signal), which bounds every join bucket at max_doc_freq rows, so
+    candidate pairs are linear in the fingerprint table, never
+    quadratic in the corpus.  Per-doc fingerprint counts (the
+    overlap denominator) are computed on the UNCAPPED table — a doc
+    property, independent of the cap.
+
+    Plan shape: both counts are window aggregates over ONE
+    derivation of the fingerprint table (doc-key then fp-key
+    shuffle), annotated before the self-join so the denominators
+    ride the join rows — no join-back.  The annotated table is
+    persisted: a self-join is inherently two consumers, and without
+    it Catalyst re-derives the whole upstream fingerprint subtree
+    once per branch (at 100x this table is a landed store/Iceberg
+    artifact, exactly like the dedup label table, and the persist
+    becomes that materialization)."""
+    docfp = fps.select(id_col, "fp").distinct()
+    ann = (
+        docfp.withColumn(
+            "__n_fp", F.count("*").over(Window.partitionBy(id_col))
+        )
+        .withColumn(
+            "__df", F.count("*").over(Window.partitionBy("fp"))
+        )
+        .where(F.col("__df") <= max_doc_freq)
+        .select(id_col, "fp", "__n_fp")
+        .persist()
+    )
+    a = ann.select(
+        "fp", F.col(id_col).alias("doc_a"), F.col("__n_fp").alias("__na")
+    )
+    b = ann.select(
+        "fp", F.col(id_col).alias("doc_b"), F.col("__n_fp").alias("__nb")
+    )
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.max("__na").alias("__na"),
+            F.max("__nb").alias("__nb"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("__na", "__nb"), 6
+            ).alias("overlap"),
+        )
+    )

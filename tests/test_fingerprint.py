@@ -248,3 +248,127 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, trial
+
+
+# ------------------------------------------------------- winnowing
+
+
+def _winnow_scalar(words, k=4, w=4):
+    """Line-for-line scalar winnowing (Schleimer et al. 2003): hash
+    every k-shingle (md5-prefix, the engine's convention), slide a
+    w-window over the hashes, select each window's min with ties to
+    the RIGHTMOST; distinct (hash, pos)."""
+    import hashlib
+
+    n_sh = max(len(words) - (k - 1), 1)
+    hs = []
+    for i in range(n_sh):
+        s = " ".join(words[i : i + k])
+        hs.append(int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+    out = set()
+    for j in range(max(len(hs) - (w - 1), 1)):
+        win = hs[j : j + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        pos = j + max(i for i, h in enumerate(win) if h == m) + 1
+        out.add((m, pos))
+    return out
+
+
+def test_winnow_matches_scalar_reference(spark):
+    """Engine winnowing == the scalar algorithm on random docs,
+    including docs shorter than k and shorter than k+w-1."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    want = {}
+    for d in range(40):
+        n = rng.choice([1, 2, 3, 4, 5, 6, 7, 10, 25, 60])
+        words = [rng.choice(vocab) for _ in range(n)]
+        rows.append((str(d), words))
+        want[str(d)] = _winnow_scalar(words)
+    from sonar_spark.operators.fingerprint import winnow_fingerprints
+
+    df = spark.createDataFrame(rows, "doc_id string, words array<string>")
+    got = {}
+    for r in winnow_fingerprints(df, k=4, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp"], r["pos"]))
+    assert got == want
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a token run of
+    length >= w + k - 1 share at least one fingerprint VALUE."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(50)]
+    rows = []
+    for d in range(20):
+        a = [rng.choice(vocab) for _ in range(30)]
+        run = [rng.choice(vocab) for _ in range(7)]  # w + k - 1
+        b = [rng.choice(vocab) for _ in range(15)] + run + [
+            rng.choice(vocab) for _ in range(8)
+        ]
+        ia = rng.randrange(0, len(a) - 6)
+        a = a[:ia] + run + a[ia + 7 :]
+        rows.append((f"a{d}", a))
+        rows.append((f"b{d}", b))
+    from sonar_spark.operators.fingerprint import winnow_fingerprints
+
+    df = spark.createDataFrame(rows, "doc_id string, words array<string>")
+    fps = {}
+    for r in winnow_fingerprints(df, k=4, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    for d in range(20):
+        assert fps[f"a{d}"] & fps[f"b{d}"], d
+
+
+def test_fingerprint_matches_caps_and_scores(spark):
+    """Stop-fingerprint cap drops ubiquitous fps; overlap uses the
+    UNCAPPED per-doc counts; identical docs score overlap 1.0."""
+    from sonar_spark.operators.fingerprint import (
+        fingerprint_matches,
+        winnow_fingerprints,
+    )
+
+    boiler = ["x"] * 10  # identical boilerplate in every doc
+    rows = [(f"d{i}", boiler) for i in range(10)]
+    # two identical docs with unique content
+    uniq = [f"u{i}" for i in range(20)]
+    rows += [("p1", uniq), ("p2", list(uniq))]
+    df = spark.createDataFrame(rows, "doc_id string, words array<string>")
+    fps = winnow_fingerprints(df, k=4, w=4)
+    out = fingerprint_matches(fps, max_doc_freq=8, min_shared=3).collect()
+    # the boilerplate fp appears in 12 docs > 8 -> capped; only the
+    # planted identical pair survives
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {("p1", "p2")}
+    assert out[0]["overlap"] == 1.0
+
+
+def test_repetition_profile_crafted(spark):
+    """Exact metric values on hand-computable docs."""
+    from sonar_spark.functions.text import repetition_profile
+
+    rows = [
+        ("loop", ["a"] * 6),            # 4 3-grams all equal
+        ("clean", [f"v{i}" for i in range(8)]),
+        ("half", ["a", "b", "a", "b", "a", "b"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, words array<string>")
+    got = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    r = got["loop"]
+    assert r["top_word_frac"] == 1.0
+    assert r["dup_3gram_frac"] == 0.75  # 1 - 1/4
+    assert r["flagged"]
+    r = got["clean"]
+    assert r["top_word_frac"] == 0.125
+    assert r["dup_3gram_frac"] == 0.0 and r["dup_5gram_frac"] == 0.0
+    assert not r["flagged"]
+    r = got["half"]
+    assert r["top_word_frac"] == 0.5
+    # 3-grams: aba bab aba bab -> 1 - 2/4
+    assert r["dup_3gram_frac"] == 0.5
+    assert r["flagged"]
