@@ -3538,6 +3538,102 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(docs)
 
 
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter (Wenzek et al. 2020): train
+    an add-0.5 bigram LM on the corpus itself (two tiny count tables
+    — vocab-bounded — produced by one explode+groupBy each), score
+    every document's bits-per-token under it via broadcast joins on
+    a single corpus scan, and bucket the corpus into head/middle/
+    tail perplexity terciles (the CCNet keep/down-weight/drop axis).
+    Per-token log-probs are carried as exact integer micro-bits
+    (6dp-rounded log2 at the named quantized boundary), so the
+    per-doc sum is order-independent in both engines.  At 100 TB the
+    tercile cutoffs come from approx_percentile instead of the
+    global ntile sort; training and scoring stay broadcast-shaped."""
+    from sonar_spark.functions.lm import ngram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return ngram_lm_scores(docs)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") —
+    span-level dedup the document-level family can't express: any
+    token 4-gram occurring >= 2 times corpus-wide marks its covering
+    tokens; overlapping marks merge into maximal per-doc spans via
+    one window pass.  Suffix-array-free formulation (k-gram count =
+    one shuffle; span merge = one per-doc window) — the shape
+    RedPajama-v2 ships at trillion-token scale."""
+    from sonar_spark.operators.fingerprint import substring_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return substring_spans(docs, k=4)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into fixed 96-token context windows, per
+    source shard in doc-id order with the next-fit rule (GPT-3/T5
+    style packer; capacity 96 < the corpus max doc length so the
+    truncation branch is live).  Packing is sequential only within a
+    shard — the fold is a pure Catalyst aggregate() over each
+    shard's (id, length) pairs, shards pack independently, and the
+    text itself never moves: at 100 TB this is one groupBy(shard)
+    over a two-column projection."""
+    from sonar_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    return pack_sequences(docs, capacity=96)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the C4/RedPajama/BigCode-style
+    compliance pass).  The synthetic corpus carries no PII, so the
+    scrub runs over a deterministic formula-injected payload (the
+    bytes_decode precedent): emails/IPv4s/phone numbers derived from
+    doc_id are appended to the text, then counted and masked with
+    patterns inside the common RE2/Java regex subset.  Pure per-row
+    expressions riding the scan — zero shuffles at any scale; the
+    redacted-text md5 makes the whole masked output value-verified."""
+    from sonar_spark.functions.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    payload = F.concat(
+        F.col("text"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" contact user"), s(i), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 9 == 0,
+            F.concat(F.lit(" or admin"), s(i), F.lit("@host.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit(" host 10."), s(i % 256), F.lit(".0."), s(i % 97)
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit(" call 555-"), s(1000 + (i % 9000))),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(
+        docs.select("doc_id", payload.alias("payload")), text_col="payload"
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under the driver harness (SURVEY §2.16;
     operators/fingerprint exact dedup in streaming form): the
@@ -6027,11 +6123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 47 round-2/3 queries plus pitch_tracked/pitch_zcr/
     # featurize_music (50/50 green), so the round-5 window leads with
     # the 11 late-round-4 additions (dedup_groups .. resample, never
-    # driver-certified before this round), then the 13 new round-5
-    # queries (stream_* .. repetition_profile), then long-certified
-    # anchors to fill 50.  With this rotation every query in the dict
-    # has appeared green in a driver CORRECTNESS snapshot in some
-    # round (r01-r05).
+    # driver-certified before this round), then the 17 new round-5
+    # queries (stream_* .. repetition_profile, plus the token-axis
+    # curation four: ngram_lm, substring_dedup, pack_sequences,
+    # pii_scrub in slots 25-28), then long-certified anchors to fill
+    # 50.  With this rotation every query in the dict has appeared
+    # green in a driver CORRECTNESS snapshot in some round (r01-r05).
     return {
         # --- slots 1-11: late-round-4 queries, never snapshotted
         "dedup_groups": q_dedup_groups,
@@ -6060,6 +6157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": q_sample_mix,
         "winnow_fingerprints": q_winnow_fingerprints,
         "repetition_profile": q_repetition_profile,
+        "ngram_lm": q_ngram_lm,
+        "substring_dedup": q_substring_dedup,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -6754,6 +6855,183 @@ def oracle_sql() -> dict[str, str]:
                dup_5gram_frac,
                (top_word_frac > 0.2 OR dup_3gram_frac > 0.3) AS flagged
         FROM m
+    """
+    # ngram_lm: full bigram-LM replay — identical count tables,
+    # add-0.5 smoothing, 6dp-quantized per-token log2 carried as
+    # exact integer micro-bits (order-independent sums), tercile via
+    # the same (lm_bits, doc_id)-ordered ntile
+    d["ngram_lm"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, len(words)::BIGINT AS n, p.i AS pos,
+                 words[p.i] AS w,
+                 CASE WHEN p.i > 1 THEN words[p.i - 1] END AS prev
+          FROM base, LATERAL (
+            SELECT unnest(generate_series(1, len(words))) AS i) p
+        ),
+        uni AS (SELECT w, count(*)::BIGINT AS cw FROM toks GROUP BY w),
+        tot AS (SELECT sum(cw)::BIGINT AS N, count(*)::BIGINT AS V
+                FROM uni),
+        bigr AS (
+          SELECT prev, w, count(*)::BIGINT AS c12
+          FROM toks WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT t.doc_id, t.n,
+                 CAST(round(round(log2(
+                   CASE WHEN t.prev IS NULL
+                     THEN (u.cw + 0.5) / (tot.N + 0.5 * tot.V)
+                     ELSE (coalesce(b.c12, 0) + 0.5)
+                          / (u1.cw + 0.5 * tot.V)
+                   END), 6) * 1e6, 0) AS BIGINT) AS micro
+          FROM toks t
+          CROSS JOIN tot
+          JOIN uni u ON t.w = u.w
+          LEFT JOIN uni u1 ON t.prev = u1.w
+          LEFT JOIN bigr b ON t.prev = b.prev AND t.w = b.w
+        ),
+        pd AS (
+          SELECT doc_id, max(n) AS n_tokens, sum(micro) AS ms
+          FROM sc GROUP BY doc_id
+        ),
+        m AS (
+          SELECT doc_id, n_tokens,
+                 round(-ms / 1e6 / n_tokens + 1e-12, 6) + 0.0 AS lm_bits
+          FROM pd
+        )
+        SELECT doc_id, n_tokens, lm_bits,
+               round(pow(2.0, lm_bits), 6) + 0.0 AS lm_ppl,
+               ntile(3) OVER (ORDER BY lm_bits, doc_id)::BIGINT
+                 AS lm_bucket
+        FROM m
+    """
+    # substring_dedup: same k-gram count -> duplicated positions ->
+    # window span merge (lag + running sum), left join keeps
+    # span-free docs
+    d["substring_dedup"] = r"""
+        WITH b2 AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT
+                   AS n_tokens,
+                 string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, p.i AS pos,
+                 array_to_string(words[p.i:p.i+3], ' ') AS s
+          FROM b2, LATERAL (
+            SELECT unnest(generate_series(1, len(words) - 3)) AS i) p
+          WHERE len(words) >= 4
+        ),
+        dup AS (SELECT s FROM grams GROUP BY s HAVING count(*) >= 2),
+        hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (s)),
+        flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos > lag(pos) OVER w + 4
+                      THEN 1 ELSE 0 END AS nw
+          FROM hits
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        spans AS (
+          SELECT doc_id, span,
+                 max(pos) + 3 - min(pos) + 1 AS len
+          FROM (
+            SELECT doc_id, pos,
+                   sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS span
+            FROM flagged) q
+          GROUP BY doc_id, span
+        ),
+        per_doc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                 sum(len)::BIGINT AS dup_tokens,
+                 max(len)::BIGINT AS longest_dup_span
+          FROM spans GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+               coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+               coalesce(p.longest_dup_span, 0)::BIGINT
+                 AS longest_dup_span,
+               round(coalesce(p.dup_tokens, 0) * 1.0 / b.n_tokens, 6)
+                 + 0.0 AS dup_token_frac
+        FROM b2 b LEFT JOIN per_doc p USING (doc_id)
+    """
+    # pack_sequences: the next-fit recurrence replayed as a
+    # per-source recursive CTE stepping row_number order — all
+    # sources advance in lockstep, each stops when its rn runs out
+    d["pack_sequences"] = r"""
+        WITH RECURSIVE seq AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\s+'))::INT AS n,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id)::INT AS rn
+          FROM documents
+        ),
+        packst AS (
+          SELECT doc_id, source, n, rn,
+                 0 AS bin, 0 AS off,
+                 CASE WHEN n > 96 THEN 96 ELSE n END AS fill,
+                 n > 96 AS trunc
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.doc_id, s.source, s.n, s.rn,
+                 p.bin + CASE WHEN (p.fill > 0 AND p.fill + s.n > 96)
+                              THEN 1 ELSE 0 END AS bin,
+                 CASE WHEN (p.fill > 0 AND p.fill + s.n > 96)
+                      THEN 0 ELSE p.fill END AS off,
+                 CASE WHEN (p.fill > 0 AND p.fill + s.n > 96)
+                      THEN (CASE WHEN s.n > 96 THEN 96 ELSE s.n END)
+                      ELSE (CASE WHEN s.n > 96 THEN 96
+                            ELSE p.fill + s.n END) END AS fill,
+                 s.n > 96 AS trunc
+          FROM packst p
+          JOIN seq s ON s.source = p.source AND s.rn = p.rn + 1
+        )
+        SELECT doc_id, source, bin::BIGINT AS window_id,
+               off::BIGINT AS window_off, trunc AS truncated
+        FROM packst
+    """
+    # pii_scrub: identical payload formula; DuckDB regexp_replace
+    # needs the 'g' flag to match Spark's replace-all
+    d["pii_scrub"] = r"""
+        WITH pay AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                 || doc_id::VARCHAR || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 9 = 0 THEN ' or admin'
+                 || doc_id::VARCHAR || '@host.org' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0 THEN ' host 10.'
+                 || (doc_id % 256)::VARCHAR || '.0.'
+                 || (doc_id % 97)::VARCHAR ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                 || (1000 + (doc_id % 9000))::VARCHAR ELSE '' END
+            AS payload
+          FROM documents
+        ),
+        red AS (
+          SELECT doc_id, payload,
+                 regexp_replace(regexp_replace(regexp_replace(payload,
+                   '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b555-\d{4}\b', '<PHONE>', 'g') AS r
+          FROM pay
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(payload,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))::BIGINT AS n_emails,
+               len(regexp_extract_all(payload,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                 AS n_ips,
+               len(regexp_extract_all(payload,
+                 '\b555-\d{4}\b'))::BIGINT AS n_phones,
+               (length(payload) - length(r))::BIGINT AS chars_delta,
+               md5(r) AS redacted_fp
+        FROM red
     """
     # stream_dedup: the deduped content SET (arrival-survivor
     # independent) over the planted-dup corpus

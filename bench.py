@@ -197,6 +197,11 @@ def main() -> None:
         "content_detect",
         "speech_analysis",
         "ivfpq_knn",
+        # round-5 token-axis curation additions
+        "ngram_lm",
+        "substring_dedup",
+        "pack_sequences",
+        "pii_scrub",
     ):
         if name not in qs:
             continue

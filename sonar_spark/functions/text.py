@@ -217,3 +217,51 @@ def repetition_profile(
             | (F.col("dup_3gram_frac") > dup_3gram_max)
         ).alias("flagged"),
     )
+
+
+# --- PII detection / redaction -------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the compliance pass every
+    training-data pipeline runs before tokenization (C4 and
+    RedPajama both regex-scrub; see also the BigCode PII pipeline):
+    count and mask emails, IPv4 addresses and phone numbers.
+
+    Patterns deliberately stay inside the common RE2/Java regex
+    subset (character classes, bounded repeats, \\b word boundaries —
+    no lookaround) so one pattern table serves Spark, DuckDB and any
+    RE2-based scrubber bit-identically.
+
+    Redaction order is fixed (email -> ip -> phone) on a single
+    column chain, so the whole op is per-row expressions riding the
+    corpus scan: zero shuffles at any scale, and the masked output
+    column pushes straight to the sink.  Counts come from the
+    PRE-redaction text.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        (F.length(t) - F.length(red)).cast("long").alias("chars_delta"),
+        F.md5(red).alias("redacted_fp"),
+    )

@@ -429,3 +429,88 @@ def fingerprint_matches(
             ).alias("overlap"),
         )
     )
+
+
+def substring_spans(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """Exact duplicated-substring detection — the span-level dedup
+    from Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): a token k-gram occurring more than once
+    corpus-wide (across docs OR repeated inside one doc) marks its k
+    covering tokens as duplicated text; overlapping marked k-grams
+    merge into maximal spans.  This is the op document-level dedup
+    (exact_dedup / minhash) cannot express: boilerplate shared by
+    otherwise-distinct pages.  The scalable formulation replaces the
+    paper's suffix array with k-gram counting: one shuffle to count
+    k-grams, one per-doc window pass to merge spans — no pairwise
+    stage, no suffix structure, so it survives 100 TB (the paper's
+    own follow-ups, e.g. RedPajama-v2, ship exactly this relational
+    form).
+
+    Per doc: number of maximal duplicated spans, duplicated-token
+    count and fraction, and the longest span — the columns a curation
+    policy trims or drops on.
+    """
+    words = F.col(words_col)
+    base = docs.select(
+        id_col, F.size(words).cast("long").alias("n_tokens"), words.alias("__ws")
+    )
+    grams = base.where(F.col("n_tokens") >= k).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tokens") - (k - 1)).cast("int")),
+                lambda i: F.struct(
+                    i.alias("pos"), F.concat_ws(" ", F.slice("__ws", i, k)).alias("s")
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.s").alias("s"))
+    dup = grams.groupBy("s").agg(F.count("*").alias("__tot")).where(
+        F.col("__tot") >= 2
+    )
+    hits = grams.join(dup.select("s"), "s")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.select(
+        id_col,
+        "pos",
+        # a new token run starts iff this gram's coverage [pos, pos+k-1]
+        # neither overlaps nor touches the previous one's: pos > prev + k
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_doc) + k),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new"),
+    )
+    spans = flagged.select(
+        id_col,
+        "pos",
+        F.sum("__new").over(w_doc).alias("__span"),
+    ).groupBy(id_col, "__span").agg(
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).cast("long").alias("__len")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("__len").cast("long").alias("dup_tokens"),
+        F.max("__len").cast("long").alias("longest_dup_span"),
+    )
+    out = base.drop("__ws").join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("longest_dup_span", F.lit(0)).cast("long").alias(
+            "longest_dup_span"
+        ),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )

@@ -1,0 +1,96 @@
+"""Sequence packing — the last step between a curated corpus and a
+training run: place documents into fixed-capacity context windows
+(e.g. 256 / 2048 / 8192 tokens) so batches waste no padding.  The
+reference engine stops at curation; every real pretraining pipeline
+(GPT-3 appendix B, T5, Llama) packs.
+
+Packing is inherently sequential WITHIN a shard (each placement
+depends on the running fill), so the scalable unit is the shard:
+documents are packed per `shard_col` (source here) in deterministic
+doc-id order with the NEXT-FIT rule, and shards pack independently —
+the 100 TB plan is one groupBy(shard) whose per-group fold touches
+only that shard's (id, length) pairs, never the text.  Shard sizes
+are bounded by construction upstream (a corpus is sharded long
+before packing), so the per-group state stays small; the fold is a
+pure Catalyst `aggregate()` — no UDF, no driver loop.
+
+Next-fit (not first-fit-decreasing) is the rule streaming packers
+actually use: it preserves document order (curriculum / dedup
+locality) and needs O(1) state.  A document longer than the capacity
+gets a window of its own with `truncated = true` and closes that
+window (fill pinned to capacity), which is how truncating packers
+behave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    capacity: int = 256,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Pack (id, token-length) rows into fixed-size windows per shard.
+
+    Output one row per document: its shard, assigned window id
+    (0-based, per shard), offset inside the window, and the truncated
+    flag.  Deterministic: docs are folded in ascending `id_col` order
+    within each shard.
+    """
+    cap = F.lit(int(capacity))
+    per_shard = docs.groupBy(shard_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(len_col).alias("n")))
+        ).alias("__ds")
+    )
+    # fold state: (bin, fill, acc); placement rule — open a new window
+    # iff the current one is non-empty and cannot fit the doc.
+    init = F.struct(
+        F.lit(0).alias("bin"),
+        F.lit(0).alias("fill"),
+        F.array().cast(
+            "array<struct<i:bigint,bin:int,off:int,trunc:boolean>>"
+        ).alias("acc"),
+    )
+
+    def place(st, d):
+        need_new = (st["fill"] > 0) & (st["fill"] + d["n"] > cap)
+        new_bin = st["bin"] + need_new.cast("int")
+        off = F.when(need_new, F.lit(0)).otherwise(st["fill"])
+        trunc = d["n"] > cap
+        fill = F.when(trunc, cap).otherwise(off + d["n"])
+        return F.struct(
+            new_bin.alias("bin"),
+            fill.alias("fill"),
+            F.concat(
+                st["acc"],
+                F.array(
+                    F.struct(
+                        d["i"].cast("bigint").alias("i"),
+                        new_bin.alias("bin"),
+                        off.cast("int").alias("off"),
+                        trunc.alias("trunc"),
+                    )
+                ),
+            ).alias("acc"),
+        )
+
+    packed = per_shard.select(
+        shard_col,
+        F.aggregate(F.col("__ds"), init, place)["acc"].alias("__acc"),
+    )
+    return packed.select(
+        shard_col, F.explode("__acc").alias("p")
+    ).select(
+        F.col("p.i").alias(id_col),
+        F.col(shard_col),
+        F.col("p.bin").cast("long").alias("window_id"),
+        F.col("p.off").cast("long").alias("window_off"),
+        F.col("p.trunc").alias("truncated"),
+    )
