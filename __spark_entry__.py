@@ -1474,6 +1474,83 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle_sql() -> str:
+    """DuckDB replay of q_semdedup: same planted corpus, same
+    constant centroids (repr floats), 6dp-rounded sims, identical
+    argmax and keep-rule tie-breaks."""
+    from sonar_spark.operators.semdedup import (
+        semdedup_centroids_sql_values,
+    )
+
+    return (
+        r"""
+        WITH base AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings
+        ),
+        corpus AS (
+          SELECT vec_id, pos, x FROM base
+          UNION ALL
+          SELECT vec_id + 100000, pos,
+                 x * (1.0 + 0.01 * sin(pos::DOUBLE))
+          FROM base WHERE vec_id % 5 = 0
+        ),
+        cent(k, pos, val) AS (VALUES
+             {CENT}
+        ),
+        sims AS (
+          SELECT c.vec_id, t.k,
+                 round(sum(c.x * t.val)
+                   / (sqrt(sum(c.x * c.x))
+                      * sqrt(sum(t.val * t.val))), 6) AS s
+          FROM corpus c JOIN cent t USING (pos)
+          GROUP BY 1, 2
+        ),
+        asg AS (
+          SELECT vec_id, (-(m.nk))::BIGINT AS cluster,
+                 m.s AS centroid_sim
+          FROM (SELECT vec_id, max({'s': s, 'nk': -k}) AS m
+                FROM sims GROUP BY vec_id)
+        ),
+        pr AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb,
+                 aa.centroid_sim AS csa, ab.centroid_sim AS csb,
+                 round(sum(a.x * b.x)
+                   / (sqrt(sum(a.x * a.x))
+                      * sqrt(sum(b.x * b.x))), 6) AS sim
+          FROM corpus a
+          JOIN corpus b ON a.pos = b.pos AND a.vec_id < b.vec_id
+          JOIN asg aa ON aa.vec_id = a.vec_id
+          JOIN asg ab ON ab.vec_id = b.vec_id
+                     AND ab.cluster = aa.cluster
+          GROUP BY 1, 2, 3, 4
+          HAVING round(sum(a.x * b.x)
+                   / (sqrt(sum(a.x * a.x))
+                      * sqrt(sum(b.x * b.x))), 6) >= 0.95
+        ),
+        sides AS (
+          SELECT ida AS id,
+                 (csa > csb OR (csa = csb AND ida > idb)) AS lost
+          FROM pr
+          UNION ALL
+          SELECT idb,
+                 NOT (csa > csb OR (csa = csb AND ida > idb))
+          FROM pr
+        ),
+        near AS (
+          SELECT id, count(*)::BIGINT AS n_near,
+                 max(lost::BIGINT)::BIGINT AS dropped
+          FROM sides GROUP BY id
+        )
+        SELECT a.vec_id, a.cluster, a.centroid_sim,
+               coalesce(n.n_near, 0)::BIGINT AS n_near,
+               coalesce(n.dropped, 0)::BIGINT AS dropped
+        FROM asg a LEFT JOIN near n ON n.id = a.vec_id
+    """.replace("{CENT}", semdedup_centroids_sql_values())
+    )
+
+
 def _pq_oracle_sql() -> str:
     """IVF-PQ replay: the trained codebooks rendered as VALUES rows
     (repr floats round-trip float64 exactly — the mfcc/CQT-kernel
@@ -3632,6 +3709,134 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(
         docs.select("doc_id", payload.alias("payload")), text_col="payload"
     )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational BPE tokenizer training (Sennrich et al. 2016) — 8
+    merge rounds over the aggregated word-frequency table (the step
+    between curation and packing in a pretraining pipeline; the
+    reference has no tokenizer trainer).  Each round: lockstep-zip
+    pair counts (one tiny shuffle), a 1-row deterministic winner
+    (max count, ties to the lexicographically smallest pair — unlike
+    hash-map iteration order), and a greedy left-to-right Catalyst
+    fold applying the merge (overlapping occurrences merge-then-skip).
+    The word table stays distributed — at 100 TB it has millions of
+    rows, so each round is a vocab-sized shuffle, never a corpus
+    scan.  The oracle replays all 8 rounds as unrolled SQL stages
+    with a window-parity formulation of the same greedy rule.
+    Output: the tokenizer artifact (word, freq, pieces, n_pieces)."""
+    from sonar_spark.operators.bpe import segmented_words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return segmented_words(docs, n_merges=8)
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE segmentation back to the corpus: per-doc
+    piece counts via one broadcast join of the (vocab-sized)
+    tokenizer table onto the exploded corpus — one scan, one
+    broadcast, one per-doc aggregate at any scale."""
+    from sonar_spark.operators.bpe import bpe_tokenize_stats, segmented_words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    seg = segmented_words(docs, n_merges=8)
+    return bpe_tokenize_stats(docs, seg)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document — the IR scoring surface
+    next to the similarity family (and the keyword signal targeted
+    domain sampling uses).  Two scans: vocab-bounded df table
+    (broadcast back) + scoring; IDF quantized to 6dp at the named
+    boundary so tf x idf6 is exact in both engines; rank ties break
+    on the term for determinism."""
+    from sonar_spark.functions.rank import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return tfidf_topk(docs, k=5)
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Zaragoza) for the fixed query
+    {query, stream, dup} — 'dup' is the rare high-IDF term, so the
+    ranking exercises real IDF variance.  Per-term contributions are
+    6dp-quantized and summed as integer micro-scores
+    (order-independent); top-20 docs with deterministic (score desc,
+    doc_id) ranks.  Corpus scalars (N, avgdl) ride one broadcast."""
+    from sonar_spark.functions.rank import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return bm25_scores(docs, ["query", "stream", "dup"], top_n=20)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 4-gram novelty vs the corpus prefix (smaller doc_id =
+    earlier arrival): the incremental-contribution score an ingest
+    pipeline drops late boilerplate on.  One gram shuffle for the
+    first-seen table + join back; no pairwise stage."""
+    from sonar_spark.operators.fingerprint import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return ngram_novelty(docs, k=4)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR corpus selection (Xie et al. 2023): hashed unigram+bigram
+    bag-of-words models over a target-domain sample (sources
+    src0-src3) vs the raw pool, per-doc importance log-weight as an
+    order-free integer micro-bit sum, and Gumbel-top-k resampling
+    with content-keyed (md5) noise so the draw is deterministic and
+    replayable.  Model = one bucket-bounded groupBy (<=1024 rows,
+    map-side combined); scoring = broadcast join; selection = global
+    top-k.  See sonar_spark/functions/dsir.py."""
+    from sonar_spark.functions.dsir import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int") <= 3
+        ).alias("is_target"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    )
+    return dsir_scores(docs)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): constant seeded
+    k-means centroids bucket the embeddings (broadcast argmax — no
+    shuffle), then a CLUSTER-KEYED self-join finds tau-similar pairs
+    and drops every member except the lowest-centroid-sim one.
+    Planted corpus: every 5th vector re-appears with a deterministic
+    1%-sin perturbation (cosine ~0.99995), so the drop set is
+    non-trivial by construction.  See operators/semdedup.py."""
+    from sonar_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    pert = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (1.0 + 0.01 * F.sin((i + 1).cast("double"))),
+        ).alias("embedding"),
+    )
+    return semdedup(base.unionByName(pert), tau=0.95)
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6161,6 +6366,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
+        "bpe_train": q_bpe_train,
+        "bpe_apply": q_bpe_apply,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25_rank": q_bm25_rank,
+        "ngram_novelty": q_ngram_novelty,
+        "dsir_select": q_dsir_select,
+        "semdedup": q_semdedup,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -6609,6 +6821,76 @@ def _speech_oracle_sql() -> str:
         """
 
 
+def _bpe_oracle_stages(n_merges: int = 8) -> str:
+    """Unrolled-SQL replay of relational BPE training (operators/
+    bpe.py): per round — lockstep-unnest pair counts, struct-min
+    winner (max count, lexicographic tie), and the greedy merge via
+    the run-parity window rule (kept iff matched and the consecutive-
+    match run length ending here is odd — provably the greedy
+    left-to-right merge-then-skip result; 'aaaa' + (a,a) -> aa aa).
+    Chained CTEs ws0..ws{n} carry (word, freq, syms LIST)."""
+    parts = [
+        r"""
+        WITH wc AS (
+          SELECT w AS word, count(*)::BIGINT AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents) u
+          GROUP BY 1
+        ),
+        ws0 AS MATERIALIZED (
+          SELECT word, freq,
+                 list_append(regexp_extract_all(word, '.'), '</w>')
+                   AS syms
+          FROM wc
+        )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""
+        , p{k} AS (
+          SELECT s.a AS a, s.b AS b, sum(freq)::BIGINT AS c
+          FROM ws{k}, LATERAL (
+            SELECT unnest(syms[1:len(syms)-1]) AS a,
+                   unnest(syms[2:len(syms)]) AS b) s
+          GROUP BY 1, 2
+        ),
+        b{k} AS (
+          SELECT min({{'nc': -c, 'a': a, 'b': b}}) AS m FROM p{k}
+        ),
+        e{k} AS (
+          SELECT w.word, w.freq, p.i, w.syms[p.i] AS s,
+                 CASE WHEN p.i < len(w.syms)
+                       AND w.syms[p.i] = b.m.a
+                       AND w.syms[p.i+1] = b.m.b
+                      THEN 1 ELSE 0 END AS mt
+          FROM ws{k} w CROSS JOIN b{k} b, LATERAL (
+            SELECT unnest(generate_series(1, len(w.syms))) AS i) p
+        ),
+        r{k} AS (
+          SELECT word, freq, i, s,
+                 (mt = 1 AND
+                  (i - coalesce(max(CASE WHEN mt = 0 THEN i END)
+                     OVER (PARTITION BY word ORDER BY i), 0)) % 2 = 1)
+                   AS kept
+          FROM e{k}
+        ),
+        ws{k + 1} AS MATERIALIZED (
+          SELECT word, freq,
+                 list(CASE WHEN kept THEN s || nxt ELSE s END
+                      ORDER BY i) AS syms
+          FROM (
+            SELECT word, freq, i, s, kept,
+                   lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt,
+                   coalesce(lag(kept) OVER (
+                     PARTITION BY word ORDER BY i), false) AS consumed
+            FROM r{k}) q{k}
+          WHERE NOT consumed
+          GROUP BY word, freq
+        )"""
+        )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
     # stream_pitch_track == pitch_tracked by construction (the
@@ -7032,6 +7314,198 @@ def oracle_sql() -> dict[str, str]:
                (length(payload) - length(r))::BIGINT AS chars_delta,
                md5(r) AS redacted_fp
         FROM red
+    """
+    # bpe_train / bpe_apply: full unrolled replay of the 8 relational
+    # merge rounds (generated stages — see _bpe_oracle_stages)
+    d["bpe_train"] = _bpe_oracle_stages(8) + r"""
+        SELECT word, freq, array_to_string(syms, ' ') AS pieces,
+               len(syms)::BIGINT AS n_pieces
+        FROM ws8
+    """
+    d["bpe_apply"] = _bpe_oracle_stages(8) + r"""
+        , docw AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(w8.np)::BIGINT AS n_pieces,
+               round(sum(w8.np) * 1.0 / count(*), 6) + 0.0
+                 AS pieces_per_token
+        FROM docw JOIN (SELECT word, len(syms) AS np FROM ws8) w8
+             USING (word)
+        GROUP BY doc_id
+    """
+    # tfidf_topk: df table + quantized-idf scoring, rank ties on term
+    d["tfidf_topk"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest(words) AS t FROM base) u
+          GROUP BY 1, 2
+        ),
+        dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*)::BIGINT AS nd FROM base),
+        sc AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * round(ln(nd.nd / dft.df), 6), 6) + 0.0
+                   AS tfidf
+          FROM tf JOIN dft USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, tf, tfidf, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term)::BIGINT
+            AS rank
+          FROM sc) q
+        WHERE rank <= 5
+    """
+    # bm25_rank: constants written as the same float expressions the
+    # Spark side evaluates ((1.2 + 1.0), 0.25) so the doubles agree
+    # bit-for-bit; contributions quantized to integer micro-scores
+    d["bm25_rank"] = r"""
+        WITH b2 AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT AS dl
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, dl, t AS term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, dl, unnest(words) AS t FROM b2) u
+          WHERE t IN ('query', 'stream', 'dup')
+          GROUP BY 1, 2, 3
+        ),
+        dft AS (
+          SELECT term, count(*)::BIGINT AS df
+          FROM (SELECT doc_id, unnest(list_distinct(words)) AS term
+                FROM b2) q
+          WHERE term IN ('query', 'stream', 'dup')
+          GROUP BY 1
+        ),
+        st AS (
+          SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS tt FROM b2
+        ),
+        sc AS (
+          SELECT tf.doc_id,
+                 CAST(round(round(
+                   round(ln((st.nd - dft.df + 0.5) / (dft.df + 0.5)
+                            + 1.0), 6)
+                   * (tf.tf * (1.2 + 1.0)
+                      / (tf.tf + 1.2 * (0.25
+                           + 0.75 * tf.dl / (st.tt / st.nd))))
+                   + 1e-12, 6) * 1e6, 0) AS BIGINT) AS micro
+          FROM tf JOIN dft USING (term) CROSS JOIN st
+        ),
+        pd AS (
+          SELECT doc_id, sum(micro)::BIGINT AS ms FROM sc GROUP BY 1
+        )
+        SELECT doc_id, bm25, rank FROM (
+          SELECT doc_id, ms / 1e6 AS bm25,
+                 row_number() OVER (ORDER BY ms DESC, doc_id)::BIGINT
+                   AS rank
+          FROM pd) q
+        WHERE rank <= 20
+    """
+    # ngram_novelty: first-seen gram table (min doc_id) + join back
+    d["ngram_novelty"] = r"""
+        WITH b2 AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT
+                   AS n_tokens,
+                 string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(words[p.i:p.i+3], ' ') AS s
+          FROM b2, LATERAL (
+            SELECT unnest(generate_series(1, len(words) - 3)) AS i) p
+          WHERE len(words) >= 4
+        ),
+        fs AS (SELECT s, min(doc_id) AS fd FROM grams GROUP BY s),
+        pd AS (
+          SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                 sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0
+                     END)::BIGINT AS n_novel
+          FROM grams g JOIN fs f USING (s) GROUP BY 1
+        )
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+               coalesce(round(p.n_novel * 1.0 / p.n_grams, 6), 1.0)
+                 + 0.0 AS novelty_frac
+        FROM b2 b LEFT JOIN pd p USING (doc_id)
+    """
+    # semdedup: full replay — the SAME plan-time constant centroids
+    # (repr-float VALUES, IVF-PQ codebook precedent), 6dp sims,
+    # identical argmax / keep-rule tie-breaks
+    d["semdedup"] = _semdedup_oracle_sql()
+    # dsir_select: full replay — same hashed-bucket model tables,
+    # 6dp-micro-bit lambda, md5-keyed Gumbel noise, identical round
+    # sequence on the sort key
+    d["dsir_select"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract(source, 'src(\d+)', 1)::INT <= 3
+                   AS tgt,
+                 unnest(string_split_regex(trim(text), '\s+')) AS w,
+                 generate_subscripts(
+                   string_split_regex(trim(text), '\s+'), 1) AS p
+          FROM documents
+        ), seq AS (
+          SELECT doc_id, tgt, w,
+                 lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+          FROM toks
+        ), grams AS (
+          SELECT doc_id, tgt, w AS g FROM seq
+          UNION ALL
+          SELECT doc_id, tgt, prev || ' ' || w FROM seq
+          WHERE prev IS NOT NULL
+        ), bg AS (
+          SELECT doc_id, tgt,
+                 CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                   % 1024 AS b
+          FROM grams
+        ), model AS (
+          SELECT b,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+                 sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+          FROM bg GROUP BY b
+        ), tot AS (
+          SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr
+          FROM model
+        ), lam AS (
+          SELECT b,
+                 CAST(round(round(log2(
+                     ((ct + 0.5) / (nt + 512.0))
+                     / ((cr + 0.5) / (nr + 512.0))), 6) * 1e6, 0)
+                   AS BIGINT) AS lam
+          FROM model, tot
+        ), per_doc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_grams,
+                 sum(lam)::BIGINT AS ms
+          FROM bg JOIN lam USING (b) GROUP BY doc_id
+        ), keyed AS (
+          SELECT doc_id, n_grams,
+                 round(ms / 1e6, 6) AS dsir_bits,
+                 round(round(round(ms / 1e6, 6)
+                             * 0.6931471805599453, 6)
+                       + round(-ln(-ln(
+                           (CAST(('0x' || substring(
+                                md5(doc_id::VARCHAR), 1, 8))
+                              AS BIGINT) % 4294967296 + 0.5)
+                           / 4294967296.0)), 6), 6) AS gumbel_key
+          FROM per_doc
+        )
+        SELECT doc_id, n_grams, dsir_bits, gumbel_key,
+               row_number() OVER (
+                 ORDER BY gumbel_key DESC, doc_id)::BIGINT
+                 AS sel_rank,
+               (row_number() OVER (
+                 ORDER BY gumbel_key DESC, doc_id) <= 100)::BIGINT
+                 AS selected
+        FROM keyed
     """
     # stream_dedup: the deduped content SET (arrival-survivor
     # independent) over the planted-dup corpus

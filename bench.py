@@ -202,6 +202,9 @@ def main() -> None:
         "substring_dedup",
         "pack_sequences",
         "pii_scrub",
+        "bpe_train",
+        "tfidf_topk",
+        "ngram_novelty",
     ):
         if name not in qs:
             continue

@@ -514,3 +514,60 @@ def substring_spans(
             F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_token_frac"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """Per-document n-gram novelty vs the corpus prefix — a
+    contribution/curriculum score: a k-gram POSITION is novel iff no
+    document with a smaller id contains that k-gram (ties: the
+    introducing doc counts all its own occurrences as novel).  Docs
+    made of already-seen k-grams score near 0 — the incremental-value
+    signal an ingestion pipeline uses to prioritize or drop late
+    near-boilerplate arrivals.
+
+    Shape: k-gram explode -> min(doc_id) per gram (one shuffle,
+    vocab-of-grams-bounded output) -> join back -> per-doc aggregate.
+    No pairwise stage; the first-seen table is the only state, which
+    is exactly what an incremental ingest keeps anyway.  Docs shorter
+    than k have no grams and score novelty 1.0 by convention.
+    """
+    words = F.col(words_col)
+    base = docs.select(
+        id_col, F.size(words).cast("long").alias("n_tokens"), words.alias("__ws")
+    )
+    grams = base.where(F.col("n_tokens") >= k).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tokens") - (k - 1)).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice("__ws", i, k)),
+            )
+        ).alias("s"),
+    )
+    first = grams.groupBy("s").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        grams.join(first, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                (F.col("__first") == F.col(id_col)).cast("long")
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    out = base.drop("__ws").join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.coalesce(
+            F.round(F.col("n_novel") / F.col("n_grams"), 6), F.lit(1.0)
+        ).alias("novelty_frac"),
+    )

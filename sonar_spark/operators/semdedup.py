@@ -1,0 +1,171 @@
+"""Semantic deduplication — SemDeDup (Abbas et al. 2023, "SemDeDup:
+Data-efficient learning at web-scale through semantic deduplication").
+The embedding-space near-duplicate pruning step LAION/DataComp-style
+pipelines run after exact/MinHash dedup: cluster the embeddings with
+k-means so the quadratic pair search is bounded per cluster, then
+inside each cluster drop every member of a tau-similar pair except
+the one with the LOWEST cosine similarity to its cluster centroid
+(the paper's keep rule — low-centroid-sim items are the least
+redundant representatives).
+
+The reference engine has no embedding-space curation surface; this
+extends its dedup family (exact / MinHash / SimHash / hyperplane-LSH
+near-dup) with the published semantic axis.
+
+Relational shape (the whole point of SemDeDup at 100 TB):
+
+- cluster assignment is a broadcast of K constant centroids onto one
+  corpus scan (argmax of K cosine columns — no shuffle);
+- the pair search is a self-join ON THE CLUSTER KEY — one shuffle,
+  quadratic only within a cluster, never across the corpus.  At web
+  scale K grows to ~10^5 (the paper uses 50k on LAION) so cluster
+  populations stay bounded; here K=8 over the test corpus.
+
+Cross-engine determinism: the centroids are PLAN-TIME CONSTANTS —
+a seeded unit-sphere draw shared between the Spark lit() arrays and
+the DuckDB VALUES table as repr floats (the IVF-PQ codebook
+precedent: the oracle has no access to data-trained centroids, and
+for SemDeDup the k-means quality only shapes the bucketing, not the
+keep/drop semantics).  All similarities are rounded to 6dp at the
+named quantized boundary before any argmax / threshold / keep-rule
+comparison, with (value, id) lexicographic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sonar_spark.functions.arrays import cosine_similarity
+
+SEMDEDUP_K = 8
+_DIM = 64
+_SEED = 20230322  # SemDeDup arXiv submission date
+
+
+def semdedup_centroids() -> list[list[float]]:
+    """K seeded unit-sphere centroids (deterministic; shared with the
+    DuckDB oracle as repr-float literals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(_SEED)
+    c = rng.randn(SEMDEDUP_K, _DIM)
+    c /= np.sqrt((c * c).sum(axis=1, keepdims=True))
+    return [[float(v) for v in row] for row in c]
+
+
+def semdedup_centroids_sql_values() -> str:
+    """The same centroids as DuckDB VALUES rows (k, pos, val) —
+    1-based pos to match generate_subscripts."""
+    rows = []
+    for k, row in enumerate(semdedup_centroids()):
+        for pos, v in enumerate(row, start=1):
+            rows.append(f"({k}, {pos}, {v!r})")
+    return ",\n             ".join(rows)
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup keep/drop over ``corpus`` (id, array<double> vector).
+
+    Output per input row: cluster (0..K-1), centroid_sim (6dp),
+    n_near (tau-similar same-cluster neighbours), dropped (1 iff a
+    tau-similar neighbour with lexicographically smaller
+    (centroid_sim, id) exists — i.e. the keep rule retains the
+    lowest-centroid-sim member of every similar group).
+    """
+    cents = semdedup_centroids()
+    vec = F.col(vec_col)
+
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_similarity(
+                        vec, F.array(*[F.lit(v) for v in row])
+                    ),
+                    6,
+                ).alias("s"),
+                F.lit(-k).alias("nk"),
+            )
+            for k, row in enumerate(cents)
+        ]
+    )
+    best = F.array_max(sims)
+    # the assigned table feeds three consumers (both join sides + the
+    # final output) and its cosine columns are expensive computed
+    # projections Catalyst would otherwise inline into every branch —
+    # persist the small annotated table (winnow-matches precedent)
+    asg = corpus.select(
+        F.col(id_col).alias("__id"),
+        vec.alias("__v"),
+        (-best["nk"]).cast("long").alias("cluster"),
+        best["s"].alias("centroid_sim"),
+    ).persist()
+
+    pa = asg.select(
+        F.col("__id").alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("cluster"),
+        F.col("centroid_sim").alias("__csa"),
+    )
+    pb = asg.select(
+        F.col("__id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("cluster"),
+        F.col("centroid_sim").alias("__csb"),
+    )
+    pairs = (
+        pa.join(pb, "cluster")
+        .where(F.col("__ida") < F.col("__idb"))
+        .select(
+            "cluster",
+            "__ida",
+            "__idb",
+            "__csa",
+            "__csb",
+            F.round(
+                cosine_similarity(F.col("__va"), F.col("__vb")), 6
+            ).alias("__sim"),
+        )
+        .where(F.col("__sim") >= F.lit(float(tau)))
+    )
+    # per-pair loser = the lexicographically GREATER (centroid_sim,
+    # id) — the keep rule retains the lowest-centroid-sim member
+    a_loses = (F.col("__csa") > F.col("__csb")) | (
+        (F.col("__csa") == F.col("__csb"))
+        & (F.col("__ida") > F.col("__idb"))
+    )
+    sides = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__ida").alias("__id"),
+                    a_loses.cast("long").alias("__lost"),
+                ),
+                F.struct(
+                    F.col("__idb").alias("__id"),
+                    (~a_loses).cast("long").alias("__lost"),
+                ),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.__id").alias("__id"), F.col("__e.__lost"))
+    near = sides.groupBy("__id").agg(
+        F.count("*").cast("long").alias("n_near"),
+        F.max("__lost").cast("long").alias("dropped"),
+    )
+    return (
+        asg.join(near, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            F.coalesce("dropped", F.lit(0)).cast("long").alias("dropped"),
+        )
+    )

@@ -195,3 +195,214 @@ def test_pii_scrub_counts_and_idempotence(spark):
         assert again[i]["n_ips"] == 0
         assert again[i]["n_phones"] == 0
         assert again[i]["chars_delta"] == 0
+
+
+def _bpe_python(word_freqs: dict[str, int], n_merges: int):
+    """Classic in-memory BPE trainer (Sennrich alg. 1) with the same
+    deterministic tie rule: max count, ties -> lexicographically
+    smallest (a, b); greedy left-to-right merge-then-skip."""
+    segs = {w: list(w) + ["</w>"] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in segs:
+            s = segs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return segs, merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from sonar_spark.operators.bpe import bpe_train, word_counts
+
+    rng = random.Random(5)
+    # words engineered for overlap cases: runs of repeated chars make
+    # (x, x) pairs win some rounds, exercising merge-then-skip
+    pool = ["aaaa", "aaab", "baaa", "abab", "bbbb", "cab", "cc",
+            "dada", "add", "a"]
+    docs = [
+        (i, [rng.choice(pool) for _ in range(rng.randint(1, 12))])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, words array<string>")
+    ws, merges = bpe_train(word_counts(df), n_merges=8)
+    got = {r["word"]: r["syms"] for r in ws.collect()}
+
+    freqs: Counter = Counter()
+    for _, w in docs:
+        freqs.update(w)
+    want_segs, want_merges = _bpe_python(dict(freqs), 8)
+    assert [(a, b) for _, a, b, _ in merges] == want_merges
+    assert got == want_segs
+
+
+def test_tfidf_and_bm25_match_python_oracle(spark):
+    from sonar_spark.functions.rank import bm25_scores, tfidf_topk
+
+    docs = _corpus(13, 30)
+    df = spark.createDataFrame(docs, "doc_id long, words array<string>")
+
+    tfs = {i: Counter(w) for i, w in docs}
+    dfs: Counter = Counter()
+    for i, w in docs:
+        dfs.update(set(w))
+    N = len(docs)
+
+    # tfidf: verify every returned row and the per-doc rank order
+    got = [r.asDict() for r in tfidf_topk(df, k=5).collect()]
+    for r in got:
+        tf = tfs[r["doc_id"]][r["term"]]
+        assert r["tf"] == tf
+        assert r["tfidf"] == round(
+            tf * round(math.log(N / dfs[r["term"]]), 6), 6
+        )
+    by_doc: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: r["rank"]):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, rows in by_doc.items():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        want = sorted(
+            (
+                (term, round(tf * round(math.log(N / dfs[term]), 6), 6))
+                for term, tf in tfs[i].items()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[: len(rows)]
+        assert [(r["term"], r["tfidf"]) for r in rows] == want
+
+    # bm25 for a query with a rare planted term
+    q = ["omega", "theta", "eps"]
+    k1, b = 1.2, 0.75
+    avgdl = sum(len(w) for _, w in docs) / N
+    scores = {}
+    for i, w in docs:
+        micro = 0
+        for t in q:
+            tf = tfs[i][t]
+            if not tf:
+                continue
+            idf6 = round(
+                math.log((N - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0), 6
+            )
+            c = idf6 * (
+                tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * len(w) / avgdl))
+            )
+            micro += round(round(c + 1e-12, 6) * 1e6)
+        if micro:
+            scores[i] = micro
+    order = sorted(scores, key=lambda i: (-scores[i], i))[:20]
+    got_bm = {
+        r["rank"]: r for r in bm25_scores(df, q, top_n=20).collect()
+    }
+    for rk, i in enumerate(order, start=1):
+        assert got_bm[rk]["doc_id"] == i
+        assert got_bm[rk]["bm25"] == scores[i] / 1e6
+
+
+def test_ngram_novelty_matches_python_oracle(spark):
+    from sonar_spark.operators.fingerprint import ngram_novelty
+
+    k = 4
+    docs = _corpus(17, 30)
+    df = spark.createDataFrame(docs, "doc_id long, words array<string>")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, k=k).collect()}
+
+    first: dict[tuple, int] = {}
+    for i, w in docs:  # ascending doc_id
+        for p in range(len(w) - k + 1):
+            first.setdefault(tuple(w[p : p + k]), i)
+    for i, w in docs:
+        grams = [tuple(w[p : p + k]) for p in range(len(w) - k + 1)]
+        novel = sum(1 for g in grams if first[g] == i)
+        r = got[i]
+        assert r["n_grams"] == len(grams)
+        assert r["n_novel"] == novel
+        if grams:
+            assert r["novelty_frac"] == round(novel / len(grams), 6)
+        else:
+            assert r["novelty_frac"] == 1.0
+    # the planted phrase: its introducing doc (0) counts it novel,
+    # later planted docs see it as seen
+    assert got[0]["n_novel"] >= 1
+
+
+def test_dsir_select_matches_python_oracle(spark):
+    import hashlib
+
+    docs = _corpus(11, 50)
+    # target sample = every 4th doc (the "domain" the target model
+    # is fit on)
+    rows = [(i, i % 4 == 0, w) for i, w in docs]
+    df = spark.createDataFrame(
+        rows, "doc_id long, is_target boolean, words array<string>"
+    )
+    from sonar_spark.functions.dsir import dsir_scores
+
+    got = {
+        r["doc_id"]: r
+        for r in dsir_scores(df, n_select=10).collect()
+    }
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    B, k = 1024, 0.5
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    doc_buckets = {}
+    for i, tgt, w in rows:
+        grams = list(w) + [a + " " + b for a, b in zip(w, w[1:])]
+        bl = [h32(g) % B for g in grams]
+        doc_buckets[i] = bl
+        (ct if tgt else cr).update(bl)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    lam = {}
+    for b in set(ct) | set(cr):
+        r6 = round(
+            math.log2(
+                ((ct[b] + k) / (nt + k * B))
+                / ((cr[b] + k) / (nr + k * B))
+            ),
+            6,
+        )
+        lam[b] = round(r6 * 1e6)
+    keyed = {}
+    for i, tgt, w in rows:
+        ms = sum(lam[b] for b in doc_buckets[i])
+        bits = round(ms / 1e6, 6)
+        u = (h32(str(i)) + 0.5) / 4294967296.0
+        g6 = round(-math.log(-math.log(u)), 6)
+        key = round(round(bits * 0.6931471805599453, 6) + g6, 6)
+        keyed[i] = (bits, key, len(doc_buckets[i]))
+    order = sorted(keyed, key=lambda i: (-keyed[i][1], i))
+    rank = {i: p + 1 for p, i in enumerate(order)}
+    for i, tgt, w in rows:
+        bits, key, ng = keyed[i]
+        assert got[i]["n_grams"] == ng
+        assert got[i]["dsir_bits"] == bits
+        assert got[i]["gumbel_key"] == key
+        assert got[i]["sel_rank"] == rank[i]
+        assert got[i]["selected"] == (1 if rank[i] <= 10 else 0)
+    # the importance axis must actually discriminate: target docs
+    # score higher on average than raw docs (they ARE the target
+    # distribution)
+    t_bits = [keyed[i][0] for i, tgt, _ in rows if tgt]
+    r_bits = [keyed[i][0] for i, tgt, _ in rows if not tgt]
+    assert sum(t_bits) / len(t_bits) > sum(r_bits) / len(r_bits)
