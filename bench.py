@@ -205,6 +205,9 @@ def main() -> None:
         "bpe_train",
         "tfidf_topk",
         "ngram_novelty",
+        "bm25_rank",
+        "dsir_select",
+        "semdedup",
     ):
         if name not in qs:
             continue

@@ -127,12 +127,14 @@ def dsir_scores(
     )
 
     # hashed bag-of-words models: ONE bucket-bounded count table
-    # (<= n_buckets rows after the map-side-combined groupBy)
+    # (<= n_buckets rows after the map-side-combined groupBy).  It
+    # feeds two consumers (totals + lambda) — persist it so training
+    # costs one gram-stream pass, not two (the ngram_lm precedent)
     tgt = F.col(target_col)
     model = grams.groupBy("__b").agg(
         F.sum(F.when(tgt, 1).otherwise(0)).cast("long").alias("__ct"),
         F.sum(F.when(tgt, 0).otherwise(1)).cast("long").alias("__cr"),
-    )
+    ).persist()
     totals = model.agg(
         F.sum("__ct").cast("long").alias("__nt"),
         F.sum("__cr").cast("long").alias("__nr"),

@@ -406,3 +406,69 @@ def test_dsir_select_matches_python_oracle(spark):
     t_bits = [keyed[i][0] for i, tgt, _ in rows if tgt]
     r_bits = [keyed[i][0] for i, tgt, _ in rows if not tgt]
     assert sum(t_bits) / len(t_bits) > sum(r_bits) / len(r_bits)
+
+
+def test_semdedup_matches_python_oracle(spark):
+    import numpy as np
+
+    from sonar_spark.operators.semdedup import (
+        SEMDEDUP_K,
+        semdedup,
+        semdedup_centroids,
+    )
+
+    rng = np.random.RandomState(42)
+    base = rng.randn(30, 64)
+    base /= np.sqrt((base * base).sum(axis=1, keepdims=True))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(30)]
+    # plant near-duplicates of every 3rd vector (tiny deterministic
+    # perturbation - cosine ~0.99998)
+    for i in range(0, 30, 3):
+        v = base[i] * (1.0 + 0.003 * np.sin(np.arange(1, 65)))
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r for r in semdedup(df, tau=0.95).collect()}
+    assert len(got) == len(rows)
+
+    cents = np.array(semdedup_centroids())
+
+    def cos(a, b):
+        return float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    vec = {i: np.array(v) for i, v in rows}
+    asg = {}
+    for i, v in vec.items():
+        sims = [(round(cos(v, cents[k]), 6), -k) for k in range(SEMDEDUP_K)]
+        s, nk = max(sims)
+        asg[i] = (-nk, s)
+    near = {i: 0 for i in vec}
+    lost = {i: 0 for i in vec}
+    ids = sorted(vec)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if asg[a][0] != asg[b][0]:
+                continue
+            if round(cos(vec[a], vec[b]), 6) < 0.95:
+                continue
+            near[a] += 1
+            near[b] += 1
+            # keep the lower (centroid_sim, id)
+            if (asg[a][1], a) > (asg[b][1], b):
+                lost[a] = 1
+            else:
+                lost[b] = 1
+    n_dropped = 0
+    for i in vec:
+        assert got[i]["cluster"] == asg[i][0]
+        assert got[i]["centroid_sim"] == asg[i][1]
+        assert got[i]["n_near"] == near[i]
+        assert got[i]["dropped"] == lost[i]
+        n_dropped += lost[i]
+    # the planted pairs that landed in the same cluster must produce
+    # drops, and never both sides of a pair with distinct sims
+    assert n_dropped >= 1
