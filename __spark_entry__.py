@@ -3839,6 +3839,66 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(base.unionByName(pert), tau=0.95)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations by PMI (Church & Hanks 1990) —
+    the corpus-characterization signal phrase-aware tokenizers and
+    boilerplate lists are built from.  Both count tables are
+    vocab-bounded (map-side combined); unigram table broadcast back
+    twice; ln quantized to 6dp then divided by the repr-float ln 2.
+    See functions/corpus.py."""
+    from sonar_spark.functions.corpus import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return pmi_collocations(docs, min_count=5, top_n=50)
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics + Zipf rank-frequency OLS fit
+    (corpus-health signals next to the Gopher repetition filters):
+    tokens, vocab, hapax count, type-token ratio, zipf_slope over the
+    top-1000 ranks with integer micro-unit OLS sums (order-free).
+    One corpus scan -> vocab-bounded (source,term) counts -> one
+    group exchange for the rank window -> one final aggregate.
+    See functions/corpus.py."""
+    from sonar_spark.functions.corpus import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return vocab_stats(docs)
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (window 16, stride 12) — the
+    long-document half of context-window preprocessing next to
+    pack_sequences.  Pure Catalyst sequence+posexplode+slice: one
+    scan, zero shuffles, no floats (md5 chunk fingerprints), so the
+    result is engine-exact by construction.  See operators/packing.py."""
+    from sonar_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return chunk_documents(docs, window=16, stride=12)
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (T=0.3, Llama/PaLM-style
+    data mixing): per-source token shares -> p^T sampling weights as
+    integer micro-units (order-free sum), exact integer token-budget
+    allocation, and the implied effective-epoch count.  One corpus
+    scan -> persisted 20-row count table -> broadcast scalars.
+    See functions/corpus.py."""
+    from sonar_spark.functions.corpus import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return temperature_mix(docs, temperature=0.3, budget=1_000_000)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under the driver harness (SURVEY §2.16;
     operators/fingerprint exact dedup in streaming form): the
@@ -6373,6 +6433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "dsir_select": q_dsir_select,
         "semdedup": q_semdedup,
+        "pmi_collocations": q_pmi_collocations,
+        "vocab_stats": q_vocab_stats,
+        "chunk_tokens": q_chunk_tokens,
+        "mix_weights": q_mix_weights,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7441,6 +7505,149 @@ def oracle_sql() -> dict[str, str]:
     # (repr-float VALUES, IVF-PQ codebook precedent), 6dp sims,
     # identical argmax / keep-rule tie-breaks
     d["semdedup"] = _semdedup_oracle_sql()
+    # pmi_collocations: identical left-associative double ratio, ln
+    # quantized 6dp then divided by the repr-float ln 2; (pmi desc,
+    # w1, w2) rank ties; -0.0 normalized with + 0.0 (both engines)
+    d["pmi_collocations"] = r"""
+        WITH base AS (
+          SELECT string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        grams AS (
+          SELECT words[p] AS w1, words[p + 1] AS w2
+          FROM (SELECT words,
+                       unnest(generate_series(1, len(words) - 1)) AS p
+                FROM base)
+        ),
+        big AS (
+          SELECT w1, w2, count(*)::BIGINT AS cxy
+          FROM grams GROUP BY 1, 2
+        ),
+        uni AS (
+          SELECT t, count(*)::BIGINT AS c
+          FROM (SELECT unnest(words) AS t FROM base) GROUP BY 1
+        ),
+        nt AS (SELECT sum(c)::BIGINT AS nt FROM uni),
+        nb AS (SELECT sum(cxy)::BIGINT AS nb FROM big),
+        sc AS (
+          SELECT w1, w2, cxy,
+                 round(round(ln((cxy * 1.0 * nt.nt * nt.nt)
+                                / (nb.nb * 1.0 * cx.c * cy.c)), 6)
+                       / 0.6931471805599453, 6) + 0.0 AS pmi
+          FROM big
+          JOIN uni cx ON big.w1 = cx.t
+          JOIN uni cy ON big.w2 = cy.t
+          CROSS JOIN nt CROSS JOIN nb
+          WHERE cxy >= 5
+        )
+        SELECT w1, w2, cxy, pmi, rank FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY pmi DESC, w1, w2)::BIGINT AS rank
+          FROM sc) q
+        WHERE rank <= 50
+    """
+    # chunk_tokens: float-free replay — 0-based starts every stride
+    # while start < n_tokens, 1-based inclusive list_slice clamped at
+    # the tail, md5 of the space-joined piece
+    d["chunk_tokens"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        st AS (
+          SELECT doc_id, words,
+                 unnest(generate_series(0, len(words) - 1, 12))
+                   AS start
+          FROM base
+          WHERE len(words) > 0
+        ),
+        pc AS (
+          SELECT doc_id, (start // 12)::BIGINT AS chunk_id,
+                 start::BIGINT AS start,
+                 list_slice(words, start + 1,
+                            least(start + 16, len(words))) AS piece
+          FROM st
+        )
+        SELECT doc_id, chunk_id, start,
+               len(piece)::BIGINT AS chunk_len,
+               md5(array_to_string(piece, ' ')) AS chunk_md5
+        FROM pc
+    """
+    # mix_weights: p^T via exp(T * round(ln(share),6)) quantized to
+    # integer micro-units; allocation in exact BIGINT arithmetic
+    d["mix_weights"] = r"""
+        WITH per AS (
+          SELECT source,
+                 sum(len(string_split_regex(trim(text), '\s+')))
+                   ::BIGINT AS tokens
+          FROM documents GROUP BY 1
+        ),
+        tt AS (SELECT sum(tokens)::BIGINT AS tt FROM per),
+        wt AS (
+          SELECT source, tokens,
+                 round(tokens / tt.tt, 6) + 0.0 AS share,
+                 CAST(round(round(exp(0.3 * round(
+                   ln(tokens / tt.tt), 6)), 6) * 1e6, 0) AS BIGINT)
+                   AS m
+          FROM per CROSS JOIN tt
+        ),
+        sm AS (SELECT sum(m)::BIGINT AS sm FROM wt)
+        SELECT source, tokens, share,
+               round(m / sm.sm, 6) + 0.0 AS weight,
+               ((1000000 * m) // sm.sm)::BIGINT AS alloc_tokens,
+               round(((1000000 * m) // sm.sm) / tokens, 6) + 0.0
+                 AS epochs
+        FROM wt CROSS JOIN sm
+    """
+    # vocab_stats: integer micro-unit Zipf OLS sums (order-free),
+    # BIGINT/BIGINT division is DOUBLE in both engines
+    d["vocab_stats"] = r"""
+        WITH base AS (
+          SELECT source,
+                 string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        cnt AS (
+          SELECT source, t, count(*)::BIGINT AS c
+          FROM (SELECT source, unnest(words) AS t FROM base)
+          GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT source, c,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, t)::BIGINT AS r
+          FROM cnt
+        ),
+        mm AS (
+          SELECT source, c, r,
+                 CASE WHEN r <= 1000 THEN CAST(round(
+                   round(ln(r), 6) * 1e6, 0) AS BIGINT) END AS x,
+                 CASE WHEN r <= 1000 THEN CAST(round(
+                   round(ln(c), 6) * 1e6, 0) AS BIGINT) END AS y
+          FROM rk
+        ),
+        ag AS (
+          SELECT source,
+                 sum(c)::BIGINT AS tokens_total,
+                 count(*)::BIGINT AS vocab_size,
+                 sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS hapax_count,
+                 sum(CASE WHEN r <= 1000 THEN 1 ELSE 0 END)::BIGINT
+                   AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy,
+                 sum(x * x)::BIGINT AS sxx
+          FROM mm GROUP BY 1
+        )
+        SELECT source, tokens_total, vocab_size, hapax_count,
+               round(vocab_size / tokens_total, 6) + 0.0 AS ttr,
+               CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+                    ELSE round((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx), 6) + 0.0
+               END AS zipf_slope
+        FROM ag
+    """
     # dsir_select: full replay — same hashed-bucket model tables,
     # 6dp-micro-bit lambda, md5-keyed Gumbel noise, identical round
     # sequence on the sort key

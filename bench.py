@@ -208,6 +208,10 @@ def main() -> None:
         "bm25_rank",
         "dsir_select",
         "semdedup",
+        "pmi_collocations",
+        "vocab_stats",
+        "chunk_tokens",
+        "mix_weights",
     ):
         if name not in qs:
             continue

@@ -94,3 +94,44 @@ def pack_sequences(
         F.col("p.off").cast("long").alias("window_off"),
         F.col("p.trunc").alias("truncated"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """Overlapping token-window chunking — the other half of the
+    context-window preprocessing step (pack short docs, CHUNK long
+    ones): split each document into windows of ``window`` tokens
+    every ``stride`` tokens (overlap = window - stride), exactly the
+    sliding chunker long-context pipelines run before packing.
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens,
+    so the tail is always covered (a final short chunk rather than a
+    dropped one).  Output per chunk: chunk_id, start, chunk_len and
+    the md5 of the space-joined piece (the content fingerprint a
+    chunk-level dedup keys on).  Pure Catalyst: sequence + posexplode
+    + slice — one scan, zero shuffles, no floats anywhere, so the
+    result is trivially engine-exact.
+    """
+    words = F.col(words_col)
+    starts = F.sequence(
+        F.lit(0), F.size(words) - 1, F.lit(stride)
+    )
+    ch = docs.where(F.size(words) > 0).select(
+        id_col,
+        words.alias("__w"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    piece = F.slice(F.col("__w"), F.col("start") + 1, window)
+    return ch.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size(piece).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )

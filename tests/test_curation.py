@@ -472,3 +472,161 @@ def test_semdedup_matches_python_oracle(spark):
     # the planted pairs that landed in the same cluster must produce
     # drops, and never both sides of a pair with distinct sims
     assert n_dropped >= 1
+
+
+def test_pmi_collocations_matches_python_oracle(spark):
+    from sonar_spark.functions.corpus import pmi_collocations
+
+    docs = _corpus(99, 60)
+    df = spark.createDataFrame(
+        [(i, w) for i, w in docs], "doc_id long, words array<string>"
+    )
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(
+            df.select("words"), min_count=3, top_n=25
+        ).collect()
+    }
+    uni = Counter(w for _, ws in docs for w in ws)
+    big = Counter(
+        (ws[i], ws[i + 1])
+        for _, ws in docs
+        for i in range(len(ws) - 1)
+    )
+    nt, nb = sum(uni.values()), sum(big.values())
+    scored = []
+    for (a, b), cxy in big.items():
+        if cxy < 3:
+            continue
+        nat6 = round(
+            math.log((cxy * 1.0 * nt * nt) / (nb * 1.0 * uni[a] * uni[b])),
+            6,
+        )
+        scored.append((round(nat6 / 0.6931471805599453, 6), a, b, cxy))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    assert len(got) == min(25, len(scored))
+    for rank, (pmi, a, b, cxy) in enumerate(scored[:25], start=1):
+        r = got[(a, b)]
+        assert r["rank"] == rank
+        assert r["cxy"] == cxy
+        assert abs(r["pmi"] - pmi) < 1e-9
+
+
+def test_vocab_stats_matches_python_oracle(spark):
+    from sonar_spark.functions.corpus import vocab_stats
+
+    rng = random.Random(7)
+    rows = []
+    # group g1 gets hapaxes (unique tokens) so the branch is live;
+    # g0 is Zipf-ish over the shared vocab
+    for i in range(50):
+        n = rng.randint(3, 30)
+        ws = [VOCAB[min(int(rng.random() ** 2 * 8), 7)] for _ in range(n)]
+        rows.append((i, "g0", ws))
+    for i in range(20):
+        ws = [rng.choice(VOCAB[:4]), f"uniq{i}"]
+        rows.append((100 + i, "g1", ws))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, words array<string>"
+    )
+    got = {
+        r["source"]: r
+        for r in vocab_stats(df.select("source", "words")).collect()
+    }
+    for grp in ("g0", "g1"):
+        cnt = Counter(
+            w for _, s, ws in rows if s == grp for w in ws
+        )
+        toks, vocab = sum(cnt.values()), len(cnt)
+        hapax = sum(1 for c in cnt.values() if c == 1)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        xs = [round(round(math.log(r), 6) * 1e6) for r in range(1, len(ranked) + 1)]
+        ys = [round(round(math.log(c), 6) * 1e6) for _, c in ranked]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        slope = 0.0 if den == 0 else round((n * sxy - sx * sy) / den, 6)
+        r = got[grp]
+        assert r["tokens_total"] == toks
+        assert r["vocab_size"] == vocab
+        assert r["hapax_count"] == hapax
+        assert abs(r["ttr"] - round(vocab / toks, 6)) < 1e-12
+        assert abs(r["zipf_slope"] - slope) < 1e-9
+    assert got["g1"]["hapax_count"] == 20
+    assert got["g0"]["zipf_slope"] < 0.0
+
+
+def test_chunk_documents_matches_python_oracle(spark):
+    import hashlib
+
+    from sonar_spark.operators.packing import chunk_documents
+
+    docs = _corpus(123, 40, max_len=60)
+    df = spark.createDataFrame(
+        docs, "doc_id long, words array<string>"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(df, window=8, stride=5).collect()
+    }
+    expect = {}
+    for i, ws in docs:
+        start, cid = 0, 0
+        while start < len(ws):
+            piece = ws[start : start + 8]
+            expect[(i, cid)] = (
+                start,
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+            start += 5
+            cid += 1
+    assert set(got) == set(expect)
+    for key, (start, clen, h) in expect.items():
+        r = got[key]
+        assert (r["start"], r["chunk_len"], r["chunk_md5"]) == (
+            start,
+            clen,
+            h,
+        )
+
+
+def test_temperature_mix_matches_python_oracle(spark):
+    from sonar_spark.functions.corpus import temperature_mix
+
+    rng = random.Random(5)
+    rows = []
+    # skewed group sizes so T<1 visibly flattens the mix
+    for g, n_docs in (("a", 40), ("b", 10), ("c", 2)):
+        for i in range(n_docs):
+            rows.append(
+                (g, [rng.choice(VOCAB) for _ in range(rng.randint(2, 20))])
+            )
+    df = spark.createDataFrame(rows, "source string, words array<string>")
+    got = {
+        r["source"]: r
+        for r in temperature_mix(df, temperature=0.5, budget=10000).collect()
+    }
+    toks = Counter()
+    for g, ws in rows:
+        toks[g] += len(ws)
+    tt = sum(toks.values())
+    micro = {
+        g: round(round(math.exp(0.5 * round(math.log(t / tt), 6)), 6) * 1e6)
+        for g, t in toks.items()
+    }
+    sm = sum(micro.values())
+    for g, t in toks.items():
+        r = got[g]
+        assert r["tokens"] == t
+        assert abs(r["share"] - round(t / tt, 6)) < 1e-12
+        assert abs(r["weight"] - round(micro[g] / sm, 6)) < 1e-12
+        assert r["alloc_tokens"] == (10000 * micro[g]) // sm
+        assert abs(
+            r["epochs"] - round((10000 * micro[g]) // sm / t, 6)
+        ) < 1e-12
+    # temperature < 1 must allocate the rare group MORE than its share
+    assert got["c"]["weight"] > got["c"]["share"]
+    assert got["a"]["weight"] < got["a"]["share"]
