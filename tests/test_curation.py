@@ -630,3 +630,36 @@ def test_temperature_mix_matches_python_oracle(spark):
     # temperature < 1 must allocate the rare group MORE than its share
     assert got["c"]["weight"] > got["c"]["share"]
     assert got["a"]["weight"] < got["a"]["share"]
+
+
+def test_semdedup_pairs_survive_arrow_batch_splits(spark):
+    """The per-cluster pair kernel must carry group state across
+    Arrow batch boundaries (clusters larger than a batch)."""
+    import numpy as np
+
+    from sonar_spark.operators.semdedup import semdedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 64)
+    base /= np.sqrt((base * base).sum(axis=1, keepdims=True))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(40)]
+    for i in range(0, 40, 4):
+        v = base[i] * (1.0 + 0.002 * np.cos(np.arange(1, 65)))
+        rows.append((2000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    want = sorted(
+        tuple(r) for r in semdedup(df, tau=0.95).collect()
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        got = sorted(
+            tuple(r) for r in semdedup(df, tau=0.95).collect()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert got == want
+    assert any(r[4] == 1 for r in want)  # drops actually happened
