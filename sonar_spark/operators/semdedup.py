@@ -36,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sonar_spark.functions.arrays import cosine_similarity
 
 SEMDEDUP_K = 8
 _DIM = 64
@@ -80,32 +79,82 @@ def semdedup(
     lowest-centroid-sim member of every similar group).
     """
     cents = semdedup_centroids()
-    vec = F.col(vec_col)
 
-    sims = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_similarity(
-                        vec, F.array(*[F.lit(v) for v in row])
-                    ),
-                    6,
-                ).alias("s"),
-                F.lit(-k).alias("nk"),
+    # Centroid assignment as an Arrow-batched kernel (the interpreted
+    # Catalyst cosine fold over K x dim per row was the slow path —
+    # same lesson as the pair stage below).  Bit-parity with the fold
+    # version: ascending-dim accumulation for every sum, cos =
+    # dot / (sqrt(sa) * sqrt(sc)) with the d > 0 -> else 0.0 guard of
+    # distance.go:48-70, half-up (away-from-zero) 6dp round, -0.0
+    # normalized; argmax iterates k ascending with strict > (the
+    # array_max lexicographic (s, -k) tie rule).
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    n_k, dim = cmat.shape
+    cn = np.zeros(n_k)
+    for i in range(dim):  # ascending: matches asum(transform) order
+        cn += cmat[:, i] * cmat[:, i]
+    cn = np.sqrt(cn)
+
+    def _round6(x: np.ndarray) -> np.ndarray:
+        return (
+            np.where(
+                x >= 0.0,
+                np.floor(x * 1e6 + 0.5),
+                np.ceil(x * 1e6 - 0.5),
             )
-            for k, row in enumerate(cents)
-        ]
-    )
-    best = F.array_max(sims)
+            / 1e6
+            + 0.0
+        )
+
+    def _assign_kernel(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            vb = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            n = vb.shape[0]
+            na = np.zeros(n)
+            dots = np.zeros((n, n_k))
+            for i in range(dim):  # ascending fold order
+                c = vb[:, i]
+                na += c * c
+                dots += np.outer(c, cmat[:, i])
+            na = np.sqrt(na)
+            den = na[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(den > 0.0, dots / den, 0.0)
+            s6 = _round6(s)
+            best_s = s6[:, 0].copy()
+            best_k = np.zeros(n, dtype=np.int64)
+            for k in range(1, n_k):  # ascending, strict >: ties keep
+                upd = s6[:, k] > best_s  # the smaller k
+                best_s[upd] = s6[upd, k]
+                best_k[upd] = k
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col].to_numpy(),
+                    "__v": pdf[vec_col],
+                    "cluster": best_k,
+                    "centroid_sim": best_s,
+                }
+            )
+
     # the assigned table feeds three consumers (both join sides + the
-    # final output) and its cosine columns are expensive computed
-    # projections Catalyst would otherwise inline into every branch —
-    # persist the small annotated table (winnow-matches precedent)
-    asg = corpus.select(
-        F.col(id_col).alias("__id"),
-        vec.alias("__v"),
-        (-best["nk"]).cast("long").alias("cluster"),
-        best["s"].alias("centroid_sim"),
+    # final output) — persist the small annotated table (winnow-
+    # matches precedent)
+    asg = corpus.mapInPandas(
+        _assign_kernel,
+        schema=(
+            "__id long, __v array<double>, cluster long,"
+            " centroid_sim double"
+        ),
     ).persist()
 
     # Within-cluster pair search as a per-cluster block kernel.  The
@@ -119,9 +168,6 @@ def semdedup(
     # on the cluster key; per-cluster state carries across Arrow
     # batches (clusters can exceed a 10k-row batch — the as-of
     # mapInPandas lesson).
-    import numpy as np
-    import pandas as pd
-
     tau_f = float(tau)
 
     def _pairs_kernel(pdfs):
@@ -149,7 +195,7 @@ def semdedup(
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = np.where(den == 0.0, 0.0, dots / den)
             # half-up 6dp (np.round is half-even — never use it here)
-            s6 = np.floor(s * 1e6 + 0.5) / 1e6
+            s6 = _round6(s)
             ia, ib = np.triu_indices(n, k=1)
             keep = s6[ia, ib] >= tau_f
             ia, ib = ia[keep], ib[keep]
