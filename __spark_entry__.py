@@ -3899,6 +3899,21 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(docs, temperature=0.3, budget=1_000_000)
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the corpus drift monitor next to mix_weights.
+    Common-term contributions as 9dp integer micro-nats over one
+    vocab-bounded term self-join; exclusive mass collapses to exact
+    BIGINT count arithmetic (no pair x vocab table).
+    See functions/corpus.py."""
+    from sonar_spark.functions.corpus import source_divergence
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return source_divergence(docs)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under the driver harness (SURVEY §2.16;
     operators/fingerprint exact dedup in streaming form): the
@@ -6437,6 +6452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "chunk_tokens": q_chunk_tokens,
         "mix_weights": q_mix_weights,
+        "source_divergence": q_source_divergence,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7599,6 +7615,70 @@ def oracle_sql() -> dict[str, str]:
                round(((1000000 * m) // sm.sm) / tokens, 6) + 0.0
                  AS epochs
         FROM wt CROSS JOIN sm
+    """
+    # source_divergence: JS in 9dp integer micro-nats over the
+    # common-term self-join; exclusive mass from exact BIGINT counts
+    d["source_divergence"] = r"""
+        WITH base AS (
+          SELECT source,
+                 string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        cnt AS (
+          SELECT source, t, count(*)::BIGINT AS c
+          FROM (SELECT source, unnest(words) AS t FROM base)
+          GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT source, sum(c)::BIGINT AS tt FROM cnt GROUP BY 1
+        ),
+        pt AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 a.c AS ca, b.c AS cb, ta.tt AS tta, tb.tt AS ttb
+          FROM cnt a
+          JOIN cnt b ON a.t = b.t AND a.source < b.source
+          JOIN tot ta ON ta.source = a.source
+          JOIN tot tb ON tb.source = b.source
+        ),
+        mc AS (
+          SELECT src_a, src_b, ca, cb, tta, ttb,
+                 CAST(round(round((ca / tta) * ln(
+                   ((ca / tta) + (ca / tta))
+                   / ((ca / tta) + (cb / ttb))), 9) * 1e9, 0)
+                   AS BIGINT) AS mp,
+                 CAST(round(round((cb / ttb) * ln(
+                   ((cb / ttb) + (cb / ttb))
+                   / ((ca / tta) + (cb / ttb))), 9) * 1e9, 0)
+                   AS BIGINT) AS mq
+          FROM pt
+        ),
+        ag AS (
+          SELECT src_a, src_b,
+                 count(*)::BIGINT AS n_common,
+                 sum(mp)::BIGINT AS smp, sum(mq)::BIGINT AS smq,
+                 sum(ca)::BIGINT AS c1, sum(cb)::BIGINT AS c2,
+                 min(tta)::BIGINT AS t1, min(ttb)::BIGINT AS t2
+          FROM mc GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT src_a, src_b, n_common,
+                 round((smp + smq
+                   + CAST(round(round(((t1 - c1) / t1)
+                       * 0.6931471805599453, 9) * 1e9, 0) AS BIGINT)
+                   + CAST(round(round(((t2 - c2) / t2)
+                       * 0.6931471805599453, 9) * 1e9, 0) AS BIGINT))
+                   / 1e9 * 0.5 / 0.6931471805599453, 6) + 0.0 AS js
+          FROM ag
+        ),
+        allp AS (
+          SELECT a.source AS src_a, b.source AS src_b
+          FROM tot a, tot b WHERE a.source < b.source
+        )
+        SELECT allp.src_a, allp.src_b,
+               coalesce(sc.n_common, 0)::BIGINT AS n_common,
+               coalesce(sc.js, 1.0) AS js
+        FROM allp LEFT JOIN sc
+          ON sc.src_a = allp.src_a AND sc.src_b = allp.src_b
     """
     # vocab_stats: integer micro-unit Zipf OLS sums (order-free),
     # BIGINT/BIGINT division is DOUBLE in both engines

@@ -212,6 +212,7 @@ def main() -> None:
         "vocab_stats",
         "chunk_tokens",
         "mix_weights",
+        "source_divergence",
     ):
         if name not in qs:
             continue

@@ -257,3 +257,109 @@ def temperature_mix(
             6,
         ).alias("epochs"),
     )
+
+
+def source_divergence(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    words_col: str = "words",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between per-group
+    unigram distributions — the corpus drift / domain-shift monitor a
+    mixing pipeline watches (and the distance mix_weights-style
+    reweighting reacts to).
+
+    JS(p,q) = 0.5*KL(p||m) + 0.5*KL(q||m), m=(p+q)/2, decomposed so
+    no group-pair x vocab table ever materializes:
+
+    - COMMON terms ride one vocab-bounded self-join on the term key:
+      per-term nats contributions p*ln(2p/(p+q)) and q*ln(2q/(p+q))
+      are rounded to 9dp and summed as integer micro-units
+      (order-free);
+    - EXCLUSIVE mass needs no term rows at all: a term with q=0
+      contributes p*ln2 nats, so the whole exclusive side collapses
+      to (T1 - C1)/T1 * ln2 with T1/C1 exact BIGINT token counts.
+
+    Output per unordered pair: src_a < src_b, n_common terms, js
+    (6dp).  Scale shape: the self-join is on the vocab-bounded count
+    table (each term fans out to |groups-with-term|^2 pairs — bounded
+    by groups^2, never corpus size); totals ride a broadcast.
+    """
+    ln2 = float(_LN2)
+    counts = (
+        docs.select(group_col, F.explode(words_col).alias("t"))
+        .groupBy(group_col, "t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("tt")
+    )
+    a = counts.select(
+        F.col(group_col).alias("src_a"),
+        "t",
+        F.col("c").alias("ca"),
+    )
+    b = counts.select(
+        F.col(group_col).alias("src_b"),
+        "t",
+        F.col("c").alias("cb"),
+    )
+    ta = totals.select(
+        F.col(group_col).alias("src_a"), F.col("tt").alias("tta")
+    )
+    tb = totals.select(
+        F.col(group_col).alias("src_b"), F.col("tt").alias("ttb")
+    )
+    p = F.col("ca") / F.col("tta")
+    q = F.col("cb") / F.col("ttb")
+    mp = F.round(
+        F.round(p * F.log((p + p) / (p + q)), 9) * 1e9, 0
+    ).cast("long")
+    mq = F.round(
+        F.round(q * F.log((q + q) / (p + q)), 9) * 1e9, 0
+    ).cast("long")
+    pair_terms = (
+        a.join(b, "t")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+    )
+    agg = pair_terms.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum(mp).alias("__smp"),
+        F.sum(mq).alias("__smq"),
+        F.sum("ca").cast("long").alias("__c1"),
+        F.sum("cb").cast("long").alias("__c2"),
+        F.min("tta").alias("__t1"),
+        F.min("ttb").alias("__t2"),
+    )
+    excl_p = (F.col("__t1") - F.col("__c1")) / F.col("__t1")
+    excl_q = (F.col("__t2") - F.col("__c2")) / F.col("__t2")
+    mep = F.round(F.round(excl_p * ln2, 9) * 1e9, 0).cast("long")
+    meq = F.round(F.round(excl_q * ln2, 9) * 1e9, 0).cast("long")
+    half_nats = F.col("__smp") + F.col("__smq") + mep + meq
+    scored = agg.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        F.round(half_nats / 1e9 * 0.5 / ln2, 6).alias("js"),
+    )
+    # a pair with NO common terms never survives the inner join, but
+    # it is the maximal-drift signal (JS = 1 bit) a monitor must not
+    # drop — complete the pair frame from the (tiny) group list
+    srcs = totals.select(group_col)
+    allp = (
+        srcs.select(F.col(group_col).alias("src_a"))
+        .crossJoin(srcs.select(F.col(group_col).alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    return allp.join(scored, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias(
+            "n_common"
+        ),
+        F.coalesce("js", F.lit(1.0)).alias("js"),
+    )

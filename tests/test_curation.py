@@ -663,3 +663,61 @@ def test_semdedup_pairs_survive_arrow_batch_splits(spark):
         spark.conf.set(key, old)
     assert got == want
     assert any(r[4] == 1 for r in want)  # drops actually happened
+
+
+def test_source_divergence_matches_python_oracle(spark):
+    from sonar_spark.functions.corpus import source_divergence
+
+    rng = random.Random(13)
+    rows = []
+    # g0/g1 share the vocab with different skews; g2 is DISJOINT
+    # (exclusive-mass + missing-pair branches live); g3 == g0 dist
+    for i in range(40):
+        rows.append(("g0", [rng.choice(VOCAB[:6]) for _ in range(10)]))
+    for i in range(40):
+        rows.append(
+            ("g1", [VOCAB[min(int(rng.random() ** 3 * 6), 5)] for _ in range(10)])
+        )
+    for i in range(10):
+        rows.append(("g2", [f"other{j % 3}" for j in range(6)]))
+    for s, ws in [r for r in rows if r[0] == "g0"]:
+        rows.append(("g3", list(ws)))
+    df = spark.createDataFrame(rows, "source string, words array<string>")
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_divergence(df).collect()
+    }
+    assert len(got) == 6  # complete pair frame over 4 groups
+    cnt: dict = {}
+    for s, ws in rows:
+        c = cnt.setdefault(s, Counter())
+        c.update(ws)
+    ln2 = 0.6931471805599453
+
+    def replay(sa, sb):
+        ca, cb = cnt[sa], cnt[sb]
+        t1, t2 = sum(ca.values()), sum(cb.values())
+        common = set(ca) & set(cb)
+        if not common:
+            return 0, 1.0
+        smp = smq = 0
+        for t in common:
+            p, q = ca[t] / t1, cb[t] / t2
+            smp += round(round(p * math.log((p + p) / (p + q)), 9) * 1e9)
+            smq += round(round(q * math.log((q + q) / (p + q)), 9) * 1e9)
+        c1 = sum(ca[t] for t in common)
+        c2 = sum(cb[t] for t in common)
+        mep = round(round((t1 - c1) / t1 * ln2, 9) * 1e9)
+        meq = round(round((t2 - c2) / t2 * ln2, 9) * 1e9)
+        return len(common), round(
+            (smp + smq + mep + meq) / 1e9 * 0.5 / ln2, 6
+        )
+
+    for (sa, sb), r in got.items():
+        n, js = replay(sa, sb)
+        assert r["n_common"] == n
+        assert abs(r["js"] - js) < 1e-12, (sa, sb)
+        assert -1e-9 <= r["js"] <= 1.0 + 1e-9
+    assert got[("g0", "g2")]["js"] == 1.0  # disjoint -> maximal
+    assert got[("g0", "g3")]["js"] < 1e-6  # identical dist -> ~0
+    assert got[("g0", "g1")]["js"] > 0.01  # skew shift registers
