@@ -3899,6 +3899,18 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(docs, temperature=0.3, budget=1_000_000)
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document chunk-level dedup (the RefinedWeb paragraph-dedup
+    pass) over the planted-dup corpus: non-overlapping 8-token chunk
+    md5 fingerprints, duplication = windowed fingerprint count > 1
+    (no join, no pair stage), per-doc duplicated-chunk fraction.
+    See operators/packing.py."""
+    from sonar_spark.operators.packing import chunk_dedup
+
+    words = _dup_corpus_words(spark, sf_dir)
+    return chunk_dedup(words, window=8, stride=8)
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between per-source unigram
     distributions — the corpus drift monitor next to mix_weights.
@@ -6453,6 +6465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "mix_weights": q_mix_weights,
         "source_divergence": q_source_divergence,
+        "chunk_dedup": q_chunk_dedup,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7615,6 +7628,47 @@ def oracle_sql() -> dict[str, str]:
                round(((1000000 * m) // sm.sm) / tokens, 6) + 0.0
                  AS epochs
         FROM wt CROSS JOIN sm
+    """
+    # chunk_dedup: float-free replay over the planted-dup corpus —
+    # non-overlapping chunk md5s, windowed occurrence count
+    d["chunk_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id::VARCHAR AS doc_id, words FROM base
+          UNION ALL
+          SELECT doc_id::VARCHAR || '_dup', words[1:len(words)-3]
+          FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+          UNION ALL
+          SELECT doc_id::VARCHAR || '_copy', words
+          FROM base WHERE doc_id % 10 = 5
+        ),
+        st AS (
+          SELECT doc_id, words,
+                 unnest(generate_series(0, len(words) - 1, 8))
+                   AS start
+          FROM w WHERE len(words) > 0
+        ),
+        pc AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(
+                   words, start + 1,
+                   least(start + 8, len(words))), ' ')) AS h
+          FROM st
+        ),
+        fr AS (
+          SELECT doc_id, h,
+                 count(*) OVER (PARTITION BY h) AS n
+          FROM pc
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dup_chunks,
+               round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT
+                     / count(*), 6) + 0.0 AS dup_chunk_frac
+        FROM fr GROUP BY 1
     """
     # source_divergence: JS in 9dp integer micro-nats over the
     # common-term self-join; exclusive mass from exact BIGINT counts

@@ -213,6 +213,7 @@ def main() -> None:
         "chunk_tokens",
         "mix_weights",
         "source_divergence",
+        "chunk_dedup",
     ):
         if name not in qs:
             continue

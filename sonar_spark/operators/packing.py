@@ -135,3 +135,53 @@ def chunk_documents(
         F.size(piece).cast("long").alias("chunk_len"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    *,
+    window: int = 16,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup — the paragraph-dedup
+    pass web pipelines (RefinedWeb, CCNet) run AFTER document-level
+    dedup: boilerplate repeats across documents that are not
+    themselves duplicates.  Non-overlapping chunks (stride = window
+    by default) are fingerprinted with chunk_documents' md5, a chunk
+    is DUPLICATED if its fingerprint appears in more than one
+    document (or more than once in the same document), and each doc
+    reports its duplicated-chunk fraction — the drop/trim signal.
+
+    Scale shape: one corpus scan -> chunk rows -> ONE exchange on the
+    fingerprint key (a window count — no join, no broadcast of a
+    corpus-sized table) -> one per-doc aggregate.  No pair stage at
+    all: duplication is a group count, never a join of documents.
+
+    Output per doc: n_chunks, n_dup_chunks, dup_chunk_frac (6dp) —
+    order-free (counts + one long/long division).
+    """
+    ch = chunk_documents(
+        docs,
+        window=window,
+        stride=stride,
+        id_col=id_col,
+        words_col=words_col,
+    )
+    # "more than one doc OR more than once in one doc" == total
+    # occurrence count > 1, so one windowed count suffices
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("chunk_md5")
+    marked = ch.select(
+        id_col,
+        (F.count("*").over(wf) > 1).cast("long").alias("__dup"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("__dup").cast("long").alias("n_dup_chunks"),
+        F.round(F.sum("__dup") / F.count("*"), 6).alias(
+            "dup_chunk_frac"
+        ),
+    )

@@ -721,3 +721,37 @@ def test_source_divergence_matches_python_oracle(spark):
     assert got[("g0", "g2")]["js"] == 1.0  # disjoint -> maximal
     assert got[("g0", "g3")]["js"] < 1e-6  # identical dist -> ~0
     assert got[("g0", "g1")]["js"] > 0.01  # skew shift registers
+
+
+def test_chunk_dedup_matches_python_oracle(spark):
+    import hashlib
+
+    from sonar_spark.operators.packing import chunk_dedup
+
+    docs = _corpus(77, 30, max_len=30)
+    # plant cross-doc boilerplate: docs 100/101/102 share a prefix
+    boiler = ["alpha", "beta", "gamma", "delta"] * 2
+    rows = list(docs)
+    for k in range(3):
+        rows.append((100 + k, boiler + [VOCAB[k]] * 3))
+    df = spark.createDataFrame(rows, "doc_id long, words array<string>")
+    got = {
+        r["doc_id"]: r for r in chunk_dedup(df, window=4, stride=4).collect()
+    }
+    freq: dict = {}
+    chunks: dict = {}
+    for i, ws in rows:
+        cs = []
+        for s in range(0, len(ws), 4):
+            h = hashlib.md5(" ".join(ws[s : s + 4]).encode()).hexdigest()
+            cs.append(h)
+            freq[h] = freq.get(h, 0) + 1
+        chunks[i] = cs
+    for i, cs in chunks.items():
+        nd = sum(1 for h in cs if freq[h] > 1)
+        r = got[i]
+        assert r["n_chunks"] == len(cs)
+        assert r["n_dup_chunks"] == nd
+        assert abs(r["dup_chunk_frac"] - round(nd / len(cs), 6)) < 1e-12
+    # the planted boilerplate chunks must register as duplicated
+    assert got[100]["n_dup_chunks"] >= 2
