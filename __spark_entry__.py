@@ -6415,10 +6415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 47 round-2/3 queries plus pitch_tracked/pitch_zcr/
     # featurize_music (50/50 green), so the round-5 window leads with
     # the 11 late-round-4 additions (dedup_groups .. resample, never
-    # driver-certified before this round), then the 28 new round-5
-    # queries (streaming surface, buffers/bytes closures, and the
-    # token-axis curation family: decontaminate .. mix_weights) in
-    # slots 12-39, then 11 long-certified anchors filling out 50.
+    # driver-certified before this round), then every new round-5
+    # query (streaming surface, buffers/bytes closures, and the
+    # token-axis curation/corpus-analytics family: decontaminate ..
+    # chunk_dedup), then long-certified anchors filling out 50.
     # With this rotation every query in the dict has appeared green
     # in a driver CORRECTNESS snapshot in some round (r01-r05).
     return {
