@@ -3911,6 +3911,35 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(words, window=8, stride=8)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog per-source distinct-token estimate
+    next to the exact count.  Spark's approx_count_distinct is
+    value-opaque across engines; this sketch derives registers from
+    md5 so the DuckDB oracle replays register values and estimate
+    exactly (integer register math, exact dyadic 2^-M sums, 6dp
+    boundary on the one transcendental).  See functions/sketch.py."""
+    from sonar_spark.functions.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return hll_distinct(docs)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: 4 x 64 md5-hashed bucket sketch, the
+    top-10 exact terms with their CMS estimates and the guaranteed
+    over_frac >= 0 overestimate.  One token scan -> the d*w-row
+    sketch (shards merge by summing it) -> broadcast joins back.
+    See functions/sketch.py."""
+    from sonar_spark.functions.sketch import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return cms_heavy_hitters(docs, top_n=10)
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence between per-source unigram
     distributions — the corpus drift monitor next to mix_weights.
@@ -6466,6 +6495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "source_divergence": q_source_divergence,
         "chunk_dedup": q_chunk_dedup,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7628,6 +7659,117 @@ def oracle_sql() -> dict[str, str]:
                round(((1000000 * m) // sm.sm) / tokens, 6) + 0.0
                  AS epochs
         FROM wt CROSS JOIN sm
+    """
+    # hll_distinct: full sketch replay — identical md5 register math,
+    # exact-literal rho / 2^-M chains, same correction branch
+    _rho_cases = "\n".join(
+        f"WHEN (w & -w) = {1 << p} THEN {p + 1}"
+        for p in range(39)
+    )
+    _inv_cases = "\n".join(
+        f"WHEN mj = {p} THEN {2.0 ** -p!r}" for p in range(1, 40)
+    )
+    _alpha_m2 = repr((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256)
+    d["hll_distinct"] = f"""
+        WITH base AS (
+          SELECT source,
+                 string_split_regex(trim(text), '\\s+') AS words
+          FROM documents
+        ),
+        terms AS (
+          SELECT DISTINCT source, t
+          FROM (SELECT source, unnest(words) AS t FROM base)
+        ),
+        bb AS (
+          SELECT source,
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT & 255)
+                   AS j,
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT >> 8)
+                   AS w
+          FROM terms
+        ),
+        rr AS (
+          SELECT source, j,
+                 CASE WHEN w = 0 THEN 40
+                 {_rho_cases}
+                 ELSE 40 END AS rho
+          FROM bb
+        ),
+        regs AS (
+          SELECT source, j, max(rho) AS mj FROM rr GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT source,
+                 sum(CASE WHEN mj >= 40 THEN {2.0 ** -40!r}
+                     {_inv_cases}
+                     ELSE 1.0 END) AS s_used,
+                 count(*)::BIGINT AS used
+          FROM regs GROUP BY 1
+        ),
+        ex AS (
+          SELECT source, count(*)::BIGINT AS exact_distinct
+          FROM terms GROUP BY 1
+        ),
+        ee AS (
+          SELECT per.source, ex.exact_distinct,
+                 CASE WHEN ({_alpha_m2} / (s_used + (256 - used))
+                            <= 640.0) AND (256 - used) > 0
+                      THEN 256.0 * ln(256.0 / (256 - used))
+                      ELSE {_alpha_m2} / (s_used + (256 - used))
+                 END AS est
+          FROM per JOIN ex ON ex.source = per.source
+        )
+        SELECT source, exact_distinct,
+               round(est, 6) + 0.0 AS hll_estimate,
+               round((round(est, 6) - exact_distinct)
+                     / exact_distinct, 6) + 0.0 AS rel_err
+        FROM ee
+    """
+    # cms_heavy_hitters: full sketch replay — 4 salted md5 row
+    # hashes, bucket counts, min-over-rows estimate
+    _cms_hash = "('0x' || substring(md5(t || '#{i}'), 1, 15))::BIGINT % 64"
+    _cms_cols = ",\n".join(
+        f"{_cms_hash.replace('{i}', str(i))} AS b{i}" for i in range(4)
+    )
+    _cms_sk = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, b{i} AS b, count(*)::BIGINT AS c "
+        f"FROM hashed GROUP BY 2"
+        for i in range(4)
+    )
+    d["cms_heavy_hitters"] = f"""
+        WITH base AS (
+          SELECT string_split_regex(trim(text), '\\s+') AS words
+          FROM documents
+        ),
+        toks AS (SELECT unnest(words) AS t FROM base),
+        hashed AS (
+          SELECT t,
+                 {_cms_cols}
+          FROM toks
+        ),
+        sk AS ({_cms_sk}),
+        ex AS (
+          SELECT t, b0, b1, b2, b3, count(*)::BIGINT AS exact
+          FROM hashed GROUP BY 1, 2, 3, 4, 5
+        ),
+        est AS (
+          SELECT ex.t, ex.exact,
+                 least(s0.c, s1.c, s2.c, s3.c) AS cms_estimate
+          FROM ex
+          JOIN (SELECT b, c FROM sk WHERE i = 0) s0 ON ex.b0 = s0.b
+          JOIN (SELECT b, c FROM sk WHERE i = 1) s1 ON ex.b1 = s1.b
+          JOIN (SELECT b, c FROM sk WHERE i = 2) s2 ON ex.b2 = s2.b
+          JOIN (SELECT b, c FROM sk WHERE i = 3) s3 ON ex.b3 = s3.b
+        )
+        SELECT t, exact, cms_estimate,
+               round((cms_estimate - exact) / exact, 6) + 0.0
+                 AS over_frac,
+               rank
+        FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY exact DESC, t)::BIGINT AS rank
+          FROM est) q
+        WHERE rank <= 10
     """
     # chunk_dedup: float-free replay over the planted-dup corpus —
     # non-overlapping chunk md5s, windowed occurrence count

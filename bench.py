@@ -214,6 +214,8 @@ def main() -> None:
         "mix_weights",
         "source_divergence",
         "chunk_dedup",
+        "hll_distinct",
+        "cms_heavy_hitters",
     ):
         if name not in qs:
             continue

@@ -1,0 +1,103 @@
+"""Sketch property tests (functions/sketch.py): HLL register replay +
+accuracy on a high-cardinality corpus (raw-estimate branch), CMS
+overestimate guarantee + exactness for unique-bucket terms."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from sonar_spark.functions.sketch import (
+    CMS_D,
+    CMS_W,
+    HLL_M,
+    RHO_CAP,
+    cms_heavy_hitters,
+    hll_distinct,
+)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _hll_estimate(terms: set) -> float:
+    regs: dict = {}
+    for t in terms:
+        h = _md5_60(t)
+        j, w = h & (HLL_M - 1), h >> 8
+        if w == 0:
+            rho = RHO_CAP
+        else:
+            rho = min((w & -w).bit_length(), RHO_CAP)
+        regs[j] = max(regs.get(j, 0), rho)
+    s = sum(2.0 ** -r for r in regs.values()) + (HLL_M - len(regs))
+    v = HLL_M - len(regs)
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+    e = alpha_m2 / s
+    if e <= 2.5 * HLL_M and v > 0:
+        e = float(HLL_M) * math.log(float(HLL_M) / v)
+    return round(e, 6)
+
+
+def test_hll_matches_python_replay_and_is_accurate(spark):
+    rng = random.Random(3)
+    rows = []
+    # gA: high cardinality (raw branch, V == 0 plausible);
+    # gB: tiny vocab (small-range correction branch)
+    vocab_a = [f"w{i}" for i in range(4000)]
+    for _ in range(800):
+        rows.append(("gA", [rng.choice(vocab_a) for _ in range(12)]))
+    for _ in range(50):
+        rows.append(("gB", [rng.choice(["x", "y", "z"]) for _ in range(6)]))
+    df = spark.createDataFrame(rows, "source string, words array<string>")
+    got = {r["source"]: r for r in hll_distinct(df).collect()}
+    for g in ("gA", "gB"):
+        terms = {w for s, ws in rows if s == g for w in ws}
+        est = _hll_estimate(terms)
+        r = got[g]
+        assert r["exact_distinct"] == len(terms)
+        assert abs(r["hll_estimate"] - est) < 1e-9
+        assert r["rel_err"] == round(
+            (est - len(terms)) / len(terms), 6
+        )
+        # HLL theoretical std err = 1.04/sqrt(m) ~ 6.5%; allow 4 sigma
+        assert abs(r["rel_err"]) < 4 * 1.04 / math.sqrt(HLL_M)
+    # both correction branches actually exercised
+    terms_a = {w for s, ws in rows if s == "gA" for w in ws}
+    regs_a = {_md5_60(t) & (HLL_M - 1) for t in terms_a}
+    assert len(regs_a) == HLL_M  # raw branch (V == 0)
+    assert len({w for s, ws in rows if s == "gB" for w in ws}) == 3
+
+
+def test_cms_overestimates_and_replays(spark):
+    rng = random.Random(9)
+    rows = []
+    vocab = [f"t{i}" for i in range(300)]
+    for _ in range(400):
+        rows.append(([rng.choice(vocab) for _ in range(rng.randint(1, 15))],))
+    df = spark.createDataFrame(rows, "words array<string>")
+    got = cms_heavy_hitters(df, top_n=10).collect()
+    assert len(got) == 10
+    # exact counts + python sketch replay
+    from collections import Counter
+
+    cnt = Counter(w for (ws,) in rows for w in ws)
+    sketch = [[0] * CMS_W for _ in range(CMS_D)]
+    for w, c in cnt.items():
+        for i in range(CMS_D):
+            sketch[i][_md5_60(f"{w}#{i}") % CMS_W] += c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for rank, (w, c) in enumerate(top, start=1):
+        r = next(x for x in got if x["t"] == w)
+        assert r["rank"] == rank
+        assert r["exact"] == c
+        est = min(
+            sketch[i][_md5_60(f"{w}#{i}") % CMS_W] for i in range(CMS_D)
+        )
+        assert r["cms_estimate"] == est
+        assert r["cms_estimate"] >= c  # the CMS guarantee
+        assert r["over_frac"] >= 0.0
