@@ -3911,6 +3911,29 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(words, window=8, stride=8)
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen over the decontaminate split
+    (eval = doc_id % 97 == 0): the scale path where the eval side
+    collapses to a <= 4096-row broadcast bit table.  The exact join
+    runs alongside, so the output certifies zero false negatives
+    (n_maybe >= n_true per doc) and measures the fp rate.
+    See functions/sketch.py."""
+    from sonar_spark.functions.sketch import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                _shingles4(F.split(F.trim(F.col("text")), r"\s+"))
+            )
+        ).alias("sh"),
+    )
+    ev = sh.where(F.col("doc_id") % 97 == 0).select("sh")
+    tr = sh.where(F.col("doc_id") % 97 != 0)
+    return bloom_decontaminate(tr, ev)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog per-source distinct-token estimate
     next to the exact count.  Spark's approx_count_distinct is
@@ -6497,6 +6520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7770,6 +7794,69 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY exact DESC, t)::BIGINT AS rank
           FROM est) q
         WHERE rank <= 10
+    """
+    # bloom_decontaminate: full bit-table replay — same salted md5
+    # bits, same count==k membership rule, exact join alongside
+    d["bloom_decontaminate"] = r"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(
+                     len(string_split_regex(trim(text), '\s+')) - 3, 1)),
+                   i -> array_to_string(
+                     string_split_regex(trim(text), '\s+')[i:i+3], ' ')
+                 ))) AS sh
+          FROM documents
+        ),
+        ev AS (
+          SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+        ),
+        tr AS (
+          SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 97 != 0
+        ),
+        bits AS (
+          SELECT DISTINCT unnest([
+            ('0x' || substring(md5(sh || '#b0'), 1, 15))::BIGINT % 4096,
+            ('0x' || substring(md5(sh || '#b1'), 1, 15))::BIGINT % 4096,
+            ('0x' || substring(md5(sh || '#b2'), 1, 15))::BIGINT % 4096
+          ]) AS bit
+          FROM ev
+        ),
+        lng AS (
+          SELECT doc_id, sh, unnest([
+            ('0x' || substring(md5(sh || '#b0'), 1, 15))::BIGINT % 4096,
+            ('0x' || substring(md5(sh || '#b1'), 1, 15))::BIGINT % 4096,
+            ('0x' || substring(md5(sh || '#b2'), 1, 15))::BIGINT % 4096
+          ]) AS bit
+          FROM tr
+        ),
+        maybe AS (
+          SELECT doc_id, sh, 1 AS maybe
+          FROM lng JOIN bits USING (bit)
+          GROUP BY 1, 2 HAVING count(*) = 3
+        ),
+        truth AS (
+          SELECT doc_id, sh, 1 AS tru FROM tr JOIN ev USING (sh)
+        ),
+        per AS (
+          SELECT tr.doc_id,
+                 coalesce(maybe.maybe, 0) AS mb,
+                 coalesce(truth.tru, 0) AS tu
+          FROM tr
+          LEFT JOIN maybe ON maybe.doc_id = tr.doc_id
+                         AND maybe.sh = tr.sh
+          LEFT JOIN truth ON truth.doc_id = tr.doc_id
+                         AND truth.sh = tr.sh
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_shingles,
+               sum(mb)::BIGINT AS n_maybe,
+               sum(tu)::BIGINT AS n_true,
+               (sum(mb) - sum(tu))::BIGINT AS n_false_pos,
+               sum(mb) > 0 AS contaminated_bloom,
+               sum(tu) > 0 AS contaminated_exact,
+               round((sum(mb) - sum(tu))::BIGINT * 1.0 / count(*), 6)
+                 + 0.0 AS fp_frac
+        FROM per GROUP BY 1
     """
     # chunk_dedup: float-free replay over the planted-dup corpus —
     # non-overlapping chunk md5s, windowed occurrence count

@@ -216,6 +216,7 @@ def main() -> None:
         "chunk_dedup",
         "hll_distinct",
         "cms_heavy_hitters",
+        "bloom_decontaminate",
     ):
         if name not in qs:
             continue

@@ -202,3 +202,96 @@ def cms_heavy_hitters(
         )
         .where(F.col("rank") <= top_n)
     )
+
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hashes
+
+
+def bloom_decontaminate(
+    train_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter membership screen for benchmark decontamination —
+    the SCALE PATH for the exact-join decontaminate operator: the
+    eval side collapses to a <= m-row bit table that broadcasts
+    everywhere, so the corpus side never joins eval shingles at all.
+    (Spark's own BloomFilter aggregate is value-opaque across
+    engines; this one is md5-derived and fully replayable.)
+
+    Bit i of shingle s: md5_60(s || '#b<i>') % m.  A train shingle is
+    bloom-POSITIVE iff all k of its bits are set (count of matched
+    exploded bit rows == k — duplicate bits within one shingle's k
+    hashes match-or-miss together, so the plain count is exact).  The
+    exact join runs alongside to measure the false-positive rate —
+    and to certify the zero-false-negative guarantee (n_maybe >=
+    n_true per doc, by construction).
+
+    Output per train doc: n_shingles, n_maybe, n_true, n_false_pos,
+    contaminated_bloom, contaminated_exact, fp_frac (6dp).
+    """
+    sh = F.col(sh_col)
+
+    def bit(i: int, col: Column) -> Column:
+        return (
+            _md5_60(F.concat(col, F.lit(f"#b{i}"))) % m
+        )
+
+    ev_d = eval_shingles.select(sh.alias("__es")).distinct()
+    bits = (
+        ev_d.select(
+            F.explode(
+                F.array(*[bit(i, F.col("__es")) for i in range(k)])
+            ).alias("__bit")
+        )
+        .distinct()
+    )
+    tr = train_shingles.select(id_col, sh).distinct()
+    lng = tr.select(
+        id_col,
+        sh,
+        F.explode(
+            F.array(*[bit(i, sh) for i in range(k)])
+        ).alias("__bit"),
+    )
+    maybe = (
+        lng.join(F.broadcast(bits), "__bit")
+        .groupBy(id_col, sh_col)
+        .agg((F.count("*") == k).cast("long").alias("__maybe"))
+        .where(F.col("__maybe") == 1)
+        .select(id_col, sh_col, "__maybe")
+    )
+    true_hit = (
+        tr.join(
+            F.broadcast(ev_d.select(F.col("__es").alias(sh_col))),
+            sh_col,
+        )
+        .select(id_col, sh_col, F.lit(1).alias("__true"))
+    )
+    per_sh = (
+        tr.join(maybe, [id_col, sh_col], "left")
+        .join(true_hit, [id_col, sh_col], "left")
+        .select(
+            id_col,
+            F.coalesce("__maybe", F.lit(0)).alias("__maybe"),
+            F.coalesce("__true", F.lit(0)).alias("__true"),
+        )
+    )
+    return per_sh.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("__maybe").cast("long").alias("n_maybe"),
+        F.sum("__true").cast("long").alias("n_true"),
+        (F.sum("__maybe") - F.sum("__true"))
+        .cast("long")
+        .alias("n_false_pos"),
+        (F.sum("__maybe") > 0).alias("contaminated_bloom"),
+        (F.sum("__true") > 0).alias("contaminated_exact"),
+        F.round(
+            (F.sum("__maybe") - F.sum("__true")) / F.count("*"), 6
+        ).alias("fp_frac"),
+    )

@@ -101,3 +101,52 @@ def test_cms_overestimates_and_replays(spark):
         assert r["cms_estimate"] == est
         assert r["cms_estimate"] >= c  # the CMS guarantee
         assert r["over_frac"] >= 0.0
+
+
+def test_bloom_zero_false_negatives_and_replays(spark):
+    from sonar_spark.functions.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_decontaminate,
+    )
+
+    rng = random.Random(21)
+    vocab = [f"s{i}" for i in range(500)]
+    ev_rows = [(rng.choice(vocab) + " " + rng.choice(vocab),) for _ in range(150)]
+    tr_rows = []
+    for d in range(40):
+        for _ in range(rng.randint(1, 12)):
+            if rng.random() < 0.3:
+                tr_rows.append((d, rng.choice(ev_rows)[0]))  # planted hit
+            else:
+                tr_rows.append(
+                    (d, rng.choice(vocab) + " " + rng.choice(vocab))
+                )
+    ev = spark.createDataFrame(ev_rows, "sh string")
+    tr = spark.createDataFrame(tr_rows, "doc_id long, sh string")
+    got = {r["doc_id"]: r for r in bloom_decontaminate(tr, ev).collect()}
+
+    ev_set = {s for (s,) in ev_rows}
+    bits = {
+        _md5_60(f"{s}#b{i}") % BLOOM_M
+        for s in ev_set
+        for i in range(BLOOM_K)
+    }
+    per_doc: dict = {}
+    for d, s in set(tr_rows):
+        n, mb, tu = per_doc.get(d, (0, 0, 0))
+        is_maybe = all(
+            _md5_60(f"{s}#b{i}") % BLOOM_M in bits for i in range(BLOOM_K)
+        )
+        per_doc[d] = (n + 1, mb + int(is_maybe), tu + int(s in ev_set))
+    for d, (n, mb, tu) in per_doc.items():
+        r = got[d]
+        assert r["n_shingles"] == n
+        assert r["n_maybe"] == mb
+        assert r["n_true"] == tu
+        assert r["n_maybe"] >= r["n_true"]  # zero false negatives
+        assert r["contaminated_exact"] == (tu > 0)
+        assert r["contaminated_bloom"] == (mb > 0)
+    # planted hits guarantee both branches live
+    assert any(r["n_true"] > 0 for r in got.values())
+    assert any(r["n_true"] == 0 for r in got.values())
