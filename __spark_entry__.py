@@ -3911,6 +3911,24 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(words, window=8, stride=8)
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 with a
+    distance-preservation report over the deterministic (even id,
+    id+1) pair sample: d2 before/after + ratio (expectation 1,
+    variance ~2/16).  Projection matrix is a plan-time seeded
+    constant; all float sums ride 9dp integer micro-units.
+    See functions/projection.py."""
+    from sonar_spark.functions.projection import jl_distance_report
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return jl_distance_report(emb)
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership screen over the decontaminate split
     (eval = doc_id % 97 == 0): the scale path where the eval side
@@ -6521,6 +6539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "random_projection": q_random_projection,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7795,6 +7814,59 @@ def oracle_sql() -> dict[str, str]:
           FROM est) q
         WHERE rank <= 10
     """
+    # random_projection: plan-time matrix VALUES, 9dp micro-unit sums
+    from sonar_spark.functions.projection import jl_matrix_sql_values
+
+    d["random_projection"] = r"""
+        WITH r(k, j, rv) AS (VALUES
+             {RVALS}),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        pos AS (
+          SELECT vec_id, p.i - 1 AS k, embedding[p.i]::DOUBLE AS v
+          FROM e, LATERAL (
+            SELECT generate_subscripts(embedding, 1) AS i) p
+        ),
+        proj AS (
+          SELECT vec_id, j,
+                 round(sum(CAST(round(round(v * rv, 9) * 1e9, 0)
+                   AS BIGINT)) / 1e9 + 1e-12, 6) + 0.0 AS p
+          FROM pos JOIN r ON r.k = pos.k
+          GROUP BY 1, 2
+        ),
+        pr AS (
+          SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                 a.embedding AS va, b.embedding AS vb
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % 2 = 0
+        ),
+        d2o AS (
+          SELECT vec_id_a, vec_id_b,
+                 round(sum(CAST(round(round(
+                   (va[i]::DOUBLE - vb[i]::DOUBLE)
+                   * (va[i]::DOUBLE - vb[i]::DOUBLE), 9) * 1e9, 0)
+                   AS BIGINT)) / 1e9 + 1e-12, 6) + 0.0 AS d2_orig
+          FROM (SELECT vec_id_a, vec_id_b, va, vb,
+                       generate_subscripts(va, 1) AS i
+                FROM pr)
+          GROUP BY 1, 2
+        ),
+        d2p AS (
+          SELECT d.vec_id_a, d.vec_id_b,
+                 round(sum(CAST(round(round(
+                   (pa.p - pb.p) * (pa.p - pb.p), 9) * 1e9, 0)
+                   AS BIGINT)) / 1e9 + 1e-12, 6) + 0.0 AS d2_proj
+          FROM d2o d
+          JOIN proj pa ON pa.vec_id = d.vec_id_a
+          JOIN proj pb ON pb.vec_id = d.vec_id_b AND pb.j = pa.j
+          GROUP BY 1, 2
+        )
+        SELECT d2o.vec_id_a, d2o.vec_id_b, d2o.d2_orig, d2p.d2_proj,
+               CASE WHEN d2o.d2_orig > 0
+                    THEN round(d2p.d2_proj / d2o.d2_orig + 1e-12, 6) + 0.0
+                    ELSE 0.0 END AS ratio
+        FROM d2o JOIN d2p ON d2p.vec_id_a = d2o.vec_id_a
+                         AND d2p.vec_id_b = d2o.vec_id_b
+    """.replace("{RVALS}", jl_matrix_sql_values())
     # bloom_decontaminate: full bit-table replay — same salted md5
     # bits, same count==k membership rule, exact join alongside
     d["bloom_decontaminate"] = r"""

@@ -217,6 +217,7 @@ def main() -> None:
         "hll_distinct",
         "cms_heavy_hitters",
         "bloom_decontaminate",
+        "random_projection",
     ):
         if name not in qs:
             continue

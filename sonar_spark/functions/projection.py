@@ -1,0 +1,144 @@
+"""Random projection (Johnson-Lindenstrauss) for embedding columns —
+the dimensionality-reduction step ahead of ANN / clustering at scale:
+project dim-d vectors onto a seeded Gaussian matrix R (scaled
+1/sqrt(k)) so pairwise distances are preserved in expectation, at a
+k/d memory and compute discount for everything downstream.
+
+Determinism/oracle contract: R is a PLAN-TIME CONSTANT (seeded draw,
+shared with the DuckDB oracle as repr-float VALUES — the semdedup
+centroid / IVF-PQ codebook precedent), and every float sum is carried
+as 9dp integer micro-units (products and squared differences rounded
+at the named quantized boundary, then exact BIGINT sums), so
+projections and the distance report are bit-identical in any engine
+and under any partitioning/order.
+
+Scale shape: the projection is one posexplode + a broadcast join of
+the d*k-row matrix + one (vec, j) aggregate — map-side combined, no
+corpus self-join; the verification pair sample is a deterministic
+vec_id+1 join, linear in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+JL_SEED = 1984  # Johnson & Lindenstrauss publication year
+JL_IN = 64
+JL_OUT = 16
+
+
+def jl_matrix() -> list[tuple[int, int, float]]:
+    """(k, j, r) rows of the seeded projection matrix, r ~
+    N(0, 1/sqrt(out_dim)) — shared with the oracle as repr floats."""
+    import numpy as np
+
+    rng = np.random.RandomState(JL_SEED)
+    mat = rng.randn(JL_IN, JL_OUT) / np.sqrt(JL_OUT)
+    return [
+        (k, j, float(mat[k, j]))
+        for k in range(JL_IN)
+        for j in range(JL_OUT)
+    ]
+
+
+def jl_matrix_sql_values() -> str:
+    return ",\n             ".join(
+        f"({k}, {j}, {r!r})" for k, j, r in jl_matrix()
+    )
+
+
+def _micro9(col) -> F.Column:
+    return F.round(F.round(col, 9) * 1e9, 0).cast("long")
+
+
+def jl_project(emb: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, j, p) projected coordinates, 6dp (micro-unit sums)."""
+    spark = emb.sparkSession
+    rdf = spark.createDataFrame(
+        jl_matrix(), "k int, j int, r double"
+    )
+    pos = emb.select(
+        id_col, F.posexplode(vec_col).alias("k", "__v")
+    )
+    return (
+        pos.join(F.broadcast(rdf), "k")
+        .groupBy(id_col, "j")
+        .agg(F.sum(_micro9(F.col("__v") * F.col("r"))).alias("__mu"))
+        .select(
+            id_col,
+            "j",
+            F.round(F.col("__mu") / 1e9 + 1e-12, 6).alias("p"),
+        )
+    )
+
+
+def jl_distance_report(
+    emb: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distance-preservation report over the deterministic
+    (even id, id+1) pair sample: squared distance before and after
+    projection and their ratio (expectation 1 under JL; variance
+    ~2/out_dim).  Output: vec_id_a, vec_id_b, d2_orig, d2_proj,
+    ratio — all 6dp."""
+    proj = jl_project(emb, id_col=id_col, vec_col=vec_col)
+    a = emb.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("__va")
+    ).where(F.col("vec_id_a") % 2 == 0)
+    b = emb.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = a.join(
+        b, F.col("vec_id_b") == F.col("vec_id_a") + 1
+    )
+    d2o_micro = F.aggregate(
+        F.zip_with(
+            "__va",
+            "__vb",
+            lambda x, y: F.round((x - y) * (x - y), 9),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.round(t * 1e9, 0).cast("long"),
+    )
+    orig = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        F.round(d2o_micro / 1e9 + 1e-12, 6).alias("d2_orig"),
+    )
+    pa = proj.select(
+        F.col(id_col).alias("vec_id_a"), "j", F.col("p").alias("__pa")
+    )
+    pb = proj.select(
+        F.col(id_col).alias("vec_id_b"), "j", F.col("p").alias("__pb")
+    )
+    dproj = (
+        orig.select("vec_id_a", "vec_id_b")
+        .join(pa, "vec_id_a")
+        .join(pb, ["vec_id_b", "j"])
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(
+            F.sum(
+                _micro9(
+                    (F.col("__pa") - F.col("__pb"))
+                    * (F.col("__pa") - F.col("__pb"))
+                )
+            ).alias("__mu")
+        )
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(F.col("__mu") / 1e9 + 1e-12, 6).alias("d2_proj"),
+        )
+    )
+    return orig.join(dproj, ["vec_id_a", "vec_id_b"]).select(
+        "vec_id_a",
+        "vec_id_b",
+        "d2_orig",
+        "d2_proj",
+        F.when(F.col("d2_orig") > 0,
+               F.round(F.col("d2_proj") / F.col("d2_orig") + 1e-12, 6))
+        .otherwise(F.lit(0.0))
+        .alias("ratio"),
+    )

@@ -150,3 +150,53 @@ def test_bloom_zero_false_negatives_and_replays(spark):
     # planted hits guarantee both branches live
     assert any(r["n_true"] > 0 for r in got.values())
     assert any(r["n_true"] == 0 for r in got.values())
+
+
+def test_jl_projection_preserves_distances(spark):
+    import numpy as np
+
+    from sonar_spark.functions.projection import (
+        jl_distance_report,
+        jl_matrix,
+        jl_project,
+    )
+
+    rng = np.random.RandomState(8)
+    vecs = rng.randn(60, 64)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # projection replays the micro-unit python oracle exactly
+    # (half-up away-from-zero, the F.round emulation — python round()
+    # is half-even and flips 9dp/6dp ties)
+    import math as _m
+
+    def half_up(x, d):
+        s = 10.0 ** d
+        return (
+            _m.floor(x * s + 0.5) / s
+            if x >= 0
+            else _m.ceil(x * s - 0.5) / s
+        )
+
+    mat = {(k, j): r for k, j, r in jl_matrix()}
+    got_p = {
+        (r["vec_id"], r["j"]): r["p"] for r in jl_project(df).collect()
+    }
+    for i in (0, 7, 59):
+        for j in range(16):
+            mu = sum(
+                int(half_up(half_up(float(vecs[i][k]) * mat[(k, j)], 9) * 1e9, 0))
+                for k in range(64)
+            )
+            assert abs(got_p[(i, j)] - half_up(mu / 1e9 + 1e-12, 6)) < 1e-12
+
+    rep = jl_distance_report(df).collect()
+    assert len(rep) == 30
+    ratios = [r["ratio"] for r in rep]
+    for r in rep:
+        assert r["d2_orig"] > 0 and r["d2_proj"] > 0
+    # JL with out_dim 16: sd(ratio) ~ sqrt(2/16) = 0.35; bounds at
+    # ~4 sigma, mean near 1
+    assert all(0.05 < x < 2.6 for x in ratios)
+    assert 0.75 < sum(ratios) / len(ratios) < 1.25
