@@ -3911,6 +3911,23 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(words, window=8, stride=8)
 
 
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 affine quantization report (8x embedding
+    storage compression): deterministic codes with the +1e-12 tie
+    nudge, exact integer code checksum, micro-unit reconstruction
+    rmse.  One scan, all array expressions.
+    See functions/projection.py."""
+    from sonar_spark.functions.projection import int8_quantize_report
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return int8_quantize_report(emb)
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64 -> 16 with a
     distance-preservation report over the deterministic (even id,
@@ -6540,6 +6557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_decontaminate": q_bloom_decontaminate,
         "random_projection": q_random_projection,
+        "int8_quantize": q_int8_quantize,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7813,6 +7831,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY exact DESC, t)::BIGINT AS rank
           FROM est) q
         WHERE rank <= 10
+    """
+    # int8_quantize: set-based replay (codes, checksum, micro rmse)
+    d["int8_quantize"] = r"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 list_min(embedding)::DOUBLE AS mn,
+                 (list_max(embedding)::DOUBLE
+                  - list_min(embedding)::DOUBLE) / 255.0 AS sc
+          FROM embeddings
+        ),
+        pos AS (
+          SELECT vec_id, mn, sc, embedding[i]::DOUBLE AS v
+          FROM (SELECT vec_id, mn, sc, embedding,
+                       generate_subscripts(embedding, 1) AS i
+                FROM e)
+        ),
+        codes AS (
+          SELECT vec_id, mn, sc, v,
+                 CASE WHEN sc > 0 THEN least(255, greatest(0,
+                   CAST(round((v - mn) / sc + 1e-12, 0) AS INT)))
+                 ELSE 0 END AS q
+          FROM pos
+        ),
+        ag AS (
+          SELECT vec_id, min(mn) AS mn, min(sc) AS sc,
+                 sum(q)::BIGINT AS code_sum,
+                 sum(CAST(round(round(
+                   (v - (mn + q * sc)) * (v - (mn + q * sc)), 9)
+                   * 1e9, 0) AS BIGINT))::BIGINT AS err,
+                 count(*)::BIGINT AS n
+          FROM codes GROUP BY 1
+        )
+        SELECT vec_id,
+               round(mn + 1e-12, 6) + 0.0 AS vmin,
+               round(mn + sc * 255.0 + 1e-12, 6) + 0.0 AS vmax,
+               code_sum,
+               round(sqrt(err / 1e9 / n) + 1e-12, 6) + 0.0 AS rmse
+        FROM ag
     """
     # random_projection: plan-time matrix VALUES, 9dp micro-unit sums
     from sonar_spark.functions.projection import jl_matrix_sql_values

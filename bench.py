@@ -218,6 +218,7 @@ def main() -> None:
         "cms_heavy_hitters",
         "bloom_decontaminate",
         "random_projection",
+        "int8_quantize",
     ):
         if name not in qs:
             continue

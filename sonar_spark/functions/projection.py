@@ -142,3 +142,75 @@ def jl_distance_report(
         .otherwise(F.lit(0.0))
         .alias("ratio"),
     )
+
+
+def int8_quantize_report(
+    emb: DataFrame, *, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 affine quantization report — the 8x storage
+    compression embedding stores apply before ANN (the scalar cousin
+    of the IVF-PQ codebooks): q_i = round((v_i - min) / scale) with
+    scale = (max - min) / 255, reconstruction v' = min + q * scale.
+
+    All decision points are deterministic: min/max are exact doubles,
+    scale rides one double division, the code round gets the +1e-12
+    tie nudge (both engines), codes clamp to [0, 255], and the
+    reconstruction error is a 9dp micro-unit sum.  A zero-range
+    vector (scale == 0) quantizes to all-zero codes and reconstructs
+    exactly.
+
+    Output per vector: vmin/vmax (6dp), code_sum (exact int checksum
+    of the 64 codes), rmse (6dp).  One scan, zero shuffles beyond the
+    per-vector aggregate (all array expressions).
+    """
+    v = F.col(vec_col)
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    scale = (vmax - vmin) / F.lit(255.0)
+    code = F.transform(
+        v,
+        lambda x: F.when(
+            scale > 0,
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round((x - vmin) / scale + 1e-12, 0).cast("int"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    base = emb.select(
+        id_col,
+        v.alias("__v"),
+        vmin.alias("__mn"),
+        scale.alias("__sc"),
+        code.alias("__q"),
+    )
+    err_micro = F.aggregate(
+        F.zip_with(
+            "__v",
+            "__q",
+            lambda x, q: F.round(
+                (x - (F.col("__mn") + q.cast("double") * F.col("__sc")))
+                * (x - (F.col("__mn") + q.cast("double") * F.col("__sc"))),
+                9,
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.round(t * 1e9, 0).cast("long"),
+    )
+    return base.select(
+        id_col,
+        F.round(F.col("__mn") + 1e-12, 6).alias("vmin"),
+        F.round(F.col("__mn") + F.col("__sc") * 255.0 + 1e-12, 6).alias(
+            "vmax"
+        ),
+        F.aggregate(
+            "__q", F.lit(0).cast("long"), lambda a, q: a + q
+        ).alias("code_sum"),
+        F.round(
+            F.sqrt(err_micro / 1e9 / F.size("__v")) + 1e-12, 6
+        ).alias("rmse"),
+    )

@@ -200,3 +200,46 @@ def test_jl_projection_preserves_distances(spark):
     # ~4 sigma, mean near 1
     assert all(0.05 < x < 2.6 for x in ratios)
     assert 0.75 < sum(ratios) / len(ratios) < 1.25
+
+
+def test_int8_quantize_replays_and_bounds_error(spark):
+    import numpy as np
+
+    from sonar_spark.functions.projection import int8_quantize_report
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(25, 64) * rng.uniform(0.5, 3.0, size=(25, 1))
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(25)]
+    rows.append((999, [1.5] * 64))  # zero-range branch
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in int8_quantize_report(df).collect()}
+
+    def half_up(x, d):
+        s = 10.0 ** d
+        return (
+            math.floor(x * s + 0.5) / s
+            if x >= 0
+            else math.ceil(x * s - 0.5) / s
+        )
+
+    for i, v in rows:
+        v = np.asarray(v)
+        mn, mx = float(v.min()), float(v.max())
+        sc = (mx - mn) / 255.0
+        if sc > 0:
+            q = np.clip(
+                [int(half_up((x - mn) / sc + 1e-12, 0)) for x in v], 0, 255
+            )
+        else:
+            q = np.zeros(64, dtype=int)
+        err = sum(
+            int(half_up(half_up((x - (mn + int(c) * sc)) ** 2, 9) * 1e9, 0))
+            for x, c in zip(v, q)
+        )
+        r = got[i]
+        assert r["code_sum"] == int(q.sum())
+        assert abs(r["vmin"] - half_up(mn + 1e-12, 6)) < 1e-12
+        assert abs(r["rmse"] - half_up(math.sqrt(err / 1e9 / 64) + 1e-12, 6)) < 1e-12
+        # 8-bit quantization error bound: rmse <= scale/2 (uniform)
+        assert r["rmse"] <= sc / 2 + 1e-9
+    assert got[999]["code_sum"] == 0 and got[999]["rmse"] == 0.0
