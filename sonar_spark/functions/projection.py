@@ -83,7 +83,9 @@ def jl_distance_report(
     projection and their ratio (expectation 1 under JL; variance
     ~2/out_dim).  Output: vec_id_a, vec_id_b, d2_orig, d2_proj,
     ratio — all 6dp."""
-    proj = jl_project(emb, id_col=id_col, vec_col=vec_col)
+    # the projection table feeds both pair sides — persist it so the
+    # posexplode+join+aggregate runs once (the dsir model precedent)
+    proj = jl_project(emb, id_col=id_col, vec_col=vec_col).persist()
     a = emb.select(
         F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("__va")
     ).where(F.col("vec_id_a") % 2 == 0)
@@ -102,11 +104,13 @@ def jl_distance_report(
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.round(t * 1e9, 0).cast("long"),
     )
+    # orig (the self-join + interpreted d2 fold) feeds the projected
+    # pair frame AND the final join — persist it too
     orig = pairs.select(
         "vec_id_a",
         "vec_id_b",
         F.round(d2o_micro / 1e9 + 1e-12, 6).alias("d2_orig"),
-    )
+    ).persist()
     pa = proj.select(
         F.col(id_col).alias("vec_id_a"), "j", F.col("p").alias("__pa")
     )

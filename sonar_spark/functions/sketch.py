@@ -137,41 +137,45 @@ def cms_heavy_hitters(
     d x w bucket sketch and report the top-n exact terms with their
     CMS estimates.
 
-    Row-i hash: md5_60(term || '#i') % w.  Bucket table = ONE token
-    scan exploded d ways -> groupBy (i, bucket) (<= d*w rows — THE
-    sketch; shards merge by summing it).  estimate(t) = min_i
-    bucket[i][h_i(t)], always >= the true count (the CMS guarantee,
-    asserted in the output as over_frac >= 0).
+    Row-i hash: md5_60(term || '#i') % w.  ONE token scan builds the
+    vocab-bounded term-count table (map-side combined); the d hashes
+    and the (i, bucket) sketch (<= d*w rows — THE sketch; shards
+    merge by summing it) derive from that table, never from the raw
+    stream again.  estimate(t) = min_i bucket[i][h_i(t)], always >=
+    the true count (the CMS guarantee, asserted in the output as
+    over_frac >= 0).
 
     Output: term, exact count, cms_estimate, over_frac (6dp), rank.
     """
     toks = docs.select(F.explode(words_col).alias("t"))
-    hashed = toks.select(
-        "t",
-        *[
-            (
-                _md5_60(F.concat(F.col("t"), F.lit(f"#{i}")))
-                % CMS_W
-            ).alias(f"__b{i}")
-            for i in range(CMS_D)
-        ],
-    )
-    sketch_rows = []
-    for i in range(CMS_D):
-        sketch_rows.append(
-            hashed.select(
-                F.lit(i).alias("__i"), F.col(f"__b{i}").alias("__b")
-            )
+    # ONE term-level count pass; the d salted md5 hashes are computed
+    # on the vocab-bounded count table, not per token (a 4-way union
+    # over the token stream re-derived the corpus scan + md5 4x)
+    exact = (
+        toks.groupBy("t")
+        .agg(F.count("*").cast("long").alias("exact"))
+        .select(
+            "t",
+            "exact",
+            *[
+                (
+                    _md5_60(F.concat(F.col("t"), F.lit(f"#{i}")))
+                    % CMS_W
+                ).alias(f"__b{i}")
+                for i in range(CMS_D)
+            ],
         )
-    stream = sketch_rows[0]
-    for s in sketch_rows[1:]:
-        stream = stream.unionByName(s)
-    sketch = stream.groupBy("__i", "__b").agg(
-        F.count("*").cast("long").alias("__c")
+        .persist()
     )
-    exact = hashed.groupBy(
-        "t", *[f"__b{i}" for i in range(CMS_D)]
-    ).agg(F.count("*").cast("long").alias("exact"))
+    stream = exact.select(
+        "exact",
+        F.posexplode(
+            F.array(*[F.col(f"__b{i}") for i in range(CMS_D)])
+        ).alias("__i", "__b"),
+    )
+    sketch = stream.groupBy("__i", "__b").agg(
+        F.sum("exact").cast("long").alias("__c")
+    )
     est = exact
     for i in range(CMS_D):
         est = est.join(
@@ -251,7 +255,10 @@ def bloom_decontaminate(
         )
         .distinct()
     )
-    tr = train_shingles.select(id_col, sh).distinct()
+    # the distinct train-shingle table feeds FOUR consumers (bit
+    # stream, exact join, and both sides of the per-shingle frame) —
+    # persist it so the corpus explode+distinct runs once
+    tr = train_shingles.select(id_col, sh).distinct().persist()
     lng = tr.select(
         id_col,
         sh,
