@@ -104,13 +104,14 @@ def jl_distance_report(
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.round(t * 1e9, 0).cast("long"),
     )
-    # orig (the self-join + interpreted d2 fold) feeds the projected
-    # pair frame AND the final join — persist it too
+    # orig feeds the projected pair frame and the final join, but the
+    # pair table is tiny and the fold cheap — recomputing beats a
+    # persist barrier here (measured: the persist cost bench +1s)
     orig = pairs.select(
         "vec_id_a",
         "vec_id_b",
         F.round(d2o_micro / 1e9 + 1e-12, 6).alias("d2_orig"),
-    ).persist()
+    )
     pa = proj.select(
         F.col(id_col).alias("vec_id_a"), "j", F.col("p").alias("__pa")
     )
