@@ -755,3 +755,47 @@ def test_chunk_dedup_matches_python_oracle(spark):
         assert abs(r["dup_chunk_frac"] - round(nd / len(cs), 6)) < 1e-12
     # the planted boilerplate chunks must register as duplicated
     assert got[100]["n_dup_chunks"] >= 2
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Coverage property: with stride <= window every token index of
+    every doc appears in at least one chunk, chunk starts advance by
+    exactly stride, and total chunk tokens == n + overlap-duplicates."""
+    from sonar_spark.operators.packing import chunk_documents
+
+    docs = _corpus(55, 50, max_len=80)
+    df = spark.createDataFrame(docs, "doc_id long, words array<string>")
+    rows = chunk_documents(df, window=9, stride=4).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, ws in docs:
+        n = len(ws)
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        starts = [r["start"] for r in chunks]
+        assert starts == list(range(0, n, 4))
+        covered = set()
+        for r in chunks:
+            covered.update(range(r["start"], r["start"] + r["chunk_len"]))
+            assert r["chunk_len"] == min(9, n - r["start"])
+        assert covered == set(range(n))
+
+
+def test_temperature_mix_budget_conservation(spark):
+    """The integer allocation never exceeds the budget and the
+    shortfall is bounded by the group count (floor division)."""
+    from sonar_spark.functions.corpus import temperature_mix
+
+    rng = random.Random(2)
+    rows = []
+    for g in range(7):
+        for _ in range(rng.randint(1, 30)):
+            rows.append(
+                (f"g{g}", [rng.choice(VOCAB) for _ in range(rng.randint(1, 9))])
+            )
+    df = spark.createDataFrame(rows, "source string, words array<string>")
+    out = temperature_mix(df, temperature=0.7, budget=55555).collect()
+    total = sum(r["alloc_tokens"] for r in out)
+    assert total <= 55555
+    assert 55555 - total < len(out)  # floor-division shortfall bound
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4

@@ -243,3 +243,57 @@ def test_int8_quantize_replays_and_bounds_error(spark):
         # 8-bit quantization error bound: rmse <= scale/2 (uniform)
         assert r["rmse"] <= sc / 2 + 1e-9
     assert got[999]["code_sum"] == 0 and got[999]["rmse"] == 0.0
+
+
+def test_sketch_shard_merge_properties(spark):
+    """The reason sketches exist at 100 TB: shard sketches must merge
+    into exactly the whole-corpus sketch (HLL registers by max, CMS
+    buckets by sum) without touching raw data again."""
+    rng = random.Random(17)
+    vocab = [f"m{i}" for i in range(800)]
+    shard_a = [("g", [rng.choice(vocab) for _ in range(10)]) for _ in range(120)]
+    shard_b = [("g", [rng.choice(vocab) for _ in range(10)]) for _ in range(120)]
+
+    # HLL: registers(union) == max(registers(a), registers(b))
+    def registers(rows):
+        regs: dict = {}
+        for _, ws in rows:
+            for t in set(ws):
+                h = _md5_60(t)
+                j, w = h & (HLL_M - 1), h >> 8
+                rho = RHO_CAP if w == 0 else min((w & -w).bit_length(), RHO_CAP)
+                regs[j] = max(regs.get(j, 0), rho)
+        return regs
+
+    ra, rb = registers(shard_a), registers(shard_b)
+    ru = registers(shard_a + shard_b)
+    merged = {
+        j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)
+    }
+    assert merged == ru
+
+    # and the engine's estimate over the union equals the estimate
+    # computed from the merged registers
+    df = spark.createDataFrame(
+        shard_a + shard_b, "source string, words array<string>"
+    )
+    got = hll_distinct(df).collect()[0]
+    assert abs(
+        got["hll_estimate"]
+        - _hll_estimate({w for _, ws in shard_a + shard_b for w in ws})
+    ) < 1e-9
+
+    # CMS: bucket(union) == bucket(a) + bucket(b), for every bucket
+    from collections import Counter
+
+    def buckets(rows):
+        b = Counter()
+        for (ws,) in rows:
+            for t in ws:
+                for i in range(CMS_D):
+                    b[(i, _md5_60(f"{t}#{i}") % CMS_W)] += 1
+        return b
+
+    sa = [(ws,) for _, ws in shard_a]
+    sb = [(ws,) for _, ws in shard_b]
+    assert buckets(sa) + buckets(sb) == buckets(sa + sb)
