@@ -57,6 +57,10 @@ def main() -> None:
         temperature_mix,
         vocab_stats,
     )
+    from sonar_spark.functions.sketch import (
+        cms_heavy_hitters,
+        hll_distinct,
+    )
     from sonar_spark.operators.packing import chunk_documents
     from sonar_spark.session import get_spark
 
@@ -84,6 +88,12 @@ def main() -> None:
         ),
         "chunk_tokens": lambda d: chunk_documents(
             d.select("doc_id", "words"), window=16, stride=12
+        ),
+        "hll_distinct": lambda d: hll_distinct(
+            d.select("source", "words")
+        ),
+        "cms_heavy_hitters": lambda d: cms_heavy_hitters(
+            d.select("words")
         ),
     }
 
