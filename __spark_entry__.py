@@ -3911,6 +3911,53 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(words, window=8, stride=8)
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + stratification report —
+    the holdout-assignment step a training pipeline runs last (and
+    must reproduce identically on every backfill): content-keyed
+    md5 buckets (the sample_mix convention — never RNG) map to
+    train < 8000 <= val < 9000 <= test over 10000, so a document's
+    split is a pure function of its id across runs, engines and
+    partitionings.  Output: one row per (source, split) with doc and
+    token counts and the within-source doc fraction — the
+    stratification evidence (hash splits stratify in expectation;
+    the report is how a pipeline checks it).  One scan, one
+    group aggregate; the assignment itself is a zero-shuffle column.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10000
+    split = (
+        F.when(bucket < 8000, "train")
+        .when(bucket < 9000, "val")
+        .otherwise("test")
+    )
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "source",
+        split.alias("split"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("__nt"),
+    )
+    agg = d.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w), 6
+        ).alias("frac_docs"),
+    )
+
+
 def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 affine quantization report (8x embedding
     storage compression): deterministic codes with the +1e-12 tie
@@ -6558,6 +6605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "random_projection": q_random_projection,
         "int8_quantize": q_int8_quantize,
+        "split_assign": q_split_assign,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7831,6 +7879,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY exact DESC, t)::BIGINT AS rank
           FROM est) q
         WHERE rank <= 10
+    """
+    # split_assign: md5-bucket split + stratification report
+    d["split_assign"] = r"""
+        WITH d AS (
+          SELECT source,
+                 CASE WHEN ('0x' || substring(
+                        md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                        < 8000 THEN 'train'
+                      WHEN ('0x' || substring(
+                        md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                        < 9000 THEN 'val'
+                      ELSE 'test' END AS split,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT
+                   AS nt
+          FROM documents
+        ),
+        ag AS (
+          SELECT source, split, count(*)::BIGINT AS n_docs,
+                 sum(nt)::BIGINT AS n_tokens
+          FROM d GROUP BY 1, 2
+        )
+        SELECT source, split, n_docs, n_tokens,
+               round(n_docs / ((sum(n_docs) OVER (
+                 PARTITION BY source))::BIGINT), 6) + 0.0
+                 AS frac_docs
+        FROM ag
     """
     # int8_quantize: set-based replay (codes, checksum, micro rmse)
     d["int8_quantize"] = r"""

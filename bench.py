@@ -219,6 +219,7 @@ def main() -> None:
         "bloom_decontaminate",
         "random_projection",
         "int8_quantize",
+        "split_assign",
     ):
         if name not in qs:
             continue

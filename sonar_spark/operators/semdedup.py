@@ -33,7 +33,7 @@ comparison, with (value, id) lexicographic tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
