@@ -6550,11 +6550,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # featurize_music (50/50 green), so the round-5 window leads with
     # the 11 late-round-4 additions (dedup_groups .. resample, never
     # driver-certified before this round), then every new round-5
-    # query (streaming surface, buffers/bytes closures, and the
-    # token-axis curation/corpus-analytics family: decontaminate ..
-    # chunk_dedup), then long-certified anchors filling out 50.
-    # With this rotation every query in the dict has appeared green
-    # in a driver CORRECTNESS snapshot in some round (r01-r05).
+    # query (streaming surface, buffers/bytes closures, the
+    # token-axis curation/corpus-analytics family, and the sketch/
+    # projection/quantization group: decontaminate .. split_assign),
+    # then long-certified anchors filling out 50.  With this rotation
+    # every query in the dict has appeared green in a driver
+    # CORRECTNESS snapshot in some round (r01-r05).
+    # ROUND-6 NOTE: the window is nearly full (47 uncertified + 3
+    # anchors) — any round-6 additions go in slots 1..N and push the
+    # remaining anchors out; everything beyond slot 50 is already
+    # certified by an earlier CORRECTNESS round, so nothing is lost.
     return {
         # --- slots 1-11: late-round-4 queries, never snapshotted
         "dedup_groups": q_dedup_groups,
