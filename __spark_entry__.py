@@ -4016,6 +4016,21 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(tr, ev)
 
 
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL shard-merge law as a driver-certified result: treat
+    each source as a shard, max-merge the shard register tables, and
+    compare against the sketch computed directly over the corpus —
+    registers and estimate must be identical (the reason per-shard
+    sketches compose at 100 TB without rescans).
+    See functions/sketch.py."""
+    from sonar_spark.functions.sketch import hll_merge_check
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    return hll_merge_check(docs)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog per-source distinct-token estimate
     next to the exact count.  Spark's approx_count_distinct is
@@ -6611,6 +6626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "int8_quantize": q_int8_quantize,
         "split_assign": q_split_assign,
+        "hll_merge": q_hll_merge,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -7838,6 +7854,75 @@ def oracle_sql() -> dict[str, str]:
                round((round(est, 6) - exact_distinct)
                      / exact_distinct, 6) + 0.0 AS rel_err
         FROM ee
+    """
+    # hll_merge: replay BOTH paths (shard max-merge vs direct) with
+    # the identical register/estimate machinery
+    _hll_est_sql = f"""
+          SELECT round(CASE WHEN ({_alpha_m2}
+                     / (s_used + (256 - used)) <= 640.0)
+                     AND (256 - used) > 0
+                THEN 256.0 * ln(256.0 / (256 - used))
+                ELSE {_alpha_m2} / (s_used + (256 - used))
+                END, 6) + 0.0 AS est
+          FROM (SELECT sum(CASE WHEN mj >= 40 THEN {2.0 ** -40!r}
+                        {_inv_cases}
+                        ELSE 1.0 END) AS s_used,
+                       count(*)::BIGINT AS used FROM {{REGS}})
+    """
+    d["hll_merge"] = f"""
+        WITH base AS (
+          SELECT source,
+                 string_split_regex(trim(text), '\\s+') AS words
+          FROM documents
+        ),
+        st AS (
+          SELECT DISTINCT source, t
+          FROM (SELECT source, unnest(words) AS t FROM base)
+        ),
+        ct AS (SELECT DISTINCT t FROM st),
+        sbb AS (
+          SELECT source,
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT & 255)
+                   AS j,
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT >> 8)
+                   AS w
+          FROM st
+        ),
+        sregs AS (
+          SELECT source, j, max(CASE WHEN w = 0 THEN 40
+                 {_rho_cases}
+                 ELSE 40 END) AS mj
+          FROM sbb GROUP BY 1, 2
+        ),
+        mregs AS (SELECT j, max(mj) AS mj FROM sregs GROUP BY 1),
+        cbb AS (
+          SELECT (('0x' || substring(md5(t), 1, 15))::BIGINT & 255)
+                   AS j,
+                 (('0x' || substring(md5(t), 1, 15))::BIGINT >> 8)
+                   AS w
+          FROM ct
+        ),
+        cregs AS (
+          SELECT j, max(CASE WHEN w = 0 THEN 40
+                 {_rho_cases}
+                 ELSE 40 END) AS mj
+          FROM cbb GROUP BY 1
+        ),
+        em AS ({_hll_est_sql.replace("{{REGS}}", "mregs")
+                 .replace("{REGS}", "mregs")}),
+        ed AS ({_hll_est_sql.replace("{{REGS}}", "cregs")
+                 .replace("{REGS}", "cregs")}),
+        ex AS (SELECT count(*)::BIGINT AS exact_distinct FROM ct),
+        nd AS (
+          SELECT count(*)::BIGINT AS nd
+          FROM mregs FULL JOIN cregs USING (j)
+          WHERE coalesce(mregs.mj, -1) != coalesce(cregs.mj, -1)
+        )
+        SELECT em.est AS merged_estimate,
+               ed.est AS direct_estimate,
+               ex.exact_distinct,
+               nd.nd = 0 AS registers_equal
+        FROM em, ed, ex, nd
     """
     # cms_heavy_hitters: full sketch replay — 4 salted md5 row
     # hashes, bucket counts, min-over-rows estimate

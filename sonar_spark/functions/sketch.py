@@ -302,3 +302,105 @@ def bloom_decontaminate(
             (F.sum("__maybe") - F.sum("__true")) / F.count("*"), 6
         ).alias("fp_frac"),
     )
+
+
+def hll_merge_check(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    words_col: str = "words",
+) -> DataFrame:
+    """The HLL merge law as a checkable result: treat each group as a
+    SHARD, publish its register table, max-merge the shards, and
+    compare the merged estimate against the sketch computed directly
+    over the whole corpus.  They must be IDENTICAL — max over shard
+    maxima equals the corpus maximum per register — which is the
+    whole reason a 100 TB pipeline can keep per-shard sketches and
+    never rescan.  Output: one row with both estimates, the exact
+    corpus distinct count, and registers_equal.
+    """
+    m = HLL_M
+
+    def registers(df: DataFrame, keys: list) -> DataFrame:
+        h = _md5_60(F.col("t"))
+        base = df.select(
+            *keys,
+            h.bitwiseAND(F.lit(m - 1)).alias("__j"),
+            F.shiftright(h, 8).alias("__w"),
+        )
+        lowbit = F.col("__w").bitwiseAND(-F.col("__w"))
+        rho = F.when(F.col("__w") == 0, F.lit(RHO_CAP))
+        for p in range(RHO_CAP - 1):
+            rho = rho.when(lowbit == (1 << p), F.lit(p + 1))
+        rho = rho.otherwise(F.lit(RHO_CAP))
+        return base.select(*keys, "__j", rho.alias("__rho")).groupBy(
+            *keys, "__j"
+        ).agg(F.max("__rho").alias("__mj"))
+
+    def estimate(regs: DataFrame) -> DataFrame:
+        inv = F.when(
+            F.col("__mj") >= RHO_CAP, F.lit(2.0 ** -RHO_CAP)
+        )
+        for p in range(1, RHO_CAP):
+            inv = inv.when(F.col("__mj") == p, F.lit(2.0 ** -p))
+        inv = inv.otherwise(F.lit(1.0))
+        per = regs.agg(
+            F.sum(inv).alias("__s_used"),
+            F.count("*").cast("long").alias("__used"),
+        )
+        alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+        s = F.col("__s_used") + (F.lit(m) - F.col("__used"))
+        v = F.lit(m) - F.col("__used")
+        e_raw = F.lit(alpha_m2) / s
+        return per.select(
+            F.round(
+                F.when(
+                    (e_raw <= 2.5 * m) & (v > 0),
+                    F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+                ).otherwise(e_raw),
+                6,
+            ).alias("est")
+        )
+
+    # shard-distinct terms (a term may recur across shards — exactly
+    # the situation merge must handle)
+    shard_terms = docs.select(
+        group_col, F.explode(words_col).alias("t")
+    ).distinct()
+    shard_regs = registers(shard_terms, [group_col])
+    merged_regs = shard_regs.groupBy("__j").agg(
+        F.max("__mj").alias("__mj")
+    )
+    corpus_terms = docs.select(
+        F.explode(words_col).alias("t")
+    ).distinct()
+    corpus_regs = registers(corpus_terms, [])
+    est_merged = estimate(merged_regs).select(
+        F.col("est").alias("merged_estimate")
+    )
+    est_direct = estimate(corpus_regs).select(
+        F.col("est").alias("direct_estimate")
+    )
+    exact = corpus_terms.agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    regs_diff = (
+        merged_regs.withColumnRenamed("__mj", "__ma")
+        .join(corpus_regs.withColumnRenamed("__mj", "__mb"), "__j", "full")
+        .where(
+            F.coalesce("__ma", F.lit(-1))
+            != F.coalesce("__mb", F.lit(-1))
+        )
+        .agg(F.count("*").cast("long").alias("__nd"))
+    )
+    return (
+        est_merged.crossJoin(est_direct)
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(regs_diff))
+        .select(
+            "merged_estimate",
+            "direct_estimate",
+            "exact_distinct",
+            (F.col("__nd") == 0).alias("registers_equal"),
+        )
+    )
