@@ -220,6 +220,7 @@ def main() -> None:
         "random_projection",
         "int8_quantize",
         "split_assign",
+        "hll_merge",
     ):
         if name not in qs:
             continue
