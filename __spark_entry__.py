@@ -637,6 +637,46 @@ def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED curation pipeline end-to-end (plans/
+    curation.py CurationJob), driver-certified: phase 1 write-once
+    dup labels, phase 2 per-bucket decision table, phase 3 the
+    training-ready chunk table (window 32 / stride 24 sliding chunker
+    over kept docs) — all landed in a scratch dir with lineage
+    markers, then the chunk table is read back and returned.  The
+    oracle replays the whole keep pipeline (langid/quality/token
+    count/LSH->exact-verify->CC canonical policy — the
+    curation_filter chain) and chunks the kept set in SQL, so a green
+    row certifies the JOB's materialized output, not just the
+    expression logic.  Kill/resume semantics are pytest-certified
+    (tests/test_curation_job.py)."""
+    import shutil
+    import tempfile
+
+    from sonar_spark.plans.curation import CurationJob
+
+    base = tempfile.mkdtemp(prefix="sonar_curation_chunks_")
+    try:
+        words = _dup_corpus_words(spark, sf_dir)
+        docs = words.select(
+            "doc_id",
+            F.array_join("words", " ").alias("text"),
+            F.lit("s0").alias("source"),  # to_token_table carries it
+        )
+        job = CurationJob(base, n_buckets=8)
+        job.run(docs)
+        job.run_chunks(docs, window=32, stride=24)
+        res = job.chunks(spark).select(
+            "doc_id", "chunk_id", "start", "chunk_len", "chunk_md5"
+        )
+        # parquet blocks pinned so the scratch dir can go away before
+        # the driver collects (the streaming-query precedent)
+        res = res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash identity recall: pigeonhole 16-bit-block candidates +
     hamming <= 3 MUST surface every identical-token pair (identical
@@ -3993,6 +4033,29 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_distance_report(emb)
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top-2 projection over the embedding table via the
+    distributed Gram-matrix path (per-partition micro-unit partials
+    -> one tiny shuffle -> driver power iteration -> map-only
+    projection scan; MLlib RowMatrix.computePrincipalComponents
+    architecture).  The testdata embeddings are near-isotropic, so a
+    plan-time geometric dim ramp plants the anisotropy the fit must
+    recover — certified by ev1 > ev2 and top_dim = 63 riding the
+    value hash.  Exactness: Gram sums are order-free integer
+    micro-units; the eigensolve is a fixed 32-step power iteration
+    re-quantized to the 9dp grid each step, bit-identical to the
+    oracle's unrolled CTE replay.  See functions/pca.py."""
+    from sonar_spark.functions.pca import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return pca_project(emb)
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership screen over the decontaminate split
     (eval = doc_id % 97 == 0): the scale path where the eval side
@@ -6571,10 +6634,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then long-certified anchors filling out 50.  With this rotation
     # every query in the dict has appeared green in a driver
     # CORRECTNESS snapshot in some round (r01-r05).
-    # ROUND-6 NOTE: the window is nearly full (47 uncertified + 3
-    # anchors) — any round-6 additions go in slots 1..N and push the
-    # remaining anchors out; everything beyond slot 50 is already
-    # certified by an earlier CORRECTNESS round, so nothing is lost.
+    # ROUND-6 NOTE: the window is now exactly full with 50
+    # never-certified queries (48 + late-round-5 pca_project and
+    # curation_chunks); every anchor has been pushed past slot 50.
+    # Everything beyond slot 50 is already certified by an earlier
+    # CORRECTNESS round, so nothing is lost — round-6 additions go in
+    # slots 1..N and displace the oldest round-5 entries only if the
+    # r05 snapshot certifies them first.
     return {
         # --- slots 1-11: late-round-4 queries, never snapshotted
         "dedup_groups": q_dedup_groups,
@@ -6627,6 +6693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_quantize": q_int8_quantize,
         "split_assign": q_split_assign,
         "hll_merge": q_hll_merge,
+        "pca_project": q_pca_project,
+        "curation_chunks": q_curation_chunks,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -8034,6 +8102,44 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(err / 1e9 / n) + 1e-12, 6) + 0.0 AS rmse
         FROM ag
     """
+    # pca_project: full replay — exact micro-unit Gram, unrolled
+    # 2 x 32 power-iteration CTE chain (AS MATERIALIZED: the steps
+    # are multi-referenced, default inlining would re-expand the
+    # upstream chain exponentially), Rayleigh eigenvalues, rank-1
+    # deflation, projection join.  See functions/pca.py.
+    from sonar_spark.functions.pca import pca_oracle_sql
+
+    d["pca_project"] = pca_oracle_sql()
+    # curation_chunks: the EXACT curation_filter keep chain (string
+    # reuse — the two replays can never drift) + the phase-3
+    # window-32/stride-24 chunker over the kept word arrays
+    _cf = d["curation_filter"]
+    d["curation_chunks"] = _cf[: _cf.rindex("SELECT q.doc_id")].rstrip() + r""",
+            kept AS (
+              SELECT w.doc_id, w.words
+              FROM w JOIN qs q ON q.doc_id = w.doc_id
+                     JOIN comp c ON c.doc_id = w.doc_id
+              WHERE w.doc_id = c.component AND q.quality >= 0.5
+                AND q.n_tokens >= 5
+            ),
+            cst AS (
+              SELECT doc_id, words,
+                     unnest(generate_series(0, len(words) - 1, 24))
+                       AS start
+              FROM kept WHERE len(words) > 0
+            ),
+            cpc AS (
+              SELECT doc_id, (start // 24)::BIGINT AS chunk_id,
+                     start::BIGINT AS start,
+                     list_slice(words, start + 1,
+                                least(start + 32, len(words))) AS piece
+              FROM cst
+            )
+            SELECT doc_id, chunk_id, start,
+                   len(piece)::BIGINT AS chunk_len,
+                   md5(array_to_string(piece, ' ')) AS chunk_md5
+            FROM cpc
+        """
     # random_projection: plan-time matrix VALUES, 9dp micro-unit sums
     from sonar_spark.functions.projection import jl_matrix_sql_values
 

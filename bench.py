@@ -221,6 +221,7 @@ def main() -> None:
         "int8_quantize",
         "split_assign",
         "hll_merge",
+        "pca_project",
     ):
         if name not in qs:
             continue

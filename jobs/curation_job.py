@@ -6,9 +6,11 @@
 
 Phase 1 lands the corpus-global near-dup label table write-once under
 <output>/labels; phase 2 lands the per-doc decision table bucketed
-under <output>/decisions with per-bucket lineage markers.  Re-running
-skips committed buckets and never re-runs the dedup shuffle.  Prints
-a one-line JSON summary.
+under <output>/decisions with per-bucket lineage markers; with
+--chunks, phase 3 lands the training-ready chunk table under
+<output>/chunks (window/stride sliding chunker over kept docs, its
+own per-bucket markers).  Re-running skips committed buckets and
+never re-runs the dedup shuffle.  Prints a one-line JSON summary.
 """
 
 from __future__ import annotations
@@ -26,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-quality", type=float, default=0.5)
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--chunks", action="store_true",
+                   help="also land the phase-3 chunk table")
+    p.add_argument("--chunk-window", type=int, default=32)
+    p.add_argument("--chunk-stride", type=int, default=24)
     p.add_argument("--resume", action="store_true",
                    help="skip buckets with existing lineage markers "
                         "(default behavior; flag kept for explicitness)")
@@ -59,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
         "rows_kept_total": kept,
         "wall_sec": round(sum(r.wall_sec for r in done), 3),
     }
+    if args.chunks:
+        cres = job.run_chunks(
+            docs, window=args.chunk_window, stride=args.chunk_stride
+        )
+        cdone = [r for r in cres if not r.skipped]
+        summary.update(
+            chunk_buckets_processed=len(cdone),
+            chunk_docs=sum(r.rows_in for r in cdone),
+            chunk_rows=sum(r.rows_out for r in cdone),
+            chunk_wall_sec=round(sum(r.wall_sec for r in cdone), 3),
+        )
     print(json.dumps(summary))
     return 0
 

@@ -23,6 +23,13 @@ policy) into the operational job shape a 100 TB corpus actually runs:
   a crash leaves uncommitted files and no marker; re-running
   overwrites pending partitions atomically before markers land.
 
+- **Phase 3 (per-bucket, resumable):** the training-ready CHUNK
+  table — the sliding window/stride chunker over every kept document
+  (operators.packing.chunk_documents), partitionBy(__bucket) under
+  its own lineage markers (_lineage_chunks), eligible per bucket as
+  soon as that bucket's decision marker exists.  This is the stage
+  that turns a curation verdict into model-consumable rows.
+
 The kept corpus is a pushdown filter over the decision table
 (keep = true), so no second copy of the text is written.
 
@@ -92,6 +99,8 @@ class CurationJob:
         self.labels_dir = os.path.join(out_dir, "labels")
         self.decisions_dir = os.path.join(out_dir, "decisions")
         self.lineage_dir = os.path.join(out_dir, "_lineage")
+        self.chunks_dir = os.path.join(out_dir, "chunks")
+        self.chunk_lineage_dir = os.path.join(out_dir, "_lineage_chunks")
 
     # ---------------------------------------------------- lineage I/O
     # (the FeaturizeJob marker protocol: one write-once JSON per
@@ -326,3 +335,148 @@ class CurationJob:
     def kept(self, spark) -> DataFrame:
         """The kept-corpus view: a pushdown filter, not a copy."""
         return self.decisions(spark).where(F.col("keep"))
+
+    # ------------------------------------------ phase 3: chunk table
+
+    def _chunk_marker(self, bucket: int) -> str:
+        return os.path.join(
+            self.chunk_lineage_dir, f"bucket_{bucket:05d}.json"
+        )
+
+    def chunk_is_done(self, bucket: int) -> bool:
+        return os.path.exists(self._chunk_marker(bucket))
+
+    def completed_chunk_buckets(self) -> list[int]:
+        if not os.path.isdir(self.chunk_lineage_dir):
+            return []
+        return sorted(
+            int(f[len("bucket_"):-len(".json")])
+            for f in os.listdir(self.chunk_lineage_dir)
+            if f.startswith("bucket_") and f.endswith(".json")
+        )
+
+    def chunk_metrics(self) -> list[dict]:
+        return [
+            json.load(open(self._chunk_marker(b)))
+            for b in self.completed_chunk_buckets()
+        ]
+
+    def run_chunks(
+        self,
+        docs: DataFrame,
+        *,
+        window: int = 32,
+        stride: int = 24,
+        fail_after: int | None = None,
+    ) -> list[BucketResult]:
+        """Phase 3 — the training-ready CHUNK table: slide a
+        window/stride chunker (operators.packing.chunk_documents)
+        over every KEPT document and land (doc_id, chunk_id, start,
+        chunk_len, chunk_md5) partitionBy(__bucket) with the same
+        write-once lineage protocol as phase 2 (markers under
+        _lineage_chunks).  A bucket is eligible once its DECISION
+        marker exists; the kept set is a pushdown filter over the
+        decision table (keep = true — never a second text copy), and
+        all pending buckets ride ONE corpus scan + one broadcast-able
+        join of the kept-id list.  Kill/resume: crash leaves
+        uncommitted partition files and no marker; re-running
+        overwrites pending partitions atomically, committed buckets
+        are never re-chunked."""
+        from sonar_spark.operators.packing import chunk_documents
+
+        spark = docs.sparkSession
+        results: list[BucketResult] = []
+        eligible = [
+            b for b in range(self.n_buckets) if self.is_done(b)
+        ]
+        pending = [b for b in eligible if not self.chunk_is_done(b)]
+        for b in range(self.n_buckets):
+            if b not in pending:
+                results.append(BucketResult(bucket=b, skipped=True))
+        take = pending if fail_after is None else pending[:fail_after]
+        if not take:
+            return sorted(results, key=lambda r: r.bucket)
+
+        t0 = time.time()
+        for b in take:  # crash debris
+            stale = os.path.join(self.chunks_dir, f"__bucket={b}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+
+        kept_ids = self.decisions(spark).where(
+            F.col("keep") & F.col("__bucket").isin([int(b) for b in take])
+        ).select("doc_id", "__bucket")
+        d = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        ).join(kept_ids, "doc_id")
+        ch = chunk_documents(
+            d.select("doc_id", "words"),
+            window=window,
+            stride=stride,
+        ).withColumn(
+            "__bucket", bucket_of(F.col("doc_id"), self.n_buckets)
+        )
+        (
+            ch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(self.chunks_dir)
+        )
+        stats = {
+            r["__bucket"]: r
+            for r in spark.read.parquet(self.chunks_dir)
+            .where(F.col("__bucket").isin([int(b) for b in take]))
+            .groupBy("__bucket")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_chunks"),
+                F.sum("chunk_len").alias("tokens_out"),
+            )
+            .collect()
+        }
+        wall = time.time() - t0
+        for b in take:
+            st = stats.get(b)
+            res = BucketResult(
+                bucket=b,
+                skipped=False,
+                rows_in=int(st["n_docs"]) if st else 0,
+                rows_out=int(st["n_chunks"]) if st else 0,
+                wall_sec=wall / len(take),
+            )
+            self._commit_chunk(
+                res,
+                {
+                    "tokens_out": int(st["tokens_out"]) if st else 0,
+                    "window": window,
+                    "stride": stride,
+                },
+            )
+            results.append(res)
+        if fail_after is not None and len(pending) > len(take):
+            raise RuntimeError(
+                f"fail_after={fail_after}: stopped with "
+                f"{len(pending) - len(take)} chunk buckets pending"
+            )
+        return sorted(results, key=lambda r: r.bucket)
+
+    def _commit_chunk(self, res: BucketResult, extra: dict) -> None:
+        os.makedirs(self.chunk_lineage_dir, exist_ok=True)
+        rec = {
+            "bucket": res.bucket,
+            "n_docs": res.rows_in,
+            "n_chunks": res.rows_out,
+            "wall_sec": round(res.wall_sec, 3),
+            "completed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            **extra,
+        }
+        tmp = self._chunk_marker(res.bucket) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._chunk_marker(res.bucket))
+
+    def chunks(self, spark) -> DataFrame:
+        return spark.read.parquet(self.chunks_dir)

@@ -116,3 +116,70 @@ def test_curation_job_decision_semantics(spark, tmp_path):
     kept = {r["doc_id"] for r in job.kept(spark).collect()}
     assert kept == {d for d, r in dec.items() if r["keep"]}
     assert all(dec[d]["is_canonical"] for d in kept)
+
+
+def _chunk_rows(job, spark):
+    return sorted(
+        tuple(r[c] for c in
+              ["doc_id", "chunk_id", "start", "chunk_len", "chunk_md5"])
+        for r in job.chunks(spark).collect()
+    )
+
+
+def test_chunk_stage_kill_resume_identity(spark, tmp_path):
+    docs = _docs(spark)
+    ref = CurationJob(str(tmp_path / "ref"), n_buckets=8)
+    ref.run(docs)
+    ref.run_chunks(docs)
+
+    job = CurationJob(str(tmp_path / "out"), n_buckets=8)
+    job.run(docs)
+    with pytest.raises(RuntimeError, match="chunk buckets pending"):
+        job.run_chunks(docs, fail_after=3)
+    assert len(job.completed_chunk_buckets()) == 3
+
+    # resume: only the pending 5 run; committed buckets skipped
+    res = CurationJob(str(tmp_path / "out"), n_buckets=8).run_chunks(docs)
+    assert len([r for r in res if r.skipped]) == 3
+    assert _chunk_rows(job, spark) == _chunk_rows(ref, spark)
+
+    ms = CurationJob(str(tmp_path / "out"), n_buckets=8).chunk_metrics()
+    assert sorted(m["bucket"] for m in ms) == list(range(8))
+    assert all(m["window"] == 32 and m["stride"] == 24 for m in ms)
+
+
+def test_chunk_stage_matches_direct_chunker(spark, tmp_path):
+    from sonar_spark.operators.packing import chunk_documents
+
+    docs = _docs(spark)
+    job = CurationJob(str(tmp_path / "j"), n_buckets=4)
+    job.run(docs)
+    job.run_chunks(docs, window=16, stride=8)
+
+    kept = {r["doc_id"] for r in job.kept(spark).collect()}
+    direct = chunk_documents(
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        ).where(F.col("doc_id").isin(list(kept))),
+        window=16,
+        stride=8,
+    )
+    got = _chunk_rows(job, spark)
+    want = sorted(
+        tuple(r[c] for c in
+              ["doc_id", "chunk_id", "start", "chunk_len", "chunk_md5"])
+        for r in direct.collect()
+    )
+    assert got == want
+    # every kept doc chunked, nothing else
+    assert {t[0] for t in got} == kept
+
+
+def test_chunk_stage_requires_decisions(spark, tmp_path):
+    docs = _docs(spark)
+    job = CurationJob(str(tmp_path / "j"), n_buckets=4)
+    # no decision markers yet -> nothing eligible, all skipped
+    res = job.run_chunks(docs)
+    assert all(r.skipped for r in res)
+    assert job.completed_chunk_buckets() == []
