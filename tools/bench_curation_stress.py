@@ -11,7 +11,10 @@ claims under test:
   whatever M did to the pair graph;
 - rows_kept stays ~= the base corpus's kept count at every M: the
   pipeline collapses the M-fold inflation back to one canonical per
-  component (the whole point of dedup in a curation run).
+  component (the whole point of dedup in a curation run);
+- phase 3 (chunks) tracks the KEPT corpus, not the inflated input —
+  chunk rows and wall stay ~flat in M because the chunker only ever
+  touches canonical survivors.
 
 Usage: python tools/bench_curation_stress.py [sf_dir] [multipliers..]
 Writes BENCH/curation_stress.json and prints one JSON line per M.
@@ -56,12 +59,20 @@ def main() -> None:
         job.run(docs)
         t_dec = time.time() - t0
         kept = sum(mm["rows_kept"] for mm in job.metrics())
+        t0 = time.time()
+        job.run_chunks(docs)
+        t_chunks = time.time() - t0
+        cm = job.chunk_metrics()
         entry = {
             "multiplier": m,
             "n_docs": docs.count(),
             "labels_sec": round(t_labels, 3),
             "decisions_sec": round(t_dec, 3),
             "rows_kept": kept,
+            "chunks_sec": round(t_chunks, 3),
+            "chunk_docs": sum(mm["n_docs"] for mm in cm),
+            "chunk_rows": sum(mm["n_chunks"] for mm in cm),
+            "chunk_tokens": sum(mm["tokens_out"] for mm in cm),
         }
         rows.append(entry)
         print(json.dumps(entry), flush=True)
