@@ -677,6 +677,21 @@ def q_curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (FineWeb-Edu / DCLM shape):
+    train a linear classifier on the deterministic labeled subset
+    (doc_id % 3 == 0; teacher label = quality_score >= 0.73), score
+    every document in one Catalyst scan, report train/holdout
+    agreement (~95% holdout measured).  Exactness: rational
+    fast-sigmoid surrogate (no libm), micro-unit gradient sums,
+    9dp-grid weights per step — the fitted w0..w4 ride the value
+    hash as constant columns, so the driver certifies the TRAINING.
+    See functions/classifier.py."""
+    from sonar_spark.functions.classifier import quality_classifier
+
+    return quality_classifier(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash identity recall: pigeonhole 16-bit-block candidates +
     hamming <= 3 MUST surface every identical-token pair (identical
@@ -6695,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge": q_hll_merge,
         "pca_project": q_pca_project,
         "curation_chunks": q_curation_chunks,
+        "quality_classifier": q_quality_classifier,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -8110,6 +8126,11 @@ def oracle_sql() -> dict[str, str]:
     from sonar_spark.functions.pca import pca_oracle_sql
 
     d["pca_project"] = pca_oracle_sql()
+    # quality_classifier: full training replay (features, exact
+    # standardizers, 30 unrolled GD steps, scoring scan)
+    from sonar_spark.functions.classifier import classifier_oracle_sql
+
+    d["quality_classifier"] = classifier_oracle_sql()
     # curation_chunks: the EXACT curation_filter keep chain (string
     # reuse — the two replays can never drift) + the phase-3
     # window-32/stride-24 chunker over the kept word arrays

@@ -222,6 +222,7 @@ def main() -> None:
         "split_assign",
         "hll_merge",
         "pca_project",
+        "quality_classifier",
     ):
         if name not in qs:
             continue
