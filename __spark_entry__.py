@@ -6636,6 +6636,103 @@ def _bark_oracle_sql() -> str:
     """
 
 
+def q_backfill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill each user's event-value timeline onto a regular
+    6-hour grid: forward-filled value + staleness age, look-ahead
+    value + lead time, and the per-cell observation count — the
+    backfilled per-window feature rows the north rule names (and the
+    regularize-before-extract step of reference
+    fingerprint/extractors/alignment.go:223-297).  Physical plan:
+    grid rows from one tiny min/max aggregate, then the asof union
+    trick — ONE shuffle on user_id, two running-last window passes
+    over the same exchange, zero joins in the hot path.
+    See operators/backfill.py."""
+    from sonar_spark.operators.backfill import backfill_grid
+
+    ev = _t(spark, sf_dir, "events")
+    return backfill_grid(
+        ev, entity_col="user_id", ts_col="ts", value_col="value", step=21600
+    )
+
+
+def q_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional as-of surface over the purchase->click timeline:
+    backward (latest click at/before — the leakage-safe feature),
+    forward (earliest click at/after — the label/next-touchpoint
+    lookup), and nearest (min absolute gap, ties resolved BACKWARD).
+    Forward is the backward union plan on negated timestamps — one
+    sign flip reuses the whole tested single-shuffle strategy; the
+    nearest pick joins the two passes on event_id.
+    See operators/asof.py asof_join_nearest."""
+    from sonar_spark.operators.asof import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp(F.col("ts"))
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts_sec").alias("ref_ts"))
+        .agg(
+            F.max("event_id").alias("ref_version"),
+            F.round(F.max_by("value", "event_id"), 6).alias("ref_value"),
+        )
+    )
+    return asof_join_nearest(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts_sec",
+        right_ts="ref_ts",
+        left_id="event_id",
+        version="ref_version",
+        payload=("ref_value",),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-proportional corpus subsampling: Efraimidis-
+    Spirakis weighted reservoir (top-5 per source, weight = token
+    count) in the exact-integer max-of-w-uniforms form — the key of a
+    w-token doc is the max md5-60 hash over its token slots, exactly
+    the u^(1/w) law with no float at any rank boundary.  One token-
+    stream scan -> per-doc max (map-side combine) -> per-stratum
+    top-k window; per-shard top-k unions make it mergeable without a
+    global sort.  See functions/sampling.py."""
+    from sonar_spark.functions.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=5, strata_col="source", salt="es1")
+
+
+def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (Masson et al., VLDB 2019) quantile sketch over the
+    event value distribution (integer cents), gamma = 2^(1/8) with
+    the bucket index computed in exact integer arithmetic (bit
+    length + 3 mantissa bits — no transcendental log at any
+    boundary).  Output per (event_type, q in {.5,.9,.99}): the
+    answering bucket, its dyadic-rational bounds, the midpoint
+    estimate, the EXACT order statistic at the same rank, the
+    realized relative error (guaranteed <= 1/16), and merge_ok — the
+    shard-merge law (per-shard sketches bucket-sum to the direct
+    sketch) certified in the same rows.  The sketch build is one
+    scan + a bucket-bounded groupBy; merging shards never rescans
+    raw data.  See functions/ddsketch.py."""
+    from sonar_spark.functions.ddsketch import ddsketch_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    out = ddsketch_quantiles(
+        ev, group_col="event_type", value_col="cents"
+    )
+    return out.withColumn("merge_ok", F.col("merge_ok").cast("int"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's per-round CORRECTNESS snapshot
     # certifies only the FIRST 50 entries.  CORRECTNESS_r04 certified
@@ -6711,6 +6808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "curation_chunks": q_curation_chunks,
         "quality_classifier": q_quality_classifier,
+        "backfill_grid": q_backfill_grid,
+        "asof_directions": q_asof_directions,
+        "weighted_sample": q_weighted_sample,
+        "ddsketch_quantiles": q_ddsketch,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -8612,6 +8713,229 @@ def oracle_sql() -> dict[str, str]:
         FROM contrib c JOIN nf ON nf.doc_id = c.doc_id
         WHERE c.p < nf.nfr * 4
         GROUP BY c.doc_id, c.p, nf.nfr
+    """
+    # backfill_grid: per-entity 6h grid, ffill/bfill via laterals
+    # (equal-ts obs included on both sides, highest event_id wins)
+    d["backfill_grid"] = r"""
+        WITH o AS (
+          SELECT user_id, floor(epoch(ts))::BIGINT AS t,
+                 value::DOUBLE AS v, event_id
+          FROM events
+        ),
+        bnd AS (
+          SELECT user_id, min(t) - min(t) % 21600 AS g0,
+                 CASE WHEN max(t) % 21600 = 0 THEN max(t)
+                      ELSE max(t) - max(t) % 21600 + 21600
+                 END AS g1
+          FROM o GROUP BY 1
+        ),
+        g AS (
+          SELECT bnd.user_id, gs.gt AS grid_ts
+          FROM bnd, LATERAL (
+            SELECT unnest(generate_series(bnd.g0, bnd.g1, 21600))
+                   AS gt) gs
+        )
+        SELECT g.user_id, g.grid_ts,
+               round(ff.v, 6) + 0.0 AS ffill_value,
+               (g.grid_ts - ff.t)::BIGINT AS ffill_age_s,
+               round(bf.v, 6) + 0.0 AS bfill_value,
+               (bf.t - g.grid_ts)::BIGINT AS bfill_lead_s,
+               (SELECT count(*) FROM o
+                WHERE o.user_id = g.user_id
+                  AND o.t > g.grid_ts - 21600
+                  AND o.t <= g.grid_ts)::BIGINT AS n_obs
+        FROM g
+        LEFT JOIN LATERAL (
+          SELECT v, t FROM o
+          WHERE o.user_id = g.user_id AND o.t <= g.grid_ts
+          ORDER BY t DESC, event_id DESC LIMIT 1) ff ON true
+        LEFT JOIN LATERAL (
+          SELECT v, t FROM o
+          WHERE o.user_id = g.user_id AND o.t >= g.grid_ts
+          ORDER BY t ASC, event_id DESC LIMIT 1) bf ON true
+    """
+    # asof_directions: backward/forward laterals + nearest pick
+    # (tie -> backward, the documented leakage-preferring rule)
+    d["asof_directions"] = r"""
+        WITH ev AS (
+          SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_sec,
+                 event_type, value
+          FROM events
+        ),
+        l AS (
+          SELECT event_id, user_id, ts_sec FROM ev
+          WHERE event_type = 'purchase'
+        ),
+        r AS (
+          SELECT user_id, ts_sec AS ref_ts,
+                 max(event_id)::BIGINT AS ref_version,
+                 round(max_by(value, event_id), 6) + 0.0 AS ref_value
+          FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT l.event_id, l.user_id, l.ts_sec,
+                 bb.ref_ts AS matched_ref_ts, bb.ref_value,
+                 fw.ref_ts AS matched_fwd_ts,
+                 fw.ref_value AS ref_value_fwd
+          FROM l
+          LEFT JOIN LATERAL (
+            SELECT ref_ts, ref_value FROM r
+            WHERE r.user_id = l.user_id AND r.ref_ts <= l.ts_sec
+            ORDER BY ref_ts DESC LIMIT 1) bb ON true
+          LEFT JOIN LATERAL (
+            SELECT ref_ts, ref_value FROM r
+            WHERE r.user_id = l.user_id AND r.ref_ts >= l.ts_sec
+            ORDER BY ref_ts ASC LIMIT 1) fw ON true
+        ),
+        p AS (
+          SELECT *,
+                 (matched_ref_ts IS NOT NULL AND
+                  (matched_fwd_ts IS NULL OR
+                   ts_sec - matched_ref_ts
+                     <= matched_fwd_ts - ts_sec)) AS take_b,
+                 (matched_fwd_ts IS NOT NULL AND NOT
+                  (matched_ref_ts IS NOT NULL AND
+                   (matched_fwd_ts IS NULL OR
+                    ts_sec - matched_ref_ts
+                      <= matched_fwd_ts - ts_sec))) AS take_f
+          FROM j
+        )
+        SELECT event_id, user_id, ts_sec, matched_ref_ts, ref_value,
+               matched_fwd_ts, ref_value_fwd,
+               (CASE WHEN take_b THEN matched_ref_ts
+                     WHEN take_f THEN matched_fwd_ts END)::BIGINT
+                 AS matched_near_ts,
+               CASE WHEN take_b THEN 'b'
+                    WHEN take_f THEN 'f' END AS near_src,
+               (CASE WHEN take_b THEN ts_sec - matched_ref_ts
+                     WHEN take_f THEN matched_fwd_ts - ts_sec
+                END)::BIGINT AS near_gap_s,
+               CASE WHEN take_b THEN ref_value
+                    WHEN take_f THEN ref_value_fwd END
+                 AS ref_value_near
+        FROM p
+    """
+    # weighted_sample: E-S max-of-w-uniforms over md5-60 token slots
+    d["weighted_sample"] = r"""
+        WITH toks AS (
+          SELECT source, doc_id, p - 1 AS pos
+          FROM (
+            SELECT source, doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w,
+                   generate_subscripts(
+                     string_split_regex(trim(text), '\s+'), 1) AS p
+            FROM documents)
+          WHERE length(w) > 0
+        ),
+        keyed AS (
+          SELECT source, doc_id, count(*)::BIGINT AS weight,
+                 max(('0x' || substring(md5(
+                   'es1:' || doc_id::VARCHAR || ':' || pos::VARCHAR),
+                   1, 15))::BIGINT) AS es_key
+          FROM toks GROUP BY 1, 2
+        )
+        SELECT source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY es_key DESC, doc_id ASC)::BIGINT AS rank,
+               doc_id, weight, es_key
+        FROM keyed
+        QUALIFY rank <= 5
+    """
+    # ddsketch_quantiles: exact-integer bucket grid (bit length + 3
+    # mantissa bits), dyadic bounds, merge law, exact order statistic
+    _ddlo = (
+        lambda e: f"""(CASE WHEN ({e}) < 0 THEN 0.0
+             WHEN ({e}) // 8 >= 3 THEN
+               ((({e}) % 8 + 8)
+                * (1::BIGINT << (({e}) // 8 - 3)))::DOUBLE
+             ELSE (({e}) % 8 + 8)::DOUBLE
+                  / (1::BIGINT << (3 - ({e}) // 8))
+        END)"""
+    )
+    _ddest = (
+        f"(CASE WHEN h.idx < 0 THEN 0.0 ELSE "
+        f"({_ddlo('h.idx')} + {_ddlo('h.idx + 1')}) / 2.0 END)"
+    )
+    d["ddsketch_quantiles"] = f"""
+        WITH e AS (
+          SELECT event_id, event_type AS grp,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                 event_id % 8 AS shard
+          FROM events
+        ),
+        b AS (
+          SELECT *,
+            (CASE WHEN v <= 0 THEN -1
+                  ELSE (length(to_base(v, 2)) - 1) * 8
+                       + CAST((v * 8) // (1::BIGINT
+                           << (length(to_base(v, 2)) - 1)) AS INT)
+                       - 8
+             END)::INT AS idx
+          FROM e
+        ),
+        direct AS (
+          SELECT grp, idx, count(*)::BIGINT AS cnt
+          FROM b GROUP BY 1, 2
+        ),
+        shard AS (
+          SELECT grp, shard, idx, count(*)::BIGINT AS cnt
+          FROM b GROUP BY 1, 2, 3
+        ),
+        merged AS (
+          SELECT grp, idx, sum(cnt)::BIGINT AS cnt
+          FROM shard GROUP BY 1, 2
+        ),
+        mk AS (
+          SELECT coalesce(dd.grp, m.grp) AS grp,
+                 min(dd.cnt IS NOT NULL AND m.cnt IS NOT NULL
+                     AND dd.cnt = m.cnt) AS merge_ok,
+                 count(*)::BIGINT AS n_buckets
+          FROM direct dd FULL OUTER JOIN merged m
+            ON dd.grp = m.grp AND dd.idx = m.idx
+          GROUP BY 1
+        ),
+        cum AS (
+          SELECT grp, idx, cnt,
+                 (sum(cnt) OVER (PARTITION BY grp
+                    ORDER BY idx))::BIGINT AS cum
+          FROM direct
+        ),
+        nt AS (
+          SELECT grp, sum(cnt)::BIGINT AS n FROM direct GROUP BY 1
+        ),
+        qd AS (
+          SELECT grp, n, qq.q,
+                 greatest(1, ceil(qq.q * n))::BIGINT AS r
+          FROM nt, (SELECT unnest([0.5, 0.9, 0.99]) AS q) qq
+        ),
+        hit AS (
+          SELECT qd.grp, qd.q, qd.n, qd.r, min(c.idx) AS idx
+          FROM qd JOIN cum c ON c.grp = qd.grp AND c.cum >= qd.r
+          GROUP BY 1, 2, 3, 4
+        ),
+        rk AS (
+          SELECT grp, v,
+                 row_number() OVER (PARTITION BY grp
+                   ORDER BY v, event_id)::BIGINT AS rn
+          FROM e
+        ),
+        ex AS (
+          SELECT h.grp, h.q, r.v AS exact_v
+          FROM hit h JOIN rk r ON r.grp = h.grp AND r.rn = h.r
+        )
+        SELECT h.grp AS event_type, round(h.q, 2) AS q, h.n, h.r,
+               h.idx::INT AS bucket_idx,
+               round({_ddlo('h.idx')}, 6) AS bucket_lo,
+               round({_ddlo('h.idx + 1')}, 6) AS bucket_up,
+               round({_ddest}, 6) AS est,
+               ex.exact_v::BIGINT AS exact_v,
+               CASE WHEN ex.exact_v > 0 THEN
+                 round(({_ddest} - ex.exact_v) / ex.exact_v, 6) + 0.0
+               ELSE 0.0 END AS rel_err,
+               mk.merge_ok::INT AS merge_ok, mk.n_buckets
+        FROM hit h
+        JOIN ex ON ex.grp = h.grp AND ex.q = h.q
+        JOIN mk ON mk.grp = h.grp
     """
     return d
 
