@@ -6733,6 +6733,55 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("merge_ok", F.col("merge_ok").cast("int"))
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout assignment over the planted-dup corpus:
+    the split key is the near-dup COMPONENT (LSH -> exact-verify ->
+    connected components, the dedup_groups label table), not the doc,
+    so near-duplicates can never straddle train/test — the
+    contamination channel document-level hash splits leave open
+    (the dedup-before-split rule of Lee et al. 2022 / GPT-3 appendix
+    dedup).  Same md5-bucket 80/10/10 as split_assign, keyed on the
+    component label.  Output per doc: both the group split and the
+    naive doc-hash split, would_leak (TRUE iff the naive split tears
+    this doc's component across splits — the measured benefit), and
+    n_group_splits (always 1: the certified invariant).  Scale shape:
+    the label table join is the only exchange beyond dedup itself;
+    the split is a zero-shuffle column."""
+    from pyspark.sql import Window
+
+    def split3(col: F.Column) -> F.Column:
+        b = (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+            % 10000
+        )
+        return (
+            F.when(b < 8000, "train")
+            .when(b < 9000, "val")
+            .otherwise("test")
+        )
+
+    labs = _dup_group_labels(spark, sf_dir)
+    spl = labs.select(
+        "doc_id",
+        "component",
+        split3(F.col("component")).alias("group_split"),
+        split3(F.col("doc_id")).alias("naive_split"),
+    )
+    w = Window.partitionBy("component")
+    return spl.select(
+        "doc_id",
+        "component",
+        "group_split",
+        "naive_split",
+        (F.size(F.collect_set("naive_split").over(w)) > 1).alias(
+            "would_leak"
+        ),
+        F.size(F.collect_set("group_split").over(w))
+        .cast("long")
+        .alias("n_group_splits"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver's per-round CORRECTNESS snapshot
     # certifies only the FIRST 50 entries.  CORRECTNESS_r04 certified
@@ -6812,6 +6861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_directions": q_asof_directions,
         "weighted_sample": q_weighted_sample,
         "ddsketch_quantiles": q_ddsketch,
+        "split_leakage_safe": q_split_leakage_safe,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -8937,6 +8987,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN ex ON ex.grp = h.grp AND ex.q = h.q
         JOIN mk ON mk.grp = h.grp
     """
+    # split_leakage_safe: the EXACT dedup_groups component chain
+    # (string reuse, the curation_chunks precedent) + md5-bucket
+    # splits keyed on component vs doc
+    _dg = d["dedup_groups"]
+    _spl = (
+        lambda e: f"""CASE WHEN ('0x' || substring(md5({e}), 1, 8))::BIGINT
+                   % 10000 < 8000 THEN 'train'
+                 WHEN ('0x' || substring(md5({e}), 1, 8))::BIGINT
+                   % 10000 < 9000 THEN 'val'
+                 ELSE 'test' END"""
+    )
+    d["split_leakage_safe"] = (
+        _dg[: _dg.rindex("gs AS")].rstrip()
+        + f"""
+            spl AS (
+              SELECT c.doc_id, c.component,
+                     {_spl('c.component')} AS group_split,
+                     {_spl('c.doc_id')} AS naive_split
+              FROM comp c
+            ),
+            lk AS (
+              SELECT component,
+                     count(DISTINCT naive_split) > 1 AS would_leak,
+                     count(DISTINCT group_split)::BIGINT
+                       AS n_group_splits
+              FROM spl GROUP BY 1
+            )
+            SELECT s.doc_id, s.component, s.group_split,
+                   s.naive_split, l.would_leak, l.n_group_splits
+            FROM spl s JOIN lk l USING (component)
+        """
+    )
     return d
 
 

@@ -223,6 +223,13 @@ def main() -> None:
         "hll_merge",
         "pca_project",
         "quality_classifier",
+        # round-5 session-5 additions: the backfill/as-of direction
+        # surface + sampling/sketch primitives
+        "backfill_grid",
+        "asof_directions",
+        "weighted_sample",
+        "ddsketch_quantiles",
+        "split_leakage_safe",
     ):
         if name not in qs:
             continue
