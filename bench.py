@@ -230,6 +230,7 @@ def main() -> None:
         "weighted_sample",
         "ddsketch_quantiles",
         "split_leakage_safe",
+        "negative_pairs",
     ):
         if name not in qs:
             continue

@@ -1,0 +1,146 @@
+"""Deterministic uniform negative sampling for contrastive training
+pairs, plus the scalable global dense index it rides on.
+
+A contrastive curriculum (CLIP / SimCLR-style, or hard-negative
+mining's uniform baseline) needs, for every anchor document, k
+negatives drawn uniformly from the OTHER documents — deterministic
+across runs and engines, with no self-pairs.  The exact-uniform
+construction: give every doc a dense index g in [0, N); the j-th
+negative of an anchor is
+
+    r = md5_60(doc_id:j) mod (N-1);  neg = r + 1 if r >= g else r
+
+— a bijection from [0, N-1) onto [0, N) \\ {g}, so each other doc is
+hit with probability exactly 1/(N-1) and self-pairs are impossible
+by construction.
+
+The dense index is the scale-sensitive part: row_number() over a
+global ORDER BY is a single-partition window (fine in an oracle,
+wrong on 100 TB).  global_dense_index computes the same numbers with
+bounded parallelism loss: deterministic range buckets from a tiny
+min/max aggregate -> per-bucket counts (a bucket-bounded agg) ->
+cumulative offsets over the BUCKET table (a window over <= B rows)
+-> broadcast offset join + within-bucket row_number (windows
+partitioned by bucket, fully parallel).  This is the classic
+zipWithIndex two-pass, expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_dense_index(
+    df: DataFrame, *, col: str = "doc_id", buckets: int = 32
+) -> DataFrame:
+    """Add gidx = 0-based dense rank of `col` over the whole table
+    (== row_number() OVER (ORDER BY col) - 1), without a global
+    single-partition sort.  `col` values must be unique."""
+    mm = df.groupBy().agg(
+        F.min(col).alias("__lo"), F.max(col).alias("__hi")
+    )
+    # deterministic, order-respecting bucket id (monotone in col)
+    b = df.crossJoin(F.broadcast(mm)).withColumn(
+        "__b",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.floor(
+                (F.col(col) - F.col("__lo")).cast("double")
+                * buckets
+                / (F.col("__hi") - F.col("__lo") + 1)
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("__lo", "__hi")
+    counts = b.groupBy("__b").agg(F.count("*").alias("__c"))
+    # cumulative offsets over the <= `buckets`-row count table; the
+    # constant partition key just keeps WindowExec from logging the
+    # single-partition warning — the table is bucket-bounded by
+    # construction, this is the tiny side of the two-pass
+    woff = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__c").over(woff), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+    )
+    win = Window.partitionBy("__b").orderBy(col)
+    return (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "gidx",
+            (F.row_number().over(win) - 1 + F.col("__off")).cast("long"),
+        )
+        .drop("__b", "__off")
+    )
+
+
+def negative_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "neg1",
+) -> DataFrame:
+    """k exact-uniform, self-free, deterministic negatives per doc.
+
+    Output: doc_id, j (0..k-1), neg_gidx, neg_doc_id.  One tiny
+    min/max agg + bucket-bounded offset table for the index, one
+    shuffle joining probes to the indexed table on gidx.
+    """
+    idx = global_dense_index(docs.select(id_col), col=id_col)
+    n = idx.groupBy().agg(F.count("*").cast("long").alias("__n"))
+    probes = (
+        idx.crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "gidx",
+            "__n",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(k)])
+            ).alias("j"),
+        )
+        .select(
+            id_col,
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(salt),
+                                F.col(id_col).cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (F.col("__n") - 1)
+            ).alias("__r"),
+            "gidx",
+        )
+        .select(
+            id_col,
+            F.col("j").cast("long").alias("j"),
+            F.when(F.col("__r") >= F.col("gidx"), F.col("__r") + 1)
+            .otherwise(F.col("__r"))
+            .cast("long")
+            .alias("neg_gidx"),
+        )
+    )
+    neg = idx.select(
+        F.col("gidx").alias("neg_gidx"),
+        F.col(id_col).alias("neg_doc_id"),
+    )
+    return probes.join(neg, "neg_gidx").select(
+        id_col, "j", "neg_gidx", "neg_doc_id"
+    )
