@@ -6782,6 +6782,25 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule composite end-to-end: regularize each user's
+    event timeline onto the 6h grid (backfill_grid), then the
+    backfilled per-window statistics — EWMA (alpha=1/2: dyadic
+    2^-k weights, every partial sum exact) and rolling mean/std over
+    the last 8 grid instants (integer-cent sums, order-free; one
+    float division per row).  The window rides the SAME
+    (entity ORDER BY grid_ts) sort the backfill shuffled for —
+    8 lag() columns in whole-stage codegen, no second exchange.
+    See operators/backfill.py grid_features."""
+    from sonar_spark.operators.backfill import backfill_grid, grid_features
+
+    ev = _t(spark, sf_dir, "events")
+    bf = backfill_grid(
+        ev, entity_col="user_id", ts_col="ts", value_col="value", step=21600
+    )
+    return grid_features(bf, entity_col="user_id", window=8)
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive
     pairs: every doc gets k=4 negatives drawn EXACTLY uniformly from
@@ -6818,7 +6837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS round EXCEPT the late-round-5 additions at
     # slots 51+ (quality_classifier, backfill_grid, asof_directions,
     # weighted_sample, ddsketch_quantiles, split_leakage_safe,
-    # negative_pairs — judge-green only): the round-6 window should
+    # negative_pairs, grid_features — judge-green only): the round-6
+    # window should
     # LEAD with those, then new round-6 queries, then certified
     # anchors.
     return {
@@ -6882,6 +6902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_quantiles": q_ddsketch,
         "split_leakage_safe": q_split_leakage_safe,
         "negative_pairs": q_negative_pairs,
+        "grid_features": q_grid_features,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -9038,6 +9059,66 @@ def oracle_sql() -> dict[str, str]:
                    s.naive_split, l.would_leak, l.n_group_splits
             FROM spl s JOIN lk l USING (component)
         """
+    )
+    # grid_features: backfill oracle as a CTE + 8 lag slots; integer
+    # cents keep rolling sums order-free; EWMA weights are dyadic
+    _lagw = " WINDOW w AS (PARTITION BY user_id ORDER BY grid_ts)"
+    _lagcols = ",\n                 ".join(
+        ["c AS c0"]
+        + [f"lag(c, {k}) OVER w AS c{k}" for k in range(1, 8)]
+    )
+    _nwin = " + ".join(
+        f"(CASE WHEN c{k} IS NULL THEN 0 ELSE 1 END)" for k in range(8)
+    )
+    _msum = " + ".join(f"coalesce(c{k}, 0)" for k in range(8))
+    _ssum = " + ".join(
+        f"coalesce(c{k}, 0) * coalesce(c{k}, 0)" for k in range(8)
+    )
+    _enum = " + ".join(
+        f"coalesce(c{k}::DOUBLE, 0.0) * (1::DOUBLE / {1 << k})"
+        for k in range(8)
+    )
+    _eden = " + ".join(
+        f"(CASE WHEN c{k} IS NULL THEN 0.0"
+        f" ELSE (1::DOUBLE / {1 << k}) END)"
+        for k in range(8)
+    )
+    d["grid_features"] = (
+        "WITH bg AS (" + d["backfill_grid"] + f"""),
+        cc AS (
+          SELECT user_id, grid_ts, ffill_value,
+                 CAST(floor(ffill_value * 100 + 0.5) AS BIGINT) AS c
+          FROM bg
+        ),
+        ll AS (
+          SELECT user_id, grid_ts, ffill_value,
+                 {_lagcols}
+          FROM cc{_lagw}
+        ),
+        ag AS (
+          SELECT user_id, grid_ts, ffill_value,
+                 ({_nwin})::BIGINT AS n_win,
+                 ({_msum})::BIGINT AS msum,
+                 ({_ssum})::BIGINT AS ssum,
+                 ({_enum}) AS enum_, ({_eden}) AS eden_
+          FROM ll
+        )
+        SELECT user_id, grid_ts,
+               round(ffill_value, 6) + 0.0 AS ffill_value, n_win,
+               CASE WHEN eden_ > 0 THEN
+                 round(enum_ / eden_ / 100.0, 6) + 0.0 END AS ewma,
+               CASE WHEN n_win > 0 THEN
+                 round(msum::DOUBLE / n_win / 100.0, 6) + 0.0
+               END AS roll_mean,
+               CASE WHEN n_win > 1 THEN
+                 round(sqrt(greatest(
+                   (ssum::DOUBLE - (msum::DOUBLE / n_win)
+                     * (msum::DOUBLE / n_win) * n_win)
+                   / (n_win - 1), 0.0)) / 100.0, 6) + 0.0
+               WHEN n_win = 1 THEN round(sqrt(0.0) / 100.0, 6) + 0.0
+               END AS roll_std
+        FROM ag
+    """
     )
     # negative_pairs: row_number dense index + skip-self bijection
     d["negative_pairs"] = r"""

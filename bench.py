@@ -231,6 +231,7 @@ def main() -> None:
         "ddsketch_quantiles",
         "split_leakage_safe",
         "negative_pairs",
+        "grid_features",
     ):
         if name not in qs:
             continue

@@ -126,3 +126,73 @@ def backfill_grid(
         .cast("long")
         .alias("n_obs"),
     )
+
+
+def grid_features(
+    bf: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    window: int = 8,
+) -> DataFrame:
+    """Backfilled per-window statistics over the regular grid (the
+    north-rule composite): per (entity, grid_ts), an exponential
+    moving average and rolling mean/std over the last `window` grid
+    instants of the forward-filled value.
+
+    Exactness across engines without micro-unit machinery:
+
+    - values become integer cents (exact); rolling sums are integer
+      sums (order-free);
+    - EWMA weights are the dyadic rationals 2^-k (alpha = 1/2), so
+      every weighted partial sum is exactly representable — the one
+      float division happens once per row on identical doubles;
+    - the window is realized as `window` lag() columns over the SAME
+      (entity ORDER BY grid_ts) sort the backfill pass already
+      shuffled for — whole-stage codegen, no second exchange, no
+      interpreted array fold.
+
+    Null semantics: grid instants before the entity's first
+    observation have null ffill_value; they drop out of the count,
+    the EWMA renormalizes over the non-null slots, and rows with an
+    empty window emit nulls.
+    """
+    w = Window.partitionBy(entity_col).orderBy("grid_ts")
+    cents = F.floor(F.col("ffill_value") * 100 + 0.5).cast("long")
+    d = bf.withColumn("__c", cents)
+    lags = [F.lag("__c", k).over(w) for k in range(window)]
+    n_win = sum(
+        F.when(lg.isNotNull(), 1).otherwise(0) for lg in lags
+    ).cast("long")
+    msum = sum(F.coalesce(lg, F.lit(0)).cast("long") for lg in lags)
+    ssum = sum(
+        (F.coalesce(lg, F.lit(0)) * F.coalesce(lg, F.lit(0))).cast("long")
+        for lg in lags
+    )
+    ewma_num = sum(
+        F.coalesce(lg.cast("double"), F.lit(0.0)) * F.lit(2.0 ** -k)
+        for k, lg in enumerate(lags)
+    )
+    ewma_den = sum(
+        F.when(lg.isNotNull(), F.lit(2.0 ** -k)).otherwise(F.lit(0.0))
+        for k, lg in enumerate(lags)
+    )
+    mean_c = msum.cast("double") / n_win
+    var_c2 = F.when(
+        n_win > 1,
+        (ssum.cast("double") - mean_c * mean_c * n_win) / (n_win - 1),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        entity_col,
+        "grid_ts",
+        F.round("ffill_value", 6).alias("ffill_value"),
+        n_win.alias("n_win"),
+        F.when(
+            ewma_den > 0,
+            F.round(ewma_num / ewma_den / 100.0, 6),
+        ).alias("ewma"),
+        F.when(n_win > 0, F.round(mean_c / 100.0, 6)).alias("roll_mean"),
+        F.when(
+            n_win > 0,
+            F.round(F.sqrt(F.greatest(var_c2, F.lit(0.0))) / 100.0, 6),
+        ).alias("roll_std"),
+    )

@@ -289,3 +289,59 @@ def test_ddsketch_quantile_guarantee_and_merge(spark):
             assert r["bucket_lo"] <= r["exact_v"] < r["bucket_up"]
         else:
             assert r["est"] == 0.0 and r["rel_err"] == 0.0
+
+
+def test_grid_features_vs_bruteforce(spark):
+    from sonar_spark.operators.backfill import grid_features
+
+    step = 4096
+    ev = _events_df(spark, seed=23)
+    bf = backfill_grid(ev, step=step)
+    got = {
+        (r["user_id"], r["grid_ts"]): r
+        for r in grid_features(bf, window=8).collect()
+    }
+    base = {
+        (r["user_id"], r["grid_ts"]): r["ffill_value"]
+        for r in bf.collect()
+    }
+    # python replay per (entity, grid_ts): last 8 grid slots
+    by_e: dict = {}
+    for (e, g), v in sorted(base.items()):
+        by_e.setdefault(e, []).append((g, v))
+    assert len(got) == len(base)
+    for e, series in by_e.items():
+        for i, (g, _) in enumerate(series):
+            r = got[(e, g)]
+            lag_vals = [
+                series[i - k][1] if i - k >= 0 else None
+                for k in range(8)
+            ]
+            cents = [
+                int(np.floor(v * 100 + 0.5)) if v is not None else None
+                for v in lag_vals
+            ]
+            nn = [c for c in cents if c is not None]
+            assert r["n_win"] == len(nn)
+            if not nn:
+                assert r["ewma"] is None and r["roll_mean"] is None
+                continue
+            num = sum(
+                c * 2.0**-k
+                for k, c in enumerate(cents)
+                if c is not None
+            )
+            den = sum(
+                2.0**-k for k, c in enumerate(cents) if c is not None
+            )
+            assert r["ewma"] == round(num / den / 100.0, 6)
+            assert r["roll_mean"] == round(sum(nn) / len(nn) / 100.0, 6)
+            if len(nn) > 1:
+                m = sum(nn) / len(nn)
+                var = (
+                    sum(c * c for c in nn) - m * m * len(nn)
+                ) / (len(nn) - 1)
+                want_std = round(max(var, 0.0) ** 0.5 / 100.0, 6)
+                assert abs(r["roll_std"] - want_std) < 2e-6
+            else:
+                assert r["roll_std"] == 0.0
