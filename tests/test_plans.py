@@ -197,3 +197,49 @@ def test_feature_store_job_build_all_and_resume(spark, tmp_path, sf_dir):
     assert c2 == c1
     for t in c1:
         assert os.path.getmtime(store.path(t)) == mt[t]
+
+
+def test_backfill_and_grid_features_share_one_entity_exchange(spark):
+    """backfill_grid costs exactly 2 shuffles (tiny grid aggregate +
+    the entity window); grid_features must add ZERO more — its lag
+    window rides the same (entity, grid_ts) sort."""
+    from sonar_spark.operators.backfill import backfill_grid, grid_features
+
+    ev = spark.createDataFrame(
+        [(i, i * 37 % 1000, float(i % 7), i % 3) for i in range(200)],
+        "event_id long, tsec long, value double, user_id long",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("tsec").alias("ts"),
+        "value",
+        "user_id",
+    )
+    bf = backfill_grid(ev, step=128)
+    n_bf = _plan(bf).count("Exchange")
+    n_gf = _plan(grid_features(bf)).count("Exchange")
+    assert n_bf == 2, n_bf
+    assert n_gf == n_bf, (n_gf, n_bf)
+
+
+def test_weighted_sample_two_exchanges_one_scan(spark, sf_dir):
+    """E-S sampling: one scan of documents, one groupBy exchange
+    (per-doc max), one window exchange (per-stratum top-k)."""
+    from sonar_spark.functions.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(weighted_sample(docs, k=3))
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dense_index_no_global_sort(spark):
+    """global_dense_index must never plan a single-partition global
+    sort over the data (the whole point vs row_number() OVER ()):
+    no Exchange SinglePartition on the big side — only the tiny
+    bucket-count table may collapse."""
+    from sonar_spark.operators.negatives import global_dense_index
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    plan = _plan(global_dense_index(df))
+    # the data-side windows must be hash-partitioned by bucket
+    assert "hashpartitioning(__b" in plan, plan
