@@ -6801,6 +6801,79 @@ def q_grid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_features(bf, entity_col="user_id", window=8)
 
 
+def q_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming causal grid backfill under the driver harness: the
+    ffill half of backfill_grid as an incremental
+    applyInPandasWithState operator with O(1) per-entity state
+    (latest obs + next grid instant + cell count — NOT an
+    accumulate-then-replay buffer).  Events arrive as 3 TIME-ORDERED
+    micro-batches (10-day ranges), so every emitted fill is causally
+    final when emitted; per-entity sentinels in the last chunk flush
+    the trailing grid (production: event-time timeout, same code
+    path).  Certified against the batch backfill oracle restricted
+    to the causal columns.  See streaming/stateful.stream_backfill."""
+    import shutil
+    import uuid
+
+    from sonar_spark.streaming.stateful import stream_backfill
+
+    step = 21600
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.col("value").cast("double").alias("v"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    b1 = F.unix_timestamp(F.lit("2024-01-11 00:00:00")).cast("long")
+    b2 = F.unix_timestamp(F.lit("2024-01-21 00:00:00")).cast("long")
+    sent = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(4_102_444_800).cast("long").alias("t"),
+        F.lit(0.0).alias("v"),
+        F.lit(-1).cast("long").alias("eid"),
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = f"/tmp/sonar_stream_backfill_{run_id}"
+    src = os.path.join(base, "src")
+    chunks = [
+        ev.where(F.col("t") < b1),
+        ev.where((F.col("t") >= b1) & (F.col("t") < b2)),
+        ev.where(F.col("t") >= b2).unionByName(sent),
+    ]
+    for ci, ch in enumerate(chunks):
+        ch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"c{ci}")
+        )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, t long, v double, eid long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "c*"))
+    )
+    table = f"backfill_stream_{run_id}"
+    q = (
+        stream_backfill(stream, step=step)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    res = spark.table(table).select(
+        "user_id",
+        "grid_ts",
+        F.round("ffill_value", 6).alias("ffill_value"),
+        F.col("ffill_age_s").cast("long").alias("ffill_age_s"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive
     pairs: every doc gets k=4 negatives drawn EXACTLY uniformly from
@@ -6837,8 +6910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS round EXCEPT the late-round-5 additions at
     # slots 51+ (quality_classifier, backfill_grid, asof_directions,
     # weighted_sample, ddsketch_quantiles, split_leakage_safe,
-    # negative_pairs, grid_features — judge-green only): the round-6
-    # window should
+    # negative_pairs, grid_features, stream_backfill — judge-green
+    # only): the round-6 window should
     # LEAD with those, then new round-6 queries, then certified
     # anchors.
     return {
@@ -6903,6 +6976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "negative_pairs": q_negative_pairs,
         "grid_features": q_grid_features,
+        "stream_backfill": q_stream_backfill,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -9118,6 +9192,17 @@ def oracle_sql() -> dict[str, str]:
                WHEN n_win = 1 THEN round(sqrt(0.0) / 100.0, 6) + 0.0
                END AS roll_std
         FROM ag
+    """
+    )
+    # stream_backfill == the causal (ffill) columns of the batch
+    # backfill oracle — the streaming operator must reproduce them
+    # exactly under chunked arrival
+    d["stream_backfill"] = (
+        "WITH bg AS ("
+        + d["backfill_grid"]
+        + """)
+        SELECT user_id, grid_ts, ffill_value, ffill_age_s, n_obs
+        FROM bg
     """
     )
     # negative_pairs: row_number dense index + skip-self bijection

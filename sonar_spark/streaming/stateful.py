@@ -162,3 +162,119 @@ def stream_pitch_track(detections: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BACKFILL_OUT_SCHEMA = (
+    "user_id long, grid_ts long, ffill_value double, "
+    "ffill_age_s long, n_obs long"
+)
+BACKFILL_STATE_SCHEMA = (
+    "last_t long, last_v double, last_eid long, "
+    "next_g long, cell_obs long"
+)
+
+
+def stream_backfill(events: DataFrame, step: int = 21600) -> DataFrame:
+    """Streaming CAUSAL grid backfill — the ffill half of
+    operators/backfill.backfill_grid as an incremental stateful
+    operator (the look-ahead bfill half is inherently offline and
+    stays batch-only).
+
+    Per-entity GroupState holds exactly (latest obs (t, v, eid),
+    the next grid instant to emit, the running cell count) — O(1)
+    state per entity, NOT an accumulate-then-replay buffer.  A grid
+    row (grid_ts, ffill, age, n_obs) is emitted as soon as an
+    observation past it proves it final; input chunks must arrive
+    time-ordered (the harness splits by event-time range), so every
+    emitted fill is causally valid — zero temporal leakage by
+    construction, streaming edition.
+
+    End-of-stream: rows with event_id < 0 are per-entity sentinels
+    (injected by the bounded-replay harness into the LAST chunk);
+    they flush the trailing grid instants up to the step-aligned
+    ceiling of the entity's last observation — production would use
+    an event-time timeout instead, same flush code path.
+
+    Tie rules match the batch operator: an observation AT the grid
+    instant is included in its fill; among duplicate timestamps the
+    highest event_id wins.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.exists:
+            last_t, last_v, last_eid, next_g, cell_obs = state.get
+        else:
+            last_t, last_v, last_eid, next_g, cell_obs = (
+                None, None, None, None, 0,
+            )
+        out_rows = []
+        flush = False
+        last_seen_t = last_t
+
+        def emit_grid(g):
+            if last_t is None:
+                out_rows.append((user_id, g, None, None, cell_obs))
+            else:
+                out_rows.append(
+                    (user_id, g, last_v, g - last_t, cell_obs)
+                )
+
+        rows = []
+        for pdf in pdfs:
+            for t, v, eid in zip(
+                pdf["t"].to_numpy(),
+                pdf["v"].to_numpy(),
+                pdf["eid"].to_numpy(),
+            ):
+                rows.append((int(t), float(v), int(eid)))
+        rows.sort(key=lambda r: (r[0], r[2]))
+        for t, v, eid in rows:
+            if eid < 0:
+                flush = True
+                continue
+            if next_g is None:
+                next_g = (t // step) * step
+            while next_g < t:
+                emit_grid(next_g)
+                next_g += step
+                cell_obs = 0
+            if last_t is None or (t, eid) >= (last_t, last_eid):
+                last_t, last_v, last_eid = t, v, eid
+            last_seen_t = t if last_seen_t is None else max(last_seen_t, t)
+            cell_obs += 1
+        if flush and last_seen_t is not None and next_g is not None:
+            g_up = (
+                last_seen_t
+                if last_seen_t % step == 0
+                else last_seen_t - last_seen_t % step + step
+            )
+            while next_g <= g_up:
+                emit_grid(next_g)
+                next_g += step
+                cell_obs = 0
+            state.remove()
+        else:
+            state.update(
+                (last_t, last_v, last_eid, next_g, cell_obs)
+            )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "user_id", "grid_ts", "ffill_value",
+                    "ffill_age_s", "n_obs",
+                ],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=BACKFILL_OUT_SCHEMA,
+        stateStructType=BACKFILL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

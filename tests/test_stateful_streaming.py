@@ -152,3 +152,87 @@ def test_stream_pitch_track_equals_batch(spark, tmp_path):
     assert len(got) == sum(len(v) for v in docs.values())
     for k in want:
         assert got[k] == want[k], k  # bit-identical, same kernel
+
+
+def test_stream_backfill_equals_batch(spark, tmp_path):
+    """Streaming causal backfill == the ffill columns of the batch
+    operator, under two DIFFERENT time chunkings (2 and 4 ranges),
+    including duplicate-second ties and multi-cell gaps."""
+    from sonar_spark.operators.backfill import backfill_grid
+    from sonar_spark.streaming.stateful import stream_backfill
+
+    step = 256
+    rng = np.random.default_rng(31)
+    rows = []
+    eid = 0
+    for e in range(6):
+        ts = sorted(int(t) for t in rng.integers(0, 8000, size=25))
+        ts[3] = ts[2]  # duplicate-second tie
+        for t in ts:
+            rows.append((eid, t, float(np.round(rng.random() * 50, 2)), e))
+            eid += 1
+    ev_batch = spark.createDataFrame(
+        rows, "event_id long, tsec long, value double, user_id long"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("tsec").alias("ts"),
+        "value",
+        "user_id",
+    )
+    want = {
+        (r["user_id"], r["grid_ts"]): (
+            r["ffill_value"], r["ffill_age_s"], r["n_obs"]
+        )
+        for r in backfill_grid(
+            ev_batch, step=step
+        ).select(
+            "user_id", "grid_ts", "ffill_value", "ffill_age_s", "n_obs"
+        ).collect()
+    }
+
+    for n_chunks in (2, 4):
+        src = tmp_path / f"bf{n_chunks}"
+        src.mkdir()
+        bounds = [0, *(2000 * (i + 1) for i in range(n_chunks - 1)), 10**9]
+        users = sorted({r[3] for r in rows})
+        for ci in range(n_chunks):
+            chunk = [
+                (u, t, v, i)
+                for i, t, v, u in rows
+                if bounds[ci] <= t < bounds[ci + 1]
+            ]
+            if ci == n_chunks - 1:
+                chunk += [(u, 10**10, 0.0, -1) for u in users]
+            spark.createDataFrame(
+                chunk, "user_id long, t long, v double, eid long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(src / f"c{ci}")
+            )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, t long, v double, eid long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "c*"))
+        )
+        name = f"bf_stream_{n_chunks}"
+        q = (
+            stream_backfill(stream, step=step)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck{n_chunks}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["user_id"], r["grid_ts"]): (
+                None if r["ffill_value"] is None
+                else round(r["ffill_value"], 6),
+                r["ffill_age_s"],
+                r["n_obs"],
+            )
+            for r in spark.table(name).collect()
+        }
+        assert got == want, (n_chunks, len(got), len(want))
