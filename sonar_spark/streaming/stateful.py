@@ -278,3 +278,76 @@ def stream_backfill(events: DataFrame, step: int = 21600) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ASOF_OUT_SCHEMA = (
+    "event_id long, user_id long, ts_sec long, "
+    "matched_ref_ts long, ref_version long, ref_value double"
+)
+ASOF_STATE_SCHEMA = "ref_ts long, ref_ver long, ref_val double"
+
+
+def stream_asof(tagged: DataFrame) -> DataFrame:
+    """Streaming point-in-time join — the as-of core as an
+    incremental stateful operator: a tagged union stream
+    (user_id long, t long, side int [0 = reference, 1 = query],
+    eid long, v double) arrives in TIME-ORDERED micro-batches;
+    per-entity GroupState holds exactly the LATEST reference row
+    (ts, version, value) — O(1) state, the running-last window of
+    the batch union strategy (operators/asof._asof_union) turned
+    into a state machine.
+
+    Each query row emits immediately with the current state: the
+    match is causally final the moment the row arrives (reference
+    rows at the same timestamp sort FIRST, so equal-ts matches are
+    inclusive, and among equal-ts references the highest eid wins —
+    the batch tie rules exactly).  Zero temporal leakage by
+    construction: state can only contain references with
+    ref_ts <= the query's ts.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.exists:
+            ref_ts, ref_ver, ref_val = state.get
+        else:
+            ref_ts, ref_ver, ref_val = None, None, None
+        rows = []
+        for pdf in pdfs:
+            for t, side, eid, v in zip(
+                pdf["t"].to_numpy(),
+                pdf["side"].to_numpy(),
+                pdf["eid"].to_numpy(),
+                pdf["v"].to_numpy(),
+            ):
+                rows.append((int(t), int(side), int(eid), float(v)))
+        rows.sort(key=lambda r: (r[0], r[1], r[2]))
+        out = []
+        for t, side, eid, v in rows:
+            if side == 0:
+                ref_ts, ref_ver, ref_val = t, eid, v
+            else:
+                out.append(
+                    (eid, user_id, t, ref_ts, ref_ver, ref_val)
+                )
+        state.update((ref_ts, ref_ver, ref_val))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id", "user_id", "ts_sec",
+                    "matched_ref_ts", "ref_version", "ref_value",
+                ],
+            )
+
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -236,3 +236,93 @@ def test_stream_backfill_equals_batch(spark, tmp_path):
             for r in spark.table(name).collect()
         }
         assert got == want, (n_chunks, len(got), len(want))
+
+
+def test_stream_asof_equals_batch(spark, tmp_path):
+    """Streaming point-in-time join == the batch union as-of plan,
+    at 2 and 4 time chunkings, incl. equal-ts inclusive matches and
+    duplicate-ts version ties."""
+    from sonar_spark.operators.asof import asof_join
+    from sonar_spark.streaming.stateful import stream_asof
+
+    rng = np.random.default_rng(41)
+    rows = []  # (user, t, side, eid, v)
+    eid = 0
+    for u in range(5):
+        for _ in range(30):
+            t = int(rng.integers(0, 5000))
+            side = int(rng.integers(0, 2))
+            rows.append((u, t, side, eid, float(np.round(rng.random() * 9, 2))))
+            eid += 1
+    # planted edge cases: equal-ts ref+query, duplicate-ts refs
+    rows += [
+        (0, 777, 0, eid, 1.25), (0, 777, 1, eid + 1, 0.0),
+        (1, 888, 0, eid + 2, 3.5), (1, 888, 0, eid + 3, 4.5),
+        (1, 888, 1, eid + 4, 0.0),
+    ]
+
+    left = spark.createDataFrame(
+        [(e, u, t) for u, t, s, e, v in rows if s == 1],
+        "event_id long, entity string, ts long",
+    ).withColumn("entity", F.concat(F.lit("u"), "entity"))
+    right = spark.createDataFrame(
+        [(u, t, e, v) for u, t, s, e, v in rows if s == 0],
+        "entity string, rts long, ref_version long, val double",
+    ).groupBy(
+        F.concat(F.lit("u"), "entity").alias("entity"),
+        F.col("rts").alias("ref_ts"),
+    ).agg(
+        F.max("ref_version").alias("ref_version"),
+        F.max_by("val", "ref_version").alias("ref_features"),
+    )
+    want = {
+        r["event_id"]: (
+            r["matched_ref_ts"], r["ref_version"], r["ref_features"]
+        )
+        for r in asof_join(
+            left, right, key="entity", left_ts="ts",
+            right_ts="ref_ts", version="ref_version",
+            payload=("ref_features",), strategy="union",
+        ).collect()
+    }
+
+    for n_chunks in (2, 4):
+        src = tmp_path / f"as{n_chunks}"
+        src.mkdir()
+        bounds = [0, *(1250 * (i + 1) for i in range(n_chunks - 1)), 10**9]
+        for ci in range(n_chunks):
+            chunk = [
+                (u, t, s, e, v)
+                for u, t, s, e, v in rows
+                if bounds[ci] <= t < bounds[ci + 1]
+            ]
+            spark.createDataFrame(
+                chunk, "user_id long, t long, side int, eid long, v double"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(src / f"c{ci}")
+            )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, t long, side int, eid long, v double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "c*"))
+        )
+        name = f"asof_stream_{n_chunks}"
+        q = (
+            stream_asof(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ak{n_chunks}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            r["event_id"]: (
+                r["matched_ref_ts"], r["ref_version"], r["ref_value"]
+            )
+            for r in spark.table(name).collect()
+        }
+        assert got == want, (n_chunks, len(got), len(want))
