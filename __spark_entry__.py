@@ -6953,6 +6953,26 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding — the pipeline's final write
+    stage: 8 contiguous-in-doc-order shards of ~equal token budget
+    via shard = floor(tokens_before / ceil(total/8)).  The global
+    prefix sum is the relational zipWithIndex two-pass (range
+    buckets -> tiny bucket-sum offsets -> parallel within-bucket
+    running sums), never a single-partition sort; per-shard realized
+    totals ride every row as the balance certificate.
+    See operators/sharding.py."""
+    from sonar_spark.operators.sharding import shard_balance
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return shard_balance(docs, n_shards=8)
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive
     pairs: every doc gets k=4 negatives drawn EXACTLY uniformly from
@@ -6989,8 +7009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS round EXCEPT the late-round-5 additions at
     # slots 51+ (quality_classifier, backfill_grid, asof_directions,
     # weighted_sample, ddsketch_quantiles, split_leakage_safe,
-    # negative_pairs, grid_features, stream_backfill, stream_asof —
-    # judge-green only): the round-6 window should
+    # negative_pairs, grid_features, stream_backfill, stream_asof,
+    # shard_balance — judge-green only): the round-6 window should
     # LEAD with those, then new round-6 queries, then certified
     # anchors.
     return {
@@ -7057,6 +7077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_features": q_grid_features,
         "stream_backfill": q_stream_backfill,
         "stream_asof": q_stream_asof,
+        "shard_balance": q_shard_balance,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -9287,6 +9308,36 @@ def oracle_sql() -> dict[str, str]:
     )
     # stream_asof == the batch as-of semantics exactly; same oracle
     d["stream_asof"] = _ASOF_SQL
+    # shard_balance: window prefix sum + integer shard arithmetic
+    d["shard_balance"] = r"""
+        WITH dd AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT
+                   AS n_tok
+          FROM documents
+        ),
+        cc AS (
+          SELECT doc_id, n_tok,
+                 coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0)::BIGINT AS cum_before
+          FROM dd
+        ),
+        tt AS (SELECT sum(n_tok)::BIGINT AS tot FROM dd),
+        aa AS (
+          SELECT cc.doc_id, cc.n_tok, cc.cum_before,
+                 least(cc.cum_before
+                         // ceil(tt.tot::DOUBLE / 8)::BIGINT,
+                       7)::INT AS shard
+          FROM cc, tt
+        )
+        SELECT doc_id, n_tok, cum_before, shard,
+               (sum(n_tok) OVER (PARTITION BY shard))::BIGINT
+                 AS shard_tokens,
+               (count(*) OVER (PARTITION BY shard))::BIGINT
+                 AS shard_docs
+        FROM aa
+    """
     # negative_pairs: row_number dense index + skip-self bijection
     d["negative_pairs"] = r"""
         WITH idx AS (

@@ -232,6 +232,7 @@ def main() -> None:
         "split_leakage_safe",
         "negative_pairs",
         "grid_features",
+        "shard_balance",
     ):
         if name not in qs:
             continue

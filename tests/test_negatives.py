@@ -76,3 +76,52 @@ def test_negative_pairs_uniformity():
     assert hits[g] == 0
     p = trials / (n - 1)
     assert np.all(np.abs(hits[np.arange(n) != g] - p) < 5 * np.sqrt(p))
+
+
+def test_global_cumsum_and_shard_balance(spark):
+    from sonar_spark.operators.sharding import (
+        global_cumsum,
+        shard_balance,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [(int(i * 7 + i % 3), int(rng.integers(1, 50)))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long").repartition(7)
+    got = {
+        r["doc_id"]: r["cum_before"]
+        for r in global_cumsum(df).collect()
+    }
+    acc, want = 0, {}
+    for d, n in sorted(rows):
+        want[d] = acc
+        acc += n
+    assert got == want
+
+    n_shards = 8
+    out = shard_balance(
+        spark.createDataFrame(rows, "doc_id long, n_tok long"),
+        n_shards=n_shards,
+    ).collect()
+    total = sum(n for _, n in rows)
+    target = -(-total // n_shards)
+    max_tok = max(n for _, n in rows)
+    shard_of = {}
+    per_shard: dict = {}
+    for r in out:
+        assert 0 <= r["shard"] < n_shards
+        assert r["shard"] == min((r["cum_before"] // target), n_shards - 1)
+        shard_of[r["doc_id"]] = r["shard"]
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["n_tok"]
+        assert r["shard_tokens"] > 0
+    # contiguity in doc order + greedy balance bound
+    prev = None
+    for d in sorted(shard_of):
+        s = shard_of[d]
+        assert prev is None or s >= prev
+        prev = s
+    for s, tok in per_shard.items():
+        assert tok <= target + max_tok - 1
+    # realized totals on rows match the recount
+    for r in out:
+        assert r["shard_tokens"] == per_shard[r["shard"]]
