@@ -6973,6 +6973,28 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_balance(docs, n_shards=8)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for every anchor with a positive
+    (cosine >= 0.4, the embedding_neardup rule), the top-3 most
+    similar vectors BELOW the positive threshold — the closest
+    non-duplicates a contrastive loss learns the most from, with
+    n_excluded certifying the positive filter fired.  Pair scores
+    come from the exact allpairs_cosine kernel (threshold -1 => all
+    pairs; the embedding_neardup fast path); ranking is two windows
+    over the anchors-bounded candidate set.
+    See operators/negatives.hard_negatives."""
+    from sonar_spark.operators.ann import allpairs_cosine
+    from sonar_spark.operators.negatives import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = allpairs_cosine(
+        emb, f"{sf_dir}/embeddings.parquet", threshold=-1.0
+    ).select("id_a", "id_b", "s")
+    return hard_negatives(pairs, k=3, pos_threshold=0.4)
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive
     pairs: every doc gets k=4 negatives drawn EXACTLY uniformly from
@@ -7010,7 +7032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots 51+ (quality_classifier, backfill_grid, asof_directions,
     # weighted_sample, ddsketch_quantiles, split_leakage_safe,
     # negative_pairs, grid_features, stream_backfill, stream_asof,
-    # shard_balance — judge-green only): the round-6 window should
+    # shard_balance, hard_negatives — judge-green only): the round-6
+    # window should
     # LEAD with those, then new round-6 queries, then certified
     # anchors.
     return {
@@ -7078,6 +7101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_backfill": q_stream_backfill,
         "stream_asof": q_stream_asof,
         "shard_balance": q_shard_balance,
+        "hard_negatives": q_hard_negatives,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -9308,6 +9332,44 @@ def oracle_sql() -> dict[str, str]:
     )
     # stream_asof == the batch as-of semantics exactly; same oracle
     d["stream_asof"] = _ASOF_SQL
+    # hard_negatives: full pair frame + anchors-bounded rank windows
+    # (raw-double threshold + ordering — the kernel bit-matches
+    # list_cosine_similarity, the embedding_neardup precedent)
+    d["hard_negatives"] = r"""
+        WITH pr AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) AS s
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ),
+        sym AS (
+          SELECT ia AS query_id, ib AS neighbor_id, s FROM pr
+          UNION ALL
+          SELECT ib, ia, s FROM pr
+        ),
+        anch AS (
+          SELECT DISTINCT query_id FROM sym WHERE s >= 0.4
+        ),
+        cand AS (
+          SELECT s.* FROM sym s JOIN anch USING (query_id)
+        ),
+        nex AS (
+          SELECT query_id,
+                 (count(*) FILTER (WHERE s >= 0.4))::BIGINT
+                   AS n_excluded
+          FROM cand GROUP BY 1
+        ),
+        rk AS (
+          SELECT query_id, neighbor_id, s,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY s DESC, neighbor_id ASC) AS rk
+          FROM cand WHERE s < 0.4
+        )
+        SELECT r.query_id, r.rk::INT AS rank, r.neighbor_id,
+               round(r.s, 6) AS cosine_sim, n.n_excluded
+        FROM rk r JOIN nex n USING (query_id)
+        WHERE r.rk <= 3
+    """
     # shard_balance: window prefix sum + integer shard arithmetic
     d["shard_balance"] = r"""
         WITH dd AS (

@@ -233,6 +233,7 @@ def main() -> None:
         "negative_pairs",
         "grid_features",
         "shard_balance",
+        "hard_negatives",
     ):
         if name not in qs:
             continue

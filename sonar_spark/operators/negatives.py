@@ -144,3 +144,63 @@ def negative_pairs(
     return probes.join(neg, "neg_gidx").select(
         id_col, "j", "neg_gidx", "neg_doc_id"
     )
+
+
+def hard_negatives(
+    pairs: DataFrame,
+    *,
+    k: int = 3,
+    pos_threshold: float = 0.4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    anchor that has at least one POSITIVE (cosine >= pos_threshold —
+    the embedding near-dup rule), rank all other vectors by cosine
+    and keep the top-k BELOW the positive threshold — the closest
+    vectors that are not (near-)duplicates, i.e. the negatives a
+    contrastive loss learns the most from (in-batch-uniform's
+    targeted complement; see negative_pairs for the uniform draw).
+
+    `pairs` is the UNDIRECTED scored pair table (id_a < id_b, s) —
+    at this scale the exact allpairs_cosine kernel, at corpus scale
+    the LSH/IVF candidate paths (operators/ann), unchanged here.
+
+    Output per anchor: rank (1..k by sim desc, neighbor id
+    tie-break), neighbor_id, cosine_sim, and n_excluded — how many
+    candidates the positive filter removed (certifies the exclusion
+    branch fired).  One mirror-union + two windows over the
+    anchors-bounded candidate set.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "s",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("query_id"),
+            F.col("id_a").alias("neighbor_id"),
+            "s",
+        )
+    )
+    anchors = (
+        sym.where(F.col("s") >= pos_threshold)
+        .select("query_id")
+        .distinct()
+    )
+    cand = sym.join(anchors, "query_id")
+    wq = Window.partitionBy("query_id")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id").asc()
+    )
+    n_exc = F.sum(
+        (F.col("s") >= pos_threshold).cast("long")
+    ).over(wq)
+    ranked = cand.withColumn("n_excluded", n_exc).where(
+        F.col("s") < pos_threshold
+    ).withColumn("rank", F.row_number().over(wr))
+    return ranked.where(F.col("rank") <= k).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        F.round("s", 6).alias("cosine_sim"),
+        F.col("n_excluded").cast("long").alias("n_excluded"),
+    )

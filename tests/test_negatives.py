@@ -125,3 +125,45 @@ def test_global_cumsum_and_shard_balance(spark):
     # realized totals on rows match the recount
     for r in out:
         assert r["shard_tokens"] == per_shard[r["shard"]]
+
+
+def test_hard_negatives_vs_bruteforce(spark):
+    from sonar_spark.operators.negatives import hard_negatives
+
+    # pair table with planted positives (s >= 0.4) for anchors 0,1,2
+    rng = np.random.default_rng(17)
+    n = 12
+    sims = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            sims[(a, b)] = float(np.round(rng.uniform(-0.3, 0.39), 4))
+    sims[(0, 1)] = 0.95  # dup pair -> anchors 0 and 1
+    sims[(2, 7)] = 0.41  # boundary-ish positive -> anchors 2 and 7
+    pairs = spark.createDataFrame(
+        [(a, b, s) for (a, b), s in sims.items()],
+        "id_a long, id_b long, s double",
+    )
+    got = hard_negatives(pairs, k=3, pos_threshold=0.4).collect()
+    anchors = {0, 1, 2, 7}
+    assert {r["query_id"] for r in got} == anchors
+    for q in anchors:
+        cand = []
+        n_exc = 0
+        for (a, b), s in sims.items():
+            if q not in (a, b):
+                continue
+            other = b if a == q else a
+            if s >= 0.4:
+                n_exc += 1
+            else:
+                cand.append((-s, other))
+        cand.sort()
+        want = [other for _, other in cand[:3]]
+        rows = sorted(
+            (r for r in got if r["query_id"] == q),
+            key=lambda r: r["rank"],
+        )
+        assert [r["neighbor_id"] for r in rows] == want, q
+        for r in rows:
+            assert r["n_excluded"] == n_exc
+            assert r["cosine_sim"] < 0.4
