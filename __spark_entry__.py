@@ -6660,11 +6660,15 @@ def q_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward (latest click at/before — the leakage-safe feature),
     forward (earliest click at/after — the label/next-touchpoint
     lookup), and nearest (min absolute gap, ties resolved BACKWARD).
-    Forward is the backward union plan on negated timestamps — one
-    sign flip reuses the whole tested single-shuffle strategy; the
-    nearest pick joins the two passes on event_id.
-    See operators/asof.py asof_join_nearest."""
-    from sonar_spark.operators.asof import asof_join_nearest
+    FUSED plan: both directions come from two window specs over the
+    SAME entity exchange (the backfill two-pass trick) — 2 scans +
+    1 data exchange, vs the composed negated-timestamp form's 4
+    scans + re-join; the two implementations are equivalence-
+    pytest-certified against each other and brute force.
+    See operators/asof.py asof_join_nearest_fused."""
+    from sonar_spark.operators.asof import (
+        asof_join_nearest_fused as asof_join_nearest,
+    )
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts_sec", F.unix_timestamp(F.col("ts"))
@@ -6686,7 +6690,6 @@ def q_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id",
         left_ts="ts_sec",
         right_ts="ref_ts",
-        left_id="event_id",
         version="ref_version",
         payload=("ref_value",),
     )

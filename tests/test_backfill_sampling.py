@@ -345,3 +345,37 @@ def test_grid_features_vs_bruteforce(spark):
                 assert abs(r["roll_std"] - want_std) < 2e-6
             else:
                 assert r["roll_std"] == 0.0
+
+
+def test_asof_nearest_fused_equals_composed(spark):
+    from sonar_spark.operators.asof import asof_join_nearest_fused
+
+    for seed in (7, 13, 29):
+        left, right = _ts_tables(spark, seed=seed)
+        a = sorted(
+            map(
+                tuple,
+                asof_join_nearest(left, right, left_id="event_id")
+                .select(
+                    "event_id", "matched_ref_ts", "ref_features",
+                    "matched_fwd_ts", "ref_features_fwd",
+                    "matched_near_ts", "near_src", "near_gap_s",
+                    "ref_features_near",
+                )
+                .collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                asof_join_nearest_fused(left, right)
+                .select(
+                    "event_id", "matched_ref_ts", "ref_features",
+                    "matched_fwd_ts", "ref_features_fwd",
+                    "matched_near_ts", "near_src", "near_gap_s",
+                    "ref_features_near",
+                )
+                .collect(),
+            )
+        )
+        assert a == b, seed

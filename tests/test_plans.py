@@ -243,3 +243,24 @@ def test_dense_index_no_global_sort(spark):
     plan = _plan(global_dense_index(df))
     # the data-side windows must be hash-partitioned by bucket
     assert "hashpartitioning(__b" in plan, plan
+
+
+def test_asof_nearest_fused_single_data_exchange(spark):
+    """The fused nearest as-of must cost ONE data exchange (both
+    direction windows ride the same entity shuffle) — the reason it
+    replaced the composed two-pass + re-join plan."""
+    from sonar_spark import datagen
+    from sonar_spark.operators.asof import asof_join_nearest_fused
+
+    left = datagen.token_table(spark, n_docs=20).select(
+        F.col("doc_id").alias("entity"),
+        F.col("n_tok").cast("long").alias("ts"),
+    )
+    right = datagen.catalog_table(spark, n_entities=4)
+    plan = _plan(asof_join_nearest_fused(left, right))
+    shuffles = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+    ]
+    assert len(shuffles) == 1, plan
