@@ -6982,9 +6982,14 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar vectors BELOW the positive threshold — the closest
     non-duplicates a contrastive loss learns the most from, with
     n_excluded certifying the positive filter fired.  Pair scores
-    come from the exact allpairs_cosine kernel (threshold -1 => all
-    pairs; the embedding_neardup fast path); ranking is two windows
-    over the anchors-bounded candidate set.
+    come from ONE pass of the exact allpairs_cosine kernel
+    (threshold -1 => all pairs — at 500 vectors the quadratic table
+    is the cheapest plan; a second kernel pass costs more than the
+    mirror union saves, A/B-measured).  At corpus scale the swap-in
+    is LSH positives (hyperplane_lsh_pairs) + the kernel's
+    directed=True LEFT x ALL mode over anchors only
+    (anchors-bounded; pytest-certified equivalent).  Ranking is two
+    windows over the candidate set.
     See operators/negatives.hard_negatives."""
     from sonar_spark.operators.ann import allpairs_cosine
     from sonar_spark.operators.negatives import hard_negatives

@@ -351,6 +351,7 @@ def allpairs_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    directed: bool = False,
 ) -> DataFrame:
     """All-pairs cosine similarity above a threshold — the exact
     quadratic near-dup BASELINE (the scale path is the LSH variant,
@@ -370,7 +371,10 @@ def allpairs_cosine(
     the zero-denominator -> 0.0 guard of distance.go:48-70.
 
     Output: (id_a, id_b, s) with id_a < id_b, s >= threshold, s RAW
-    (caller rounds at its quantization boundary)."""
+    (caller rounds at its quantization boundary).  directed=True
+    emits LEFT x ALL instead (id_a from the left side only, every
+    id_b != id_a) — the anchors-bounded candidate shape
+    hard_negatives consumes when the left side is pre-filtered."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -402,7 +406,10 @@ def allpairs_cosine(
             denom = np.outer(na, nb)
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = np.where(denom > 0, dots / denom, 0.0)
-            mask = (lid[:, None] < rid[None, :]) & (s >= threshold)
+            if directed:
+                mask = (lid[:, None] != rid[None, :]) & (s >= threshold)
+            else:
+                mask = (lid[:, None] < rid[None, :]) & (s >= threshold)
             ii, jj = np.nonzero(mask)
             yield pd.DataFrame(
                 {

@@ -151,6 +151,7 @@ def hard_negatives(
     *,
     k: int = 3,
     pos_threshold: float = 0.4,
+    directed: bool = False,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every
     anchor that has at least one POSITIVE (cosine >= pos_threshold —
@@ -160,9 +161,12 @@ def hard_negatives(
     contrastive loss learns the most from (in-batch-uniform's
     targeted complement; see negative_pairs for the uniform draw).
 
-    `pairs` is the UNDIRECTED scored pair table (id_a < id_b, s) —
-    at this scale the exact allpairs_cosine kernel, at corpus scale
-    the LSH/IVF candidate paths (operators/ann), unchanged here.
+    `pairs` is the scored pair table from the allpairs_cosine
+    kernel (LSH/IVF candidates at corpus scale): undirected
+    (id_a < id_b) by default, or directed=True for the
+    anchors-bounded LEFT x ALL shape (id_a = anchor) — then no
+    mirror union is needed and the plan is candidate-linear in the
+    anchor set.
 
     Output per anchor: rank (1..k by sim desc, neighbor id
     tie-break), neighbor_id, cosine_sim, and n_excluded — how many
@@ -174,13 +178,15 @@ def hard_negatives(
         F.col("id_a").alias("query_id"),
         F.col("id_b").alias("neighbor_id"),
         "s",
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("query_id"),
-            F.col("id_a").alias("neighbor_id"),
-            "s",
-        )
     )
+    if not directed:
+        sym = sym.unionByName(
+            pairs.select(
+                F.col("id_b").alias("query_id"),
+                F.col("id_a").alias("neighbor_id"),
+                "s",
+            )
+        )
     anchors = (
         sym.where(F.col("s") >= pos_threshold)
         .select("query_id")

@@ -167,3 +167,38 @@ def test_hard_negatives_vs_bruteforce(spark):
         for r in rows:
             assert r["n_excluded"] == n_exc
             assert r["cosine_sim"] < 0.4
+
+
+def test_hard_negatives_directed_equals_undirected(spark, sf_dir):
+    """The anchors-bounded directed path (the corpus-scale shape:
+    positives from phase 1, then LEFT x ALL over anchors) must give
+    the same result as the single-pass undirected plan."""
+    from sonar_spark.operators.ann import allpairs_cosine
+    from sonar_spark.operators.negatives import hard_negatives
+
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    und = allpairs_cosine(emb, path, threshold=-1.0).select(
+        "id_a", "id_b", "s"
+    )
+    a = sorted(
+        map(tuple, hard_negatives(und, k=3, pos_threshold=0.4).collect())
+    )
+    pos = allpairs_cosine(emb, path, threshold=0.4)
+    anchors = (
+        pos.select(F.col("id_a").alias("vec_id"))
+        .unionByName(pos.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    cand = allpairs_cosine(
+        emb.join(anchors, "vec_id"), path, threshold=-1.0, directed=True
+    ).select("id_a", "id_b", "s")
+    b = sorted(
+        map(
+            tuple,
+            hard_negatives(
+                cand, k=3, pos_threshold=0.4, directed=True
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
