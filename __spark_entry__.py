@@ -7003,6 +7003,28 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(pairs, k=3, pos_threshold=0.4)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the planted copies (_dup/_copy)
+    play the incoming daily batch, the base docs play the standing
+    indexed corpus — each batch doc gets its exact-duplicate verdict
+    (md5 fingerprint equi-join), its near-duplicate verdict
+    (cross-side shingle-index join + exact Jaccard >= 0.8, never a
+    corpus x corpus pair), and keep = neither.  The operational
+    shape: a new batch joins the materialized index; the corpus is
+    never re-deduped.  Both planted branches are live (_copy ->
+    exact, _dup -> near).  See operators/fingerprint.
+    incremental_dedup."""
+    from sonar_spark.operators.fingerprint import incremental_dedup
+
+    words = _dup_corpus_words(spark, sf_dir)
+    is_batch = F.col("doc_id").endswith("_dup") | F.col("doc_id").endswith(
+        "_copy"
+    )
+    return incremental_dedup(
+        words.where(is_batch), words.where(~is_batch), threshold=0.8
+    )
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive
     pairs: every doc gets k=4 negatives drawn EXACTLY uniformly from
@@ -7040,8 +7062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots 51+ (quality_classifier, backfill_grid, asof_directions,
     # weighted_sample, ddsketch_quantiles, split_leakage_safe,
     # negative_pairs, grid_features, stream_backfill, stream_asof,
-    # shard_balance, hard_negatives — judge-green only): the round-6
-    # window should
+    # shard_balance, hard_negatives, incremental_dedup — judge-green
+    # only): the round-6 window should
     # LEAD with those, then new round-6 queries, then certified
     # anchors.
     return {
@@ -7110,6 +7132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof": q_stream_asof,
         "shard_balance": q_shard_balance,
         "hard_negatives": q_hard_negatives,
+        "incremental_dedup": q_incremental_dedup,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -9340,6 +9363,77 @@ def oracle_sql() -> dict[str, str]:
     )
     # stream_asof == the batch as-of semantics exactly; same oracle
     d["stream_asof"] = _ASOF_SQL
+    # incremental_dedup: dup-corpus reconstruction + cross-side
+    # exact-fp and shingle-index joins (batch = _dup/_copy docs)
+    d["incremental_dedup"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS words
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id::VARCHAR AS doc_id, words FROM base
+          UNION ALL
+          SELECT doc_id::VARCHAR || '_dup', words[1:len(words)-3]
+          FROM base WHERE doc_id % 10 = 0 AND len(words) > 3
+          UNION ALL
+          SELECT doc_id::VARCHAR || '_copy', words
+          FROM base WHERE doc_id % 10 = 5
+        ),
+        tagged AS (
+          SELECT doc_id, words,
+                 (ends_with(doc_id, '_dup')
+                  OR ends_with(doc_id, '_copy')) AS is_b,
+                 md5(array_to_string(words, ' ')) AS fp
+          FROM w
+        ),
+        ex AS (
+          SELECT b.doc_id, min(c.doc_id) AS exact_of,
+                 count(*)::BIGINT AS n_exact
+          FROM tagged b JOIN tagged c
+            ON b.is_b AND NOT c.is_b AND b.fp = c.fp
+          GROUP BY 1
+        ),
+        sh AS (
+          SELECT doc_id, is_b, list_distinct(list_transform(
+            generate_series(1, greatest(len(words) - 3, 1)),
+            i -> array_to_string(words[i:i+3], ' '))) AS sh
+          FROM tagged
+        ),
+        inv AS (SELECT doc_id, is_b, unnest(sh) AS g FROM sh),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+          FROM inv b JOIN inv c
+            ON b.is_b AND NOT c.is_b AND b.g = c.g
+        ),
+        vp AS (
+          SELECT cand.b_id, cand.c_id,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))),
+                   6) AS j
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.b_id
+          JOIN sh sb ON sb.doc_id = cand.c_id
+        ),
+        best AS (
+          SELECT b_id, c_id AS best_match, j AS best_jaccard
+          FROM (
+            SELECT b_id, c_id, j,
+                   row_number() OVER (PARTITION BY b_id
+                     ORDER BY j DESC, c_id ASC) AS rn
+            FROM vp WHERE j >= 0.8)
+          WHERE rn = 1
+        )
+        SELECT t.doc_id, ex.exact_of,
+               coalesce(ex.n_exact, 0)::BIGINT AS n_exact,
+               best.best_match, best.best_jaccard,
+               (ex.exact_of IS NULL AND best.best_match IS NULL)
+                 AS keep
+        FROM tagged t
+        LEFT JOIN ex ON ex.doc_id = t.doc_id
+        LEFT JOIN best ON best.b_id = t.doc_id
+        WHERE t.is_b
+    """
     # hard_negatives: full pair frame + anchors-bounded rank windows
     # (raw-double threshold + ordering — the kernel bit-matches
     # list_cosine_similarity, the embedding_neardup precedent)

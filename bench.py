@@ -234,6 +234,7 @@ def main() -> None:
         "grid_features",
         "shard_balance",
         "hard_negatives",
+        "incremental_dedup",
     ):
         if name not in qs:
             continue

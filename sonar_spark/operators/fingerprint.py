@@ -571,3 +571,109 @@ def ngram_novelty(
             F.round(F.col("n_novel") / F.col("n_grams"), 6), F.lit(1.0)
         ).alias("novelty_frac"),
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental ingest dedup — the operational pattern at corpus
+    scale: dedupe an incoming BATCH against the already-indexed
+    corpus without ever re-deduping the corpus itself (a daily
+    ingest joins against the standing fingerprint/shingle index; the
+    corpus side here stands in for that materialized index, the
+    FeatureStore dup_labels analog).
+
+    Inputs: word-array tables (doc_id string, words array<string>).
+    Per batch doc the output carries the exact-duplicate verdict
+    (identical token stream: exact_of = lowest matching corpus doc,
+    n_exact), the near-duplicate verdict (any corpus doc with
+    4-shingle Jaccard >= threshold: best_match = highest-Jaccard,
+    ties -> lowest corpus doc; best_jaccard at 6dp), and
+    keep = neither.
+
+    Plan: one md5-fingerprint equi-join for the exact pass; the near
+    pass joins the two sides' distinct-shingle inverted indexes on
+    the shingle key — candidates are CROSS-SIDE only (batch x
+    corpus, never corpus x corpus: the index side is settled) —
+    then verifies candidates with exact Jaccard.  At web scale the
+    shingle index is replaced by the banded-MinHash index
+    (minhash_fingerprints / lsh_candidate_pairs, recall-1.0-proven
+    at this threshold in minhash_dedup) — same cross-side join
+    shape, one shuffle on the band key.
+    """
+    b = batch.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("words").alias("b_words"),
+        F.md5(F.array_join("words", " ")).alias("b_fp"),
+    )
+    c = corpus.select(
+        F.col("doc_id").alias("c_id"),
+        F.col("words").alias("c_words"),
+        F.md5(F.array_join("words", " ")).alias("c_fp"),
+    )
+
+    exact = (
+        b.select("b_id", "b_fp")
+        .join(c.select("c_id", "c_fp"), F.col("b_fp") == F.col("c_fp"))
+        .groupBy("b_id")
+        .agg(
+            F.min("c_id").alias("exact_of"),
+            F.count("*").cast("long").alias("n_exact"),
+        )
+    )
+
+    def sh4(words):
+        n = F.size(words)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 3, F.lit(1))),
+                lambda i: F.array_join(F.slice(words, i, 4), " "),
+            )
+        )
+
+    bs = b.select("b_id", sh4(F.col("b_words")).alias("b_sh"))
+    cs = c.select("c_id", sh4(F.col("c_words")).alias("c_sh"))
+    binv = bs.select("b_id", F.explode("b_sh").alias("g"))
+    cinv = cs.select("c_id", F.explode("c_sh").alias("g"))
+    cand = binv.join(cinv, "g").select("b_id", "c_id").distinct()
+    jac = F.round(
+        F.size(F.array_intersect("b_sh", "c_sh")).cast("double")
+        / F.size(F.array_union("b_sh", "c_sh")),
+        6,
+    )
+    verified = (
+        cand.join(bs, "b_id")
+        .join(cs, "c_id")
+        .select("b_id", "c_id", jac.alias("j"))
+        .where(F.col("j") >= threshold)
+    )
+    wbest = Window.partitionBy("b_id").orderBy(
+        F.col("j").desc(), F.col("c_id").asc()
+    )
+    best = (
+        verified.withColumn("__rn", F.row_number().over(wbest))
+        .where(F.col("__rn") == 1)
+        .select(
+            "b_id",
+            F.col("c_id").alias("best_match"),
+            F.col("j").alias("best_jaccard"),
+        )
+    )
+    return (
+        b.select(F.col("b_id").alias("doc_id"))
+        .join(exact.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
+        .join(best.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_of",
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+            "best_match",
+            "best_jaccard",
+            (
+                F.col("exact_of").isNull() & F.col("best_match").isNull()
+            ).alias("keep"),
+        )
+    )

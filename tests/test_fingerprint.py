@@ -372,3 +372,49 @@ def test_repetition_profile_crafted(spark):
     # 3-grams: aba bab aba bab -> 1 - 2/4
     assert r["dup_3gram_frac"] == 0.5
     assert r["flagged"]
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Exact copies -> exact_of; trimmed near-dups -> best_match;
+    fresh docs -> keep; corpus x corpus pairs never influence the
+    batch verdicts."""
+    from pyspark.sql import functions as F
+
+    from sonar_spark.operators.fingerprint import incremental_dedup
+
+    def wdf(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, words array<string>"
+        )
+
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = wdf(
+        [
+            ("c1", vocab[:12]),
+            ("c2", vocab[:12]),          # corpus-internal dup: ignored
+            ("c3", vocab[12:26]),
+            ("c4", ["zz"] * 6),
+        ]
+    )
+    batch = wdf(
+        [
+            ("b1", vocab[:12]),          # exact copy of c1 AND c2
+            ("b2", vocab[12:24]),        # near-dup of c3 (trimmed)
+            ("b3", ["qq", "rr", "ss", "tt", "uu"]),  # fresh
+        ]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in incremental_dedup(batch, corpus, threshold=0.8).collect()
+    }
+    assert set(got) == {"b1", "b2", "b3"}
+    assert got["b1"]["exact_of"] == "c1" and got["b1"]["n_exact"] == 2
+    assert got["b1"]["keep"] is False
+    assert got["b2"]["exact_of"] is None
+    assert got["b2"]["best_match"] == "c3"
+    # jaccard of 4-shingles: b2 has 9 shingles, c3 has 11, share 9
+    assert got["b2"]["best_jaccard"] == round(9 / 11, 6)
+    assert got["b2"]["keep"] is False
+    assert got["b3"]["exact_of"] is None
+    assert got["b3"]["best_match"] is None
+    assert got["b3"]["keep"] is True
