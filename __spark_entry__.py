@@ -9491,7 +9491,8 @@ def oracle_sql() -> dict[str, str]:
         aa AS (
           SELECT cc.doc_id, cc.n_tok, cc.cum_before,
                  least(cc.cum_before
-                         // ceil(tt.tot::DOUBLE / 8)::BIGINT,
+                         // greatest(ceil(tt.tot::DOUBLE / 8)::BIGINT,
+                                     1),
                        7)::INT AS shard
           FROM cc, tt
         )

@@ -53,20 +53,23 @@ def global_dense_index(
         ).otherwise(F.lit(0)),
     ).drop("__lo", "__hi")
     counts = b.groupBy("__b").agg(F.count("*").alias("__c"))
-    # cumulative offsets over the <= `buckets`-row count table; the
-    # constant partition key just keeps WindowExec from logging the
-    # single-partition warning — the table is bucket-bounded by
-    # construction, this is the tiny side of the two-pass
-    woff = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "__b",
-        F.coalesce(F.sum("__c").over(woff), F.lit(0))
-        .cast("long")
-        .alias("__off"),
+    # cumulative offsets over the <= `buckets`-row count table as a
+    # triangle self-join (no WindowExec: a global-ordered window
+    # would plan single-partition and Catalyst folds any constant
+    # partition key away) — quadratic only in the BUCKET count
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.select(
+                F.col("__b").alias("__b2"), F.col("__c").alias("__c2")
+            ),
+            F.col("__b2") < F.col("__b"),
+            "left",
+        )
+        .groupBy("__b")
+        .agg(
+            F.coalesce(F.sum("__c2"), F.lit(0)).cast("long").alias("__off")
+        )
     )
     win = Window.partitionBy("__b").orderBy(col)
     return (
@@ -90,12 +93,15 @@ def negative_pairs(
 
     Output: doc_id, j (0..k-1), neg_gidx, neg_doc_id.  One tiny
     min/max agg + bucket-bounded offset table for the index, one
-    shuffle joining probes to the indexed table on gidx.
+    shuffle joining probes to the indexed table on gidx.  A corpus
+    with fewer than 2 docs has no possible negative and yields an
+    empty result (the N-1 modulus guard).
     """
     idx = global_dense_index(docs.select(id_col), col=id_col)
     n = idx.groupBy().agg(F.count("*").cast("long").alias("__n"))
     probes = (
         idx.crossJoin(F.broadcast(n))
+        .where(F.col("__n") >= 2)
         .select(
             id_col,
             "gidx",

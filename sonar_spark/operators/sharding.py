@@ -49,16 +49,22 @@ def global_cumsum(
         ).otherwise(F.lit(0)),
     ).drop("__lo", "__hi")
     sums = b.groupBy("__b").agg(F.sum(val).cast("long").alias("__s"))
-    woff = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = sums.select(
-        "__b",
-        F.coalesce(F.sum("__s").over(woff), F.lit(0))
-        .cast("long")
-        .alias("__off"),
+    # bucket-offset cumsum as a triangle self-join over the tiny
+    # bucket table (see global_dense_index: no single-partition
+    # WindowExec)
+    offsets = (
+        sums.alias("a")
+        .join(
+            sums.select(
+                F.col("__b").alias("__b2"), F.col("__s").alias("__s2")
+            ),
+            F.col("__b2") < F.col("__b"),
+            "left",
+        )
+        .groupBy("__b")
+        .agg(
+            F.coalesce(F.sum("__s2"), F.lit(0)).cast("long").alias("__off")
+        )
     )
     win = (
         Window.partitionBy("__b")
@@ -93,7 +99,11 @@ def shard_balance(
     tot = cs.groupBy().agg(
         F.sum(ntok_col).cast("long").alias("__tot")
     )
-    target = F.ceil(F.col("__tot") / n_shards).cast("long")
+    # greatest(...,1): an all-empty corpus (total 0) degenerates to
+    # shard 0 instead of dividing by zero
+    target = F.greatest(
+        F.ceil(F.col("__tot") / n_shards).cast("long"), F.lit(1)
+    )
     assigned = cs.crossJoin(F.broadcast(tot)).select(
         id_col,
         F.col(ntok_col).cast("long").alias(ntok_col),
