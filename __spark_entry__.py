@@ -7008,20 +7008,46 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     play the incoming daily batch, the base docs play the standing
     indexed corpus — each batch doc gets its exact-duplicate verdict
     (md5 fingerprint equi-join), its near-duplicate verdict
-    (cross-side shingle-index join + exact Jaccard >= 0.8, never a
-    corpus x corpus pair), and keep = neither.  The operational
-    shape: a new batch joins the materialized index; the corpus is
-    never re-deduped.  Both planted branches are live (_copy ->
-    exact, _dup -> near).  See operators/fingerprint.
-    incremental_dedup."""
-    from sonar_spark.operators.fingerprint import incremental_dedup
+    (candidates from the banded-MinHash index joined CROSS-SIDE on
+    the band key — never a corpus x corpus pair, and never the raw
+    shingle inverted index, whose collisions degenerate on this
+    31-word-vocab corpus — then exact Jaccard >= 0.8), and
+    keep = neither.  The operational shape: a new batch joins the
+    materialized index; the corpus is never re-deduped.  The band
+    index has recall 1.0 vs the exact pair set at this threshold on
+    this corpus (the minhash_dedup certificate), so the oracle's
+    exact cross-side replay is the same result.  Both planted
+    branches are live (_copy -> exact, _dup -> near).
+    See operators/fingerprint.incremental_dedup."""
+    from sonar_spark.operators.fingerprint import (
+        incremental_dedup,
+        minhash_fingerprints,
+    )
 
     words = _dup_corpus_words(spark, sf_dir)
     is_batch = F.col("doc_id").endswith("_dup") | F.col("doc_id").endswith(
         "_copy"
     )
+    sigs = minhash_fingerprints(
+        _dup_corpus(spark, sf_dir),
+        MinHashConfig(num_hashes=64, bands=32),
+    ).select("doc_id", F.posexplode("bands").alias("bi", "bh"))
+    cand = (
+        sigs.where(is_batch)
+        .select(F.col("doc_id").alias("b_id"), "bi", "bh")
+        .join(
+            sigs.where(~is_batch).select(
+                F.col("doc_id").alias("c_id"), "bi", "bh"
+            ),
+            ["bi", "bh"],
+        )
+        .select("b_id", "c_id")
+    )
     return incremental_dedup(
-        words.where(is_batch), words.where(~is_batch), threshold=0.8
+        words.where(is_batch),
+        words.where(~is_batch),
+        threshold=0.8,
+        candidate_pairs=cand,
     )
 
 

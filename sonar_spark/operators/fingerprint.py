@@ -578,6 +578,7 @@ def incremental_dedup(
     corpus: DataFrame,
     *,
     threshold: float = 0.8,
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup — the operational pattern at corpus
     scale: dedupe an incoming BATCH against the already-indexed
@@ -598,11 +599,16 @@ def incremental_dedup(
     pass joins the two sides' distinct-shingle inverted indexes on
     the shingle key — candidates are CROSS-SIDE only (batch x
     corpus, never corpus x corpus: the index side is settled) —
-    then verifies candidates with exact Jaccard.  At web scale the
-    shingle index is replaced by the banded-MinHash index
-    (minhash_fingerprints / lsh_candidate_pairs, recall-1.0-proven
-    at this threshold in minhash_dedup) — same cross-side join
-    shape, one shuffle on the band key.
+    then verifies candidates with exact Jaccard.
+
+    `candidate_pairs` (b_id, c_id) replaces the shingle-index join
+    with a caller-supplied candidate set — the banded-MinHash index
+    path (minhash_fingerprints band join, recall-1.0-proven at this
+    threshold in minhash_dedup): one shuffle on the band key,
+    candidate volume bounded by band collisions instead of raw
+    shingle collisions (which degenerate on a tiny-vocab corpus).
+    Verification is identical either way, so with a recall-1
+    candidate source the result is exactly the shingle-path result.
     """
     b = batch.select(
         F.col("doc_id").alias("b_id"),
@@ -636,9 +642,12 @@ def incremental_dedup(
 
     bs = b.select("b_id", sh4(F.col("b_words")).alias("b_sh"))
     cs = c.select("c_id", sh4(F.col("c_words")).alias("c_sh"))
-    binv = bs.select("b_id", F.explode("b_sh").alias("g"))
-    cinv = cs.select("c_id", F.explode("c_sh").alias("g"))
-    cand = binv.join(cinv, "g").select("b_id", "c_id").distinct()
+    if candidate_pairs is not None:
+        cand = candidate_pairs.select("b_id", "c_id").distinct()
+    else:
+        binv = bs.select("b_id", F.explode("b_sh").alias("g"))
+        cinv = cs.select("c_id", F.explode("c_sh").alias("g"))
+        cand = binv.join(cinv, "g").select("b_id", "c_id").distinct()
     jac = F.round(
         F.size(F.array_intersect("b_sh", "c_sh")).cast("double")
         / F.size(F.array_union("b_sh", "c_sh")),

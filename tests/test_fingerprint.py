@@ -418,3 +418,41 @@ def test_incremental_dedup_verdicts(spark):
     assert got["b3"]["exact_of"] is None
     assert got["b3"]["best_match"] is None
     assert got["b3"]["keep"] is True
+
+
+def test_incremental_dedup_candidate_injection(spark):
+    """A recall-1 candidate source must reproduce the shingle-path
+    result exactly; a candidate set MISSING the true pair loses it
+    (the verification stage never invents pairs)."""
+    from pyspark.sql import functions as F
+
+    from sonar_spark.operators.fingerprint import incremental_dedup
+
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = spark.createDataFrame(
+        [("c1", vocab[:14]), ("c2", vocab[14:28])],
+        "doc_id string, words array<string>",
+    )
+    batch = spark.createDataFrame(
+        [("b1", vocab[:12])], "doc_id string, words array<string>"
+    )
+    want = sorted(
+        map(tuple, incremental_dedup(batch, corpus).collect())
+    )
+    full = spark.createDataFrame(
+        [("b1", "c1"), ("b1", "c2")], "b_id string, c_id string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            incremental_dedup(
+                batch, corpus, candidate_pairs=full
+            ).collect(),
+        )
+    )
+    assert got == want
+    empty = full.where(F.lit(False))
+    miss = incremental_dedup(
+        batch, corpus, candidate_pairs=empty
+    ).collect()
+    assert miss[0]["best_match"] is None
