@@ -97,7 +97,11 @@ def negative_pairs(
     with fewer than 2 docs has no possible negative and yields an
     empty result (the N-1 modulus guard).
     """
-    idx = global_dense_index(docs.select(id_col), col=id_col)
+    # the index table feeds BOTH the probe side and the negative
+    # lookup side — persist it so the two-pass (and the corpus scan
+    # under it) runs once, not per consumer (the multi-consumer
+    # corpus-subtree rule; plan-audited: 32 -> ~6 exchanges)
+    idx = global_dense_index(docs.select(id_col), col=id_col).persist()
     n = idx.groupBy().agg(F.count("*").cast("long").alias("__n"))
     probes = (
         idx.crossJoin(F.broadcast(n))

@@ -96,7 +96,9 @@ def shard_balance(
     shard's realized totals (shard_tokens, shard_docs) riding every
     row — the balance certificate."""
     cs = global_cumsum(docs, col=id_col, val=ntok_col)
-    tot = cs.groupBy().agg(
+    # total from the INPUT, not the cumsum subtree — re-deriving cs
+    # for a single scalar would double the two-pass (plan-audited)
+    tot = docs.groupBy().agg(
         F.sum(ntok_col).cast("long").alias("__tot")
     )
     # greatest(...,1): an all-empty corpus (total 0) degenerates to
