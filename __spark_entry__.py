@@ -7051,6 +7051,71 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch as a STREAMING aggregation: the bucket-count build is
+    a plain groupBy, so under structured streaming it accumulates in
+    the state store across micro-batches and the complete-mode
+    output after trigger(availableNow) must equal the batch sketch
+    bucket-for-bucket — the sketch-merges-incrementally story
+    (shards merge by count sum; a stream IS a sequence of shard
+    deltas).  3 arbitrary-order chunks (event_id % 3 — order
+    genuinely does not matter for a sketch, unlike the time-ordered
+    asof/backfill streams); oracle = the batch bucket replay.
+    See functions/ddsketch.bucket_idx."""
+    import shutil
+    import uuid
+
+    from sonar_spark.functions.ddsketch import bucket_idx
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = f"/tmp/sonar_stream_dds_{run_id}"
+    src = os.path.join(base, "src")
+    for ci in range(3):
+        (
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == ci)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"c{ci}"))
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "c*"))
+    )
+    agg = (
+        stream.select(
+            "event_type", bucket_idx(F.col("cents")).alias("idx")
+        )
+        .groupBy("event_type", "idx")
+        .count()
+    )
+    table = f"dds_stream_{run_id}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    res = spark.table(table).select(
+        "event_type",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("count").cast("long").alias("cnt"),
+    )
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive
     pairs: every doc gets k=4 negatives drawn EXACTLY uniformly from
@@ -7088,8 +7153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slots 51+ (quality_classifier, backfill_grid, asof_directions,
     # weighted_sample, ddsketch_quantiles, split_leakage_safe,
     # negative_pairs, grid_features, stream_backfill, stream_asof,
-    # shard_balance, hard_negatives, incremental_dedup — judge-green
-    # only): the round-6 window should
+    # shard_balance, hard_negatives, incremental_dedup,
+    # stream_ddsketch — judge-green only): the round-6 window should
     # LEAD with those, then new round-6 queries, then certified
     # anchors.
     return {
@@ -7159,6 +7224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_balance": q_shard_balance,
         "hard_negatives": q_hard_negatives,
         "incremental_dedup": q_incremental_dedup,
+        "stream_ddsketch": q_stream_ddsketch,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -9389,6 +9455,27 @@ def oracle_sql() -> dict[str, str]:
     )
     # stream_asof == the batch as-of semantics exactly; same oracle
     d["stream_asof"] = _ASOF_SQL
+    # stream_ddsketch == the batch bucket build (complete-mode
+    # streaming agg over arbitrary-order chunks)
+    d["stream_ddsketch"] = r"""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+          FROM events
+        ),
+        b AS (
+          SELECT event_type,
+            (CASE WHEN v <= 0 THEN -1
+                  ELSE (length(to_base(v, 2)) - 1) * 8
+                       + CAST((v * 8) // (1::BIGINT
+                           << (length(to_base(v, 2)) - 1)) AS INT)
+                       - 8
+             END)::INT AS idx
+          FROM e
+        )
+        SELECT event_type, idx, count(*)::BIGINT AS cnt
+        FROM b GROUP BY 1, 2
+    """
     # incremental_dedup: dup-corpus reconstruction + cross-side
     # exact-fp and shingle-index joins (batch = _dup/_copy docs)
     d["incremental_dedup"] = r"""
