@@ -7116,6 +7116,48 @@ def q_stream_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour max-staleness tolerance (pandas
+    merge_asof `tolerance`; the feature-TTL rule) — matches older
+    than the window are nulled, within_tol distinguishes too-stale
+    (false) from no-match-at-all (null).  Same single-shuffle union
+    plan as asof_events; the tolerance is a column rewrite, so the
+    zero-leakage guarantee is inherited.  With directions and
+    nearest this completes the merge_asof parameter surface.
+    See operators/asof.asof_join_tolerance."""
+    from sonar_spark.operators.asof import asof_join_tolerance
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp(F.col("ts"))
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts_sec").alias("ref_ts"))
+        .agg(
+            F.max("event_id").alias("ref_version"),
+            F.round(F.max_by("value", "event_id"), 6).alias("ref_value"),
+        )
+    )
+    out = asof_join_tolerance(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts_sec",
+        right_ts="ref_ts",
+        version="ref_version",
+        payload=("ref_value",),
+        tolerance=3600,
+    )
+    # int-cast the nullable boolean (None vs NaN normalizes
+    # differently in the compare — the merge_ok precedent)
+    return out.withColumn(
+        "within_tol", F.col("within_tol").cast("int")
+    )
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive
     pairs: every doc gets k=4 negatives drawn EXACTLY uniformly from
@@ -7154,7 +7196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # weighted_sample, ddsketch_quantiles, split_leakage_safe,
     # negative_pairs, grid_features, stream_backfill, stream_asof,
     # shard_balance, hard_negatives, incremental_dedup,
-    # stream_ddsketch — judge-green only): the round-6 window should
+    # stream_ddsketch, asof_tolerance — judge-green only): the
+    # round-6 window should
     # LEAD with those, then new round-6 queries, then certified
     # anchors.
     return {
@@ -7225,6 +7268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "incremental_dedup": q_incremental_dedup,
         "stream_ddsketch": q_stream_ddsketch,
+        "asof_tolerance": q_asof_tolerance,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -9455,6 +9499,21 @@ def oracle_sql() -> dict[str, str]:
     )
     # stream_asof == the batch as-of semantics exactly; same oracle
     d["stream_asof"] = _ASOF_SQL
+    # asof_tolerance: the ASOF JOIN oracle with the staleness rewrite
+    _asof_prefix = _ASOF_SQL[: _ASOF_SQL.rindex("SELECT l.event_id")]
+    d["asof_tolerance"] = _asof_prefix + r"""
+SELECT l.event_id, l.user_id, l.ts_sec,
+       CASE WHEN l.ts_sec - r.ref_ts <= 3600
+            THEN r.ref_ts END AS matched_ref_ts,
+       CASE WHEN l.ts_sec - r.ref_ts <= 3600
+            THEN r.ref_value END AS ref_value,
+       CASE WHEN l.ts_sec - r.ref_ts <= 3600
+            THEN r.ref_version END AS ref_version,
+       (CASE WHEN r.ref_ts IS NOT NULL
+            THEN l.ts_sec - r.ref_ts <= 3600 END)::INT AS within_tol
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_sec >= r.ref_ts
+"""
     # stream_ddsketch == the batch bucket build (complete-mode
     # streaming agg over arbitrary-order chunks)
     d["stream_ddsketch"] = r"""

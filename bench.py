@@ -235,6 +235,7 @@ def main() -> None:
         "shard_balance",
         "hard_negatives",
         "incremental_dedup",
+        "asof_tolerance",
     ):
         if name not in qs:
             continue

@@ -485,3 +485,37 @@ def asof_join_nearest_fused(
             for c in payload
         ],
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "entity",
+    left_ts: str = "ts",
+    right_ts: str = "ref_ts",
+    version: str | None = "ref_version",
+    payload: tuple[str, ...] = ("ref_features",),
+    tolerance: int = 3600,
+) -> DataFrame:
+    """Backward as-of with a max-staleness tolerance (pandas
+    merge_asof's `tolerance`; the feature-TTL rule: a reference
+    older than `tolerance` seconds must NOT be used).  Exactly the
+    union single-shuffle plan — the tolerance is a post-window
+    column rewrite (match columns nulled beyond the window), so the
+    physical plan is unchanged and the leakage guarantee is
+    inherited.  Output adds within_tol (false when a match existed
+    but was too stale; null when no match at all).
+    """
+    j = _asof_union(left, right, key, left_ts, right_ts, version, payload)
+    gap = F.col(left_ts).cast("long") - F.col("matched_ref_ts")
+    ok = gap <= tolerance
+    carry = list(payload) + ([version] if version else [])
+    return j.select(
+        *[c for c in left.columns],
+        F.when(ok, F.col("matched_ref_ts"))
+        .cast("long")
+        .alias("matched_ref_ts"),
+        *[F.when(ok, F.col(c)).alias(c) for c in carry],
+        F.when(F.col("matched_ref_ts").isNotNull(), ok).alias("within_tol"),
+    )

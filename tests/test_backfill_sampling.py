@@ -379,3 +379,40 @@ def test_asof_nearest_fused_equals_composed(spark):
             )
         )
         assert a == b, seed
+
+
+def test_asof_tolerance_rule(spark):
+    from sonar_spark.operators.asof import (
+        asof_join,
+        asof_join_tolerance,
+    )
+
+    left, right = _ts_tables(spark, seed=19)
+    tol = 150
+    base = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, key="entity", left_ts="ts",
+            right_ts="ref_ts", version="ref_version",
+            payload=("ref_features",), strategy="union",
+        ).collect()
+    }
+    got = asof_join_tolerance(
+        left, right, key="entity", left_ts="ts", right_ts="ref_ts",
+        version="ref_version", payload=("ref_features",),
+        tolerance=tol,
+    ).collect()
+    assert len(got) == len(base)
+    for g in got:
+        b = base[g["event_id"]]
+        if b["matched_ref_ts"] is None:
+            assert g["matched_ref_ts"] is None
+            assert g["within_tol"] is None
+        elif b["ts"] - b["matched_ref_ts"] <= tol:
+            assert g["matched_ref_ts"] == b["matched_ref_ts"]
+            assert g["ref_features"] == b["ref_features"]
+            assert g["within_tol"] is True
+        else:
+            assert g["matched_ref_ts"] is None
+            assert g["ref_features"] is None
+            assert g["within_tol"] is False
