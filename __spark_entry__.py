@@ -7158,6 +7158,79 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the repeated-document training list the
+    temperature mix implies (mix_weights computes per-source token
+    allocations; this step turns them into actual rows): every doc
+    of a source with allocation A and token mass M appears
+    floor(A/M) times plus one extra copy iff md5(doc) mod M <
+    A mod M — an exact integer rule whose expected per-source copy
+    mass is A, deterministic and engine-replayable (no RNG).
+    Output per copy: doc_id, source, n_tok, n_copies, copy_idx and
+    the realized per-source copy total (the budget certificate).
+    One corpus scan + a ~|sources|-row broadcast; the explode is
+    output-bounded.  Guards the Spark sequence(1,0)-descends gotcha
+    with an empty-array branch."""
+    from pyspark.sql import Window
+
+    from sonar_spark.functions.corpus import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    )
+    mix = temperature_mix(
+        words.select("source", "words"), temperature=0.3, budget=1_000_000
+    ).select("source", "tokens", "alloc_tokens")
+    d = words.select(
+        "doc_id", "source", F.size("words").cast("long").alias("n_tok")
+    ).join(F.broadcast(mix), "source")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("tokens")
+    )
+    n_copies = (
+        (F.col("alloc_tokens") / F.col("tokens")).cast("long")
+        + (h < F.col("alloc_tokens") % F.col("tokens")).cast("long")
+    )
+    c = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        n_copies.alias("n_copies"),
+    )
+    wsrc = Window.partitionBy("source")
+    # the certificate sum must ride the PRE-explode rows (a window in
+    # the same select as a generator evaluates after the explode)
+    c = c.withColumn(
+        "source_copies",
+        F.sum("n_copies").over(wsrc).cast("long"),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "n_copies",
+        "source_copies",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1,
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies")),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("copy_idx"),
+    )
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling for contrastive
     pairs: every doc gets k=4 negatives drawn EXACTLY uniformly from
@@ -7196,8 +7269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # weighted_sample, ddsketch_quantiles, split_leakage_safe,
     # negative_pairs, grid_features, stream_backfill, stream_asof,
     # shard_balance, hard_negatives, incremental_dedup,
-    # stream_ddsketch, asof_tolerance — judge-green only): the
-    # round-6 window should
+    # stream_ddsketch, asof_tolerance, epoch_expand — judge-green
+    # only): the round-6 window should
     # LEAD with those, then new round-6 queries, then certified
     # anchors.
     return {
@@ -7269,6 +7342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "stream_ddsketch": q_stream_ddsketch,
         "asof_tolerance": q_asof_tolerance,
+        "epoch_expand": q_epoch_expand,
         "compare_topk_lsh": q_compare_topk_lsh,
         "windowed_stats": q_windowed_stats,
         "asof_bucketed": q_asof_bucketed,
@@ -9499,6 +9573,43 @@ def oracle_sql() -> dict[str, str]:
     )
     # stream_asof == the batch as-of semantics exactly; same oracle
     d["stream_asof"] = _ASOF_SQL
+    # epoch_expand: mix_weights as a CTE + exact integer copy rule
+    d["epoch_expand"] = (
+        "WITH mw AS ("
+        + d["mix_weights"]
+        + r"""),
+        d2 AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\s+'))::BIGINT
+                   AS n_tok
+          FROM documents
+        ),
+        jj AS (
+          SELECT d2.doc_id, d2.source, d2.n_tok,
+                 mw.alloc_tokens // mw.tokens AS n_full,
+                 mw.alloc_tokens % mw.tokens AS rem,
+                 ('0x' || substring(md5('ep1:' || d2.doc_id::VARCHAR),
+                    1, 15))::BIGINT % mw.tokens AS h
+          FROM d2 JOIN mw USING (source)
+        ),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 (n_full + (h < rem)::BIGINT)::BIGINT AS n_copies
+          FROM jj
+        ),
+        sc AS (
+          SELECT source, sum(n_copies)::BIGINT AS source_copies
+          FROM c GROUP BY 1
+        )
+        SELECT c.doc_id, c.source, c.n_tok, c.n_copies,
+               sc.source_copies, gs.ci::BIGINT AS copy_idx
+        FROM c
+        JOIN sc USING (source),
+        LATERAL (SELECT unnest(generate_series(1, c.n_copies))
+                 AS ci) gs
+        WHERE c.n_copies >= 1
+    """
+    )
     # asof_tolerance: the ASOF JOIN oracle with the staleness rewrite
     _asof_prefix = _ASOF_SQL[: _ASOF_SQL.rindex("SELECT l.event_id")]
     d["asof_tolerance"] = _asof_prefix + r"""

@@ -236,6 +236,7 @@ def main() -> None:
         "hard_negatives",
         "incremental_dedup",
         "asof_tolerance",
+        "epoch_expand",
     ):
         if name not in qs:
             continue

@@ -416,3 +416,56 @@ def test_asof_tolerance_rule(spark):
             assert g["matched_ref_ts"] is None
             assert g["ref_features"] is None
             assert g["within_tol"] is False
+
+
+def test_epoch_expand_budget_law(spark, sf_dir):
+    """The integer copy rule's expected per-source copy-token mass is
+    exactly the allocation: sum over docs of n_copies*... per-doc
+    copies = floor(A/M) + [h mod M < A mod M]; verify the python
+    replay and the realized-mass band."""
+    import hashlib
+
+    import __spark_entry__ as E
+
+    rows = E.queries()["epoch_expand"](spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    src_tokens: dict = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = r
+        src_tokens.setdefault(r["source"], 0)
+    # python replay of the copy rule from the mix table
+    from pyspark.sql import functions as F
+
+    from sonar_spark.functions.corpus import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    )
+    mix = {
+        r["source"]: (r["tokens"], r["alloc_tokens"])
+        for r in temperature_mix(
+            words.select("source", "words"),
+            temperature=0.3, budget=1_000_000,
+        ).collect()
+    }
+    copy_tok = {}
+    for r in rows:
+        if r["copy_idx"] != 1:
+            continue
+        M, A = mix[r["source"]]
+        h = int(
+            hashlib.md5(f"ep1:{r['doc_id']}".encode()).hexdigest()[:15],
+            16,
+        ) % M
+        want = A // M + (1 if h < A % M else 0)
+        assert r["n_copies"] == want
+        copy_tok[r["source"]] = (
+            copy_tok.get(r["source"], 0) + want * r["n_tok"]
+        )
+    # realized copy-token mass within 25% of the allocation (the
+    # rule is exact in expectation; per-corpus draw varies)
+    for src, (M, A) in mix.items():
+        assert abs(copy_tok[src] - A) / A < 0.25, (src, copy_tok[src], A)
