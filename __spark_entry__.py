@@ -9398,8 +9398,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT *,
             (CASE WHEN v <= 0 THEN -1
                   ELSE (length(to_base(v, 2)) - 1) * 8
-                       + CAST((v * 8) // (1::BIGINT
-                           << (length(to_base(v, 2)) - 1)) AS INT)
+                       + CAST(CASE WHEN length(to_base(v, 2)) >= 4
+                              THEN v >> (length(to_base(v, 2)) - 4)
+                              ELSE (v * 8)
+                                   >> (length(to_base(v, 2)) - 1)
+                              END AS INT)
                        - 8
              END)::INT AS idx
           FROM e
@@ -9637,8 +9640,11 @@ FROM l ASOF LEFT JOIN r
           SELECT event_type,
             (CASE WHEN v <= 0 THEN -1
                   ELSE (length(to_base(v, 2)) - 1) * 8
-                       + CAST((v * 8) // (1::BIGINT
-                           << (length(to_base(v, 2)) - 1)) AS INT)
+                       + CAST(CASE WHEN length(to_base(v, 2)) >= 4
+                              THEN v >> (length(to_base(v, 2)) - 4)
+                              ELSE (v * 8)
+                                   >> (length(to_base(v, 2)) - 1)
+                              END AS INT)
                        - 8
              END)::INT AS idx
           FROM e
@@ -9751,7 +9757,7 @@ FROM l ASOF LEFT JOIN r
           FROM cand WHERE s < 0.4
         )
         SELECT r.query_id, r.rk::INT AS rank, r.neighbor_id,
-               round(r.s, 6) AS cosine_sim, n.n_excluded
+               round(r.s, 6) + 0.0 AS cosine_sim, n.n_excluded
         FROM rk r JOIN nex n USING (query_id)
         WHERE r.rk <= 3
     """

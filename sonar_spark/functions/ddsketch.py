@@ -56,9 +56,18 @@ def _pow2(exp: Column) -> Column:
 
 def bucket_idx(v: Column) -> Column:
     """Exact-integer DDSketch bucket index for a non-negative BIGINT
-    column (gamma = 2^(1/8)); v = 0 -> -1 (zero bucket)."""
+    column (gamma = 2^(1/8)); v = 0 -> -1 (zero bucket).
+
+    The 3 mantissa bits come from a SHIFT, never a division: for
+    bit length b >= 4 the sub-bucket is v >> (b-4) - 8, exact for
+    every int64 (a float (v*8)/2^(b-1) quotient starts mis-rounding
+    at v ~ 2^53, and v*8 itself overflows past 2^60); b <= 3 means
+    v <= 7 where (v*8) >> (b-1) is tiny and exact."""
     b = F.length(F.bin(v)).cast("int")
-    idx = (b - 1) * 8 + ((v * 8) / _pow2(b - 1)).cast("long").cast("int") - 8
+    sub = F.when(
+        b >= 4, F.call_function("shiftright", v, b - 4)
+    ).otherwise(F.call_function("shiftright", v * 8, b - 1))
+    idx = (b - 1) * 8 + sub.cast("int") - 8
     return F.when(v <= 0, F.lit(-1)).otherwise(idx)
 
 
@@ -95,6 +104,7 @@ def ddsketch_quantiles(
     *,
     group_col: str = "event_type",
     value_col: str = "v",
+    id_col: str = "event_id",
     qs: tuple[float, ...] = QS,
 ) -> DataFrame:
     """Per-group DDSketch quantile report, certified against the
@@ -111,7 +121,7 @@ def ddsketch_quantiles(
     base = events.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
-        (F.col("event_id") % 8).alias("shard"),
+        (F.col(id_col) % 8).alias("shard"),
     )
 
     # direct sketch + shard-merged sketch; the comparison is the law
@@ -159,11 +169,11 @@ def ddsketch_quantiles(
     est = F.when(F.col("idx") < 0, F.lit(0.0)).otherwise((lo + up) / 2.0)
 
     # exact order statistic at the same rank, for the certificate
-    wv = Window.partitionBy("grp").orderBy("v", "event_id")
+    wv = Window.partitionBy("grp").orderBy("v", id_col)
     ranked = events.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
-        "event_id",
+        id_col,
     ).select("grp", "v", F.row_number().over(wv).cast("long").alias("rn"))
     exact = (
         hit.select("grp", "q", "r")

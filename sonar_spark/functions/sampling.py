@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .sketch import md5_60
+
 
 def weighted_sample(
     docs: DataFrame,
@@ -56,22 +58,14 @@ def weighted_sample(
     keyed = toks.groupBy("strata", "doc_id").agg(
         F.count("*").cast("long").alias("weight"),
         F.max(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.lit(salt),
-                            F.col("doc_id").cast("string"),
-                            F.col("pos").cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            md5_60(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            )
         ).alias("es_key"),
     )
     w = Window.partitionBy("strata").orderBy(

@@ -41,10 +41,16 @@ CMS_D = 4  # hash rows
 CMS_W = 64  # buckets per row
 
 
-def _md5_60(col: Column) -> Column:
+def md5_60(col: Column) -> Column:
     """First 15 md5 hex chars as a positive 60-bit BIGINT (DuckDB:
-    ('0x' || substring(md5(x),1,15))::BIGINT)."""
+    ('0x' || substring(md5(x),1,15))::BIGINT) — THE shared integer
+    hash; every consumer must stay in lockstep with that oracle
+    expression (width 15, offset 1)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# backward-compat alias for the module's own call sites
+_md5_60 = md5_60
 
 
 def hll_distinct(

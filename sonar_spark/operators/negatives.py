@@ -30,18 +30,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.sketch import md5_60
 
-def global_dense_index(
-    df: DataFrame, *, col: str = "doc_id", buckets: int = 32
+
+def range_buckets(
+    df: DataFrame, col: str, buckets: int = 32
 ) -> DataFrame:
-    """Add gidx = 0-based dense rank of `col` over the whole table
-    (== row_number() OVER (ORDER BY col) - 1), without a global
-    single-partition sort.  `col` values must be unique."""
+    """Add __b = deterministic, order-respecting bucket id (monotone
+    in `col`) from one tiny min/max aggregate — the first pass of
+    the relational zipWithIndex machinery, shared by
+    global_dense_index and sharding.global_cumsum."""
     mm = df.groupBy().agg(
         F.min(col).alias("__lo"), F.max(col).alias("__hi")
     )
-    # deterministic, order-respecting bucket id (monotone in col)
-    b = df.crossJoin(F.broadcast(mm)).withColumn(
+    return df.crossJoin(F.broadcast(mm)).withColumn(
         "__b",
         F.when(
             F.col("__hi") > F.col("__lo"),
@@ -52,25 +54,39 @@ def global_dense_index(
             ).cast("int"),
         ).otherwise(F.lit(0)),
     ).drop("__lo", "__hi")
-    counts = b.groupBy("__b").agg(F.count("*").alias("__c"))
-    # cumulative offsets over the <= `buckets`-row count table as a
-    # triangle self-join (no WindowExec: a global-ordered window
-    # would plan single-partition and Catalyst folds any constant
-    # partition key away) — quadratic only in the BUCKET count
-    offsets = (
-        counts.alias("a")
+
+
+def bucket_offsets(per_bucket: DataFrame, val: str) -> DataFrame:
+    """(__b, __off = sum of `val` over all LOWER buckets) via a
+    triangle self-join over the <= `buckets`-row table (no
+    WindowExec: a global-ordered window would plan single-partition,
+    and Catalyst folds any constant partition key away) — quadratic
+    only in the BUCKET count."""
+    return (
+        per_bucket.alias("a")
         .join(
-            counts.select(
-                F.col("__b").alias("__b2"), F.col("__c").alias("__c2")
+            per_bucket.select(
+                F.col("__b").alias("__b2"), F.col(val).alias("__v2")
             ),
             F.col("__b2") < F.col("__b"),
             "left",
         )
         .groupBy("__b")
         .agg(
-            F.coalesce(F.sum("__c2"), F.lit(0)).cast("long").alias("__off")
+            F.coalesce(F.sum("__v2"), F.lit(0)).cast("long").alias("__off")
         )
     )
+
+
+def global_dense_index(
+    df: DataFrame, *, col: str = "doc_id", buckets: int = 32
+) -> DataFrame:
+    """Add gidx = 0-based dense rank of `col` over the whole table
+    (== row_number() OVER (ORDER BY col) - 1), without a global
+    single-partition sort.  `col` values must be unique."""
+    b = range_buckets(df, col, buckets)
+    counts = b.groupBy("__b").agg(F.count("*").alias("__c"))
+    offsets = bucket_offsets(counts, "__c")
     win = Window.partitionBy("__b").orderBy(col)
     return (
         b.join(F.broadcast(offsets), "__b")
@@ -118,22 +134,14 @@ def negative_pairs(
             id_col,
             "j",
             (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                F.lit(salt),
-                                F.col(id_col).cast("string"),
-                                F.col("j").cast("string"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
+                md5_60(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col(id_col).cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                )
                 % (F.col("__n") - 1)
             ).alias("__r"),
             "gidx",

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .negatives import bucket_offsets, range_buckets
+
 
 def global_cumsum(
     df: DataFrame,
@@ -34,38 +36,9 @@ def global_cumsum(
     (== sum(val) OVER (ORDER BY col ROWS BETWEEN UNBOUNDED PRECEDING
     AND 1 PRECEDING), 0 for the first row) without a global
     single-partition sort.  `col` values must be unique."""
-    mm = df.groupBy().agg(
-        F.min(col).alias("__lo"), F.max(col).alias("__hi")
-    )
-    b = df.crossJoin(F.broadcast(mm)).withColumn(
-        "__b",
-        F.when(
-            F.col("__hi") > F.col("__lo"),
-            F.floor(
-                (F.col(col) - F.col("__lo")).cast("double")
-                * buckets
-                / (F.col("__hi") - F.col("__lo") + 1)
-            ).cast("int"),
-        ).otherwise(F.lit(0)),
-    ).drop("__lo", "__hi")
+    b = range_buckets(df, col, buckets)
     sums = b.groupBy("__b").agg(F.sum(val).cast("long").alias("__s"))
-    # bucket-offset cumsum as a triangle self-join over the tiny
-    # bucket table (see global_dense_index: no single-partition
-    # WindowExec)
-    offsets = (
-        sums.alias("a")
-        .join(
-            sums.select(
-                F.col("__b").alias("__b2"), F.col("__s").alias("__s2")
-            ),
-            F.col("__b2") < F.col("__b"),
-            "left",
-        )
-        .groupBy("__b")
-        .agg(
-            F.coalesce(F.sum("__s2"), F.lit(0)).cast("long").alias("__off")
-        )
-    )
+    offsets = bucket_offsets(sums, "__s")
     win = (
         Window.partitionBy("__b")
         .orderBy(col)

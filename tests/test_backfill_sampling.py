@@ -236,6 +236,10 @@ def test_ddsketch_bucket_bounds_contain_value(spark):
     vals = sorted(
         {int(v) for v in rng.integers(1, 10**9, size=300)}
         | {1, 2, 3, 7, 8, 9, 15, 16, 17, 2**20 - 1, 2**20, 2**20 + 1, 0}
+        # the float-quotient failure region (exactness must hold for
+        # every int64: shifts, never division)
+        | {2**53 - 1, 2**53, 2**53 + 1, 2**54 - 1, 2**57 - 8,
+           2**60 + 12345, 2**62 - 1, 2**62, (1 << 63) - 1}
     )
     df = spark.createDataFrame([(v,) for v in vals], "v long").select(
         "v",

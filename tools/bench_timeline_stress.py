@@ -15,7 +15,7 @@ axes, because the operators bound differently:
   M-fold too (span-linear); the windows stay single-pass.
 
 Usage: python tools/bench_timeline_stress.py [sf_dir] [axis] [M...]
-Writes BENCH/timeline_stress.json and prints one JSON line.
+Writes BENCH/timeline_stress_{axis}.json and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -33,7 +33,10 @@ sys.path.insert(
 
 
 def materialize(spark, sf_dir: str, m: int, axis: str) -> str:
-    path = f"/tmp/sonar_timeline_stress_{axis}_m{m}"
+    # cache keyed by sf_dir too — a _SUCCESS-only check would serve
+    # a stale corpus when the tool is re-run at another scale
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    path = f"/tmp/sonar_timeline_stress_{tag}_{axis}_m{m}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         parts = []
