@@ -1,7 +1,6 @@
 """Timeline stress: wall time vs event-table size for the
 (entity, ts) operators — backfill_grid / grid_features (one entity
-shuffle + window passes), asof_directions (two single-shuffle union
-passes + id join), ddsketch build (bucket-bounded agg).
+shuffle + window passes), asof_nearest (the FUSED single-exchange plan), ddsketch build (bucket-bounded agg).
 
 Method: multiply the sf0.1 events table M times.  Two inflation
 axes, because the operators bound differently:
@@ -64,7 +63,7 @@ def materialize(spark, sf_dir: str, m: int, axis: str) -> str:
 
 def main() -> None:
     from sonar_spark.functions.ddsketch import ddsketch_table
-    from sonar_spark.operators.asof import asof_join_nearest
+    from sonar_spark.operators.asof import asof_join_nearest_fused
     from sonar_spark.operators.backfill import backfill_grid, grid_features
     from sonar_spark.session import get_spark
 
@@ -93,13 +92,12 @@ def main() -> None:
                     ),
                 )
             )
-            return asof_join_nearest(
+            return asof_join_nearest_fused(
                 left,
                 right,
                 key="user_id",
                 left_ts="ts_sec",
                 right_ts="ref_ts",
-                left_id="event_id",
                 version="ref_version",
                 payload=("ref_value",),
             )
