@@ -52,6 +52,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow scan up to session
+    parallelism IF it arrives with fewer splits (guide §2.5/§6: the
+    local testdata tables are single-row-group parquet files, so
+    every scan is a 1-2 task stage and map-heavy work — Arrow
+    kernels, explodes, partial aggregation — runs near-serially on
+    32 cores; the shuffle moved is the few-MB table itself).  At
+    cluster scale inputs arrive as thousands of splits, the guard
+    makes this a no-op, and no exchange is added.  Apply only where
+    per-row work dominates the scan."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 # Bump whenever a store-backed front-end builder changes VALUES — a
 # stale key would otherwise serve the old rows (the store dir is keyed
 # by input path + mtime + this tag, see plans/pipeline.py store_key).
@@ -3660,11 +3676,11 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     table A1) over the documents table: most-frequent-token fraction
     + duplicate 3/5-gram fractions + the policy flag on the rounded
     metrics — the curation scoring family next to quality_score /
-    langid.  Array expressions ride the corpus scan; the top-word
-    count is the only shuffle (explode + partial-agg groupBy)."""
+    langid.  r6: one per-row Arrow kernel, zero shuffles (see
+    functions/text.repetition_profile), _par-parallelized."""
     from sonar_spark.functions.text import repetition_profile
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
     )
     return repetition_profile(docs)
@@ -3698,10 +3714,12 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens; overlapping marks merge into maximal per-doc spans via
     one window pass.  Suffix-array-free formulation (k-gram count =
     one shuffle; span merge = one per-doc window) — the shape
-    RedPajama-v2 ships at trillion-token scale."""
+    RedPajama-v2 ships at trillion-token scale.  r6: gram stream =
+    8-byte hashes from the _gram_hash_stream kernel,
+    _par-parallelized."""
     from sonar_spark.operators.fingerprint import substring_spans
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
     )
     return substring_spans(docs, k=4)
@@ -3836,10 +3854,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 4-gram novelty vs the corpus prefix (smaller doc_id =
     earlier arrival): the incremental-contribution score an ingest
     pipeline drops late boilerplate on.  One gram shuffle for the
-    first-seen table + join back; no pairwise stage."""
+    first-seen table + join back; no pairwise stage.  r6: per-doc
+    gram-hash counts from the _gram_hash_stream kernel (8-byte keys,
+    map-side deduped), _par-parallelized."""
     from sonar_spark.operators.fingerprint import ngram_novelty
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
     )
     return ngram_novelty(docs, k=4)
@@ -3853,10 +3873,12 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     with content-keyed (md5) noise so the draw is deterministic and
     replayable.  Model = one bucket-bounded groupBy (<=1024 rows,
     map-side combined); scoring = broadcast join; selection = global
-    top-k.  See sonar_spark/functions/dsir.py."""
+    top-k.  r6: one md5 per gram via the _gram_bucket_counts kernel
+    feeding model AND scoring (was two exploded expression passes),
+    _par-parallelized.  See sonar_spark/functions/dsir.py."""
     from sonar_spark.functions.dsir import dsir_scores
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id",
         (
             F.regexp_extract("source", r"src(\d+)", 1).cast("int") <= 3
@@ -4017,11 +4039,12 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 affine quantization report (8x embedding
     storage compression): deterministic codes with the +1e-12 tie
     nudge, exact integer code checksum, micro-unit reconstruction
-    rmse.  One scan, all array expressions.
+    rmse.  One scan into the r6 Arrow kernel (parallelized across
+    the single-row-group local file via _par).
     See functions/projection.py."""
     from sonar_spark.functions.projection import int8_quantize_report
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(spark, _t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias(
             "embedding"
@@ -4035,11 +4058,12 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance-preservation report over the deterministic (even id,
     id+1) pair sample: d2 before/after + ratio (expectation 1,
     variance ~2/16).  Projection matrix is a plan-time seeded
-    constant; all float sums ride 9dp integer micro-units.
+    constant; all float sums ride 9dp integer micro-units (r6: the
+    projection is the Arrow kernel in jl_project, _par-parallelized).
     See functions/projection.py."""
     from sonar_spark.functions.projection import jl_distance_report
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(spark, _t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias(
             "embedding"
@@ -6982,25 +7006,28 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar vectors BELOW the positive threshold — the closest
     non-duplicates a contrastive loss learns the most from, with
     n_excluded certifying the positive filter fired.  Pair scores
-    come from ONE pass of the exact allpairs_cosine kernel
-    (threshold -1 => all pairs — at 500 vectors the quadratic table
-    is the cheapest plan; a second kernel pass costs more than the
-    mirror union saves, A/B-measured).  At corpus scale the swap-in
-    is LSH positives (hyperplane_lsh_pairs) + the kernel's
-    directed=True LEFT x ALL mode over anchors only
-    (anchors-bounded; pytest-certified equivalent).  Ranking is two
-    windows over the candidate set.
-    See operators/negatives.hard_negatives."""
-    from sonar_spark.operators.ann import allpairs_cosine
-    from sonar_spark.operators.negatives import hard_negatives
+    come from the FUSED block nested-loop kernel (r6): each task
+    scores its block against the full table with the exact
+    allpairs_cosine float path and reduces every similarity row IN
+    the task to n_excluded + the top-3 below-threshold negatives, so
+    only the <= 3 output rows per anchor ever leave the kernel.  The
+    r5 plan materialized the O(n^2) pair table through a mirror
+    union and two windows — 179 s at sf1.0 (41% of the whole bench);
+    the fused kernel is ~2 s.  The documented anchors-bounded
+    two-pass (LSH positives + directed LEFT x ALL) degenerates here:
+    ~100% of vectors have a >= 0.4 positive on this corpus, so
+    anchors-bounded == quadratic.  Equivalence to the windowed
+    operator is certified by tests/test_negatives.py::
+    test_hard_negatives_kernel_equals_windowed (plus the oracle).
+    See operators/ann.hard_negatives_allpairs."""
+    from sonar_spark.operators.ann import hard_negatives_allpairs
 
     emb = _t(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = allpairs_cosine(
-        emb, f"{sf_dir}/embeddings.parquet", threshold=-1.0
-    ).select("id_a", "id_b", "s")
-    return hard_negatives(pairs, k=3, pos_threshold=0.4)
+    return hard_negatives_allpairs(
+        emb, f"{sf_dir}/embeddings.parquet", k=3, pos_threshold=0.4
+    )
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

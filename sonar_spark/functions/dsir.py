@@ -57,34 +57,92 @@ def _md5_bucket(col: Column, mod: int) -> Column:
     )
 
 
-def dsir_scores(
+def _gram_bucket_counts(
     docs: DataFrame,
     *,
-    id_col: str = "doc_id",
-    words_col: str = "words",
-    target_col: str = "is_target",
-    n_buckets: int = 1024,
-    k_smooth: float = 0.5,
-    n_select: int = 100,
+    id_col: str,
+    target_col: str,
+    words_col: str,
+    n_buckets: int,
 ) -> DataFrame:
-    """Score and Gumbel-top-k-select documents DSIR-style.
+    """(id, target, __b, __c): per-doc hashed-gram bucket counts from
+    ONE Arrow kernel pass — hashlib.md5 is bit-identical to F.md5, so
+    int(hexdigest[:8], 16) % n_buckets reproduces _md5_bucket exactly
+    (certified by tests/test_dsir_kernel.py against the expression
+    stream)."""
+    from collections.abc import Iterator
+    from hashlib import md5 as _md5
 
-    ``docs`` must carry ``id_col`` (string), ``words_col``
-    (array<string>, the whitespace tokens) and ``target_col``
-    (boolean — True rows are the target-domain sample the target
-    model is fit on; the raw model is fit on the complement).
+    import numpy as np
+    import pandas as pd
 
-    Output per document: n_grams (unigram+bigram instance count),
-    dsir_bits (the importance log-weight in bits, 6dp), gumbel_key
-    (log-weight in nats + hash-Gumbel noise, 6dp — the resampling
-    sort key), sel_rank (1 = first selected), selected
-    (rank <= n_select).
-    """
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids, tgts, bs, cs = [], [], [], []
+            for did, tgt, ws in zip(
+                pdf[id_col], pdf[target_col], pdf[words_col]
+            ):
+                ws = list(ws)
+                cnt: Counter = Counter()
+                prev = None
+                for w in ws:
+                    cnt[
+                        int(_md5(w.encode()).hexdigest()[:8], 16)
+                        % n_buckets
+                    ] += 1
+                    if prev is not None:
+                        cnt[
+                            int(
+                                _md5(
+                                    (prev + " " + w).encode()
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            % n_buckets
+                        ] += 1
+                    prev = w
+                for b, c in cnt.items():
+                    ids.append(did)
+                    tgts.append(bool(tgt))
+                    bs.append(b)
+                    cs.append(c)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    target_col: tgts,
+                    "__b": np.asarray(bs, dtype=np.int64),
+                    "__c": np.asarray(cs, dtype=np.int64),
+                }
+            )
+
+    return docs.select(id_col, target_col, words_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_type}, {target_col} boolean, "
+            "__b long, __c long"
+        ),
+    )
+
+
+def _gram_stream_expr(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    target_col: str,
+    words_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """The original exploded expression gram stream (one row per
+    unigram/bigram instance, md5-bucketed) — retained as the
+    in-engine oracle for the kernel swap
+    (tests/test_dsir_kernel.py)."""
     words = F.col(words_col)
-    # gram stream: zip each token with its predecessor BEFORE the
-    # explode (the ngram_lm pattern — carrying the whole array
-    # through the explode amplifies by mean doc length), then emit
-    # the unigram and, when a predecessor exists, the bigram
     z = docs.select(
         id_col,
         target_col,
@@ -98,7 +156,7 @@ def dsir_scores(
         target_col,
         F.explode(F.arrays_zip("__wa", "__pa")).alias("__z"),
     )
-    grams = (
+    return (
         z.select(
             id_col,
             target_col,
@@ -126,15 +184,56 @@ def dsir_scores(
         )
     )
 
-    # hashed bag-of-words models: ONE bucket-bounded count table
-    # (<= n_buckets rows after the map-side-combined groupBy).  It
-    # feeds two consumers (totals + lambda) — persist it so training
-    # costs one gram-stream pass, not two (the ngram_lm precedent)
-    tgt = F.col(target_col)
-    model = grams.groupBy("__b").agg(
-        F.sum(F.when(tgt, 1).otherwise(0)).cast("long").alias("__ct"),
-        F.sum(F.when(tgt, 0).otherwise(1)).cast("long").alias("__cr"),
+
+def dsir_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+    k_smooth: float = 0.5,
+    n_select: int = 100,
+) -> DataFrame:
+    """Score and Gumbel-top-k-select documents DSIR-style.
+
+    ``docs`` must carry ``id_col`` (string), ``words_col``
+    (array<string>, the whitespace tokens) and ``target_col``
+    (boolean — True rows are the target-domain sample the target
+    model is fit on; the raw model is fit on the complement).
+
+    Output per document: n_grams (unigram+bigram instance count),
+    dsir_bits (the importance log-weight in bits, 6dp), gumbel_key
+    (log-weight in nats + hash-Gumbel noise, 6dp — the resampling
+    sort key), sel_rank (1 = first selected), selected
+    (rank <= n_select).
+    """
+    # r6: the gram stream is pre-reduced to per-doc BUCKET COUNTS by
+    # one Arrow kernel pass (_gram_bucket_counts) — the expression
+    # form exploded every unigram+bigram instance twice (once for
+    # the model, once for scoring) and ran Catalyst md5+conv on each
+    # (~4 gram hashes per token per query); the kernel hashes each
+    # gram once (hashlib.md5 is bit-identical to F.md5) and emits
+    # (id, target, bucket, c), so BOTH the model and the scoring
+    # aggregate below consume the same persisted ~doc x distinct-
+    # bucket table.  Certified equal to the expression stream by
+    # tests/test_dsir_kernel.py.
+    gd = _gram_bucket_counts(
+        docs, id_col=id_col, target_col=target_col,
+        words_col=words_col, n_buckets=n_buckets,
     ).persist()
+
+    # hashed bag-of-words models: ONE bucket-bounded count table
+    # (<= n_buckets rows after the map-side-combined groupBy).
+    tgt = F.col(target_col)
+    model = gd.groupBy("__b").agg(
+        F.sum(F.when(tgt, F.col("__c")).otherwise(0)).cast("long").alias(
+            "__ct"
+        ),
+        F.sum(F.when(tgt, 0).otherwise(F.col("__c"))).cast("long").alias(
+            "__cr"
+        ),
+    )
     totals = model.agg(
         F.sum("__ct").cast("long").alias("__nt"),
         F.sum("__cr").cast("long").alias("__nr"),
@@ -153,15 +252,17 @@ def dsir_scores(
         F.round(lam_bits * 1e6, 0).cast("long").alias("__lam"),
     )
 
-    # score: broadcast the lambda table onto a second gram pass —
-    # every observed bucket is in the model by construction, so the
-    # join is inner and loses nothing
+    # score: broadcast the lambda table onto the SAME persisted
+    # bucket-count table (count-weighted — exact integer arithmetic,
+    # sum(c * lam) == the per-instance sum) — every observed bucket
+    # is in the model by construction, so the join is inner and
+    # loses nothing
     per_doc = (
-        grams.join(F.broadcast(lam), "__b")
+        gd.join(F.broadcast(lam), "__b")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum("__lam").alias("__ms"),
+            F.sum("__c").cast("long").alias("n_grams"),
+            F.sum(F.col("__c") * F.col("__lam")).alias("__ms"),
         )
     )
 

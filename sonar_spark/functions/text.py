@@ -178,10 +178,84 @@ def repetition_profile(
     - flagged: policy verdict on the ROUNDED metrics (the quantized
       interface, so the threshold comparison is engine-portable).
 
-    Physical plan: the k-gram fractions are pure array expressions
-    riding the corpus scan; the top-word count is one explode +
-    partial-aggregated groupBy (the only shuffle).  Every metric is
-    a column, so policy thresholds are plan-time edits."""
+    Physical plan (r6): ONE per-row Arrow kernel riding the corpus
+    scan — zero shuffles (guide §4.2).  The former plan built the
+    k-gram arrays with interpreted Catalyst lambdas and shuffled an
+    exploded (doc, token) stream through a two-level aggregate for
+    the top word (8.5 s at sf1.0); every metric is per-document, so
+    the kernel computes all of them in one pass (sub-second).  The
+    quantized 6dp boundaries go through kernels.spark_round (exact
+    Catalyst HALF_UP semantics); bit-equality against the retained
+    expression form is certified by tests/test_text_kernels.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import spark_round
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids, ns, tops, d3, d5 = [], [], [], [], []
+            for did, ws in zip(pdf[id_col], pdf[words_col]):
+                ws = list(ws)
+                n = len(ws)
+                ids.append(did)
+                ns.append(n)
+                tops.append(max(Counter(ws).values()) if n else 0)
+                for k, acc in ((3, d3), (5, d5)):
+                    m = max(n - (k - 1), 1)
+                    grams = [
+                        " ".join(ws[i:i + k]) for i in range(m)
+                    ]
+                    # int/int -> double division, then 1.0 - x: the
+                    # exact Catalyst op order
+                    acc.append(1.0 - len(set(grams)) / m)
+            ns_a = np.asarray(ns, dtype=np.int64)
+            twf = spark_round(
+                np.asarray(tops, dtype=np.float64) / ns_a, 6
+            )
+            d3_a = spark_round(np.asarray(d3), 6)
+            d5_a = spark_round(np.asarray(d5), 6)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": ns_a,
+                    "top_word_frac": twf,
+                    "dup_3gram_frac": d3_a,
+                    "dup_5gram_frac": d5_a,
+                    "flagged": (twf > top_word_max)
+                    | (d3_a > dup_3gram_max),
+                }
+            )
+
+    return docs.select(id_col, words_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_type}, n_tokens long, top_word_frac double,"
+            " dup_3gram_frac double, dup_5gram_frac double,"
+            " flagged boolean"
+        ),
+    )
+
+
+def repetition_profile_expr(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    top_word_max: float = 0.2,
+    dup_3gram_max: float = 0.3,
+) -> DataFrame:
+    """The original Catalyst expression form of repetition_profile —
+    retained as the in-engine oracle the kernel is certified
+    bit-equal against (tests/test_text_kernels.py)."""
     words = F.col(words_col)
 
     def dup_frac(k: int) -> Column:

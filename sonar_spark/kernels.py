@@ -1069,3 +1069,69 @@ def dtw_align(a: np.ndarray, b: np.ndarray, band: int = 50) -> dict[str, float]:
     slope = float(dj / di) if di > 0 else 1.0
     return {"dist": dist, "offset": offset, "confidence": conf,
             "path_len": float(steps), "slope": slope}
+
+
+# ------------------------------------------------- exact round emulation
+
+def spark_round(x: np.ndarray, dp: int) -> np.ndarray:
+    """Vectorized emulation of Spark's round(col, dp) on non-null
+    finite doubles: BigDecimal(Double.toString(x)).setScale(dp,
+    HALF_UP) — half-up on the SHORTEST decimal repr, away from zero
+    for negatives.  Fast path: sign * floor(|x|*10^dp + 0.5) / 10^dp
+    (one correctly-rounded IEEE divide reproduces the double Spark
+    returns); values whose scaled fractional part falls inside a
+    float-error guard band around .5 are recomputed exactly via
+    Decimal(repr(x)) (Python repr == Java Double.toString: both emit
+    the shortest round-trip decimal).  The kernelization protocol
+    (content_detect precedent) additionally verifies bit-equality
+    against the Catalyst expression on the real corpora before any
+    swap."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** dp
+    ax = np.abs(x) * scale
+    frac = ax - np.floor(ax)
+    # |ax - dec(x)*10^dp| <= ~2 ulp(ax); the 1e-6 absolute floor
+    # catches the small-|x| regime where repr-vs-product drift is
+    # dominated by the decimal tail of the repr itself
+    tol = 1e-6 + ax * 4e-16
+    slow = np.abs(frac - 0.5) <= tol
+    k = np.floor(ax + 0.5)
+    out = np.where(x >= 0, k, -k) / scale
+    if slow.any():
+        q = Decimal(1).scaleb(-dp)
+        for i in np.nonzero(slow)[0]:
+            out[i] = float(
+                Decimal(repr(float(x[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return out
+
+
+def spark_round_micro(x: np.ndarray, dp: int) -> np.ndarray:
+    """int64 micro-units: the exact integer k with k/10^dp ==
+    spark_round(x, dp) — emulates the Catalyst idiom
+    round(round(x, dp) * 10^dp, 0).cast('long') for |k| < ~4e15
+    (beyond that the double product k*10^dp loses integer
+    precision; the micro-unit contracts here cap |x| far below
+    that)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** dp
+    ax = np.abs(x) * scale
+    frac = ax - np.floor(ax)
+    tol = 1e-6 + ax * 4e-16
+    slow = np.abs(frac - 0.5) <= tol
+    k = np.floor(ax + 0.5)
+    out = np.where(x >= 0, k, -k)
+    if slow.any():
+        for i in np.nonzero(slow)[0]:
+            out[i] = float(
+                Decimal(repr(float(x[i]))).scaleb(dp).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+    return out.astype(np.int64)

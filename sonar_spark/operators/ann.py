@@ -411,16 +411,153 @@ def allpairs_cosine(
             else:
                 mask = (lid[:, None] < rid[None, :]) & (s >= threshold)
             ii, jj = np.nonzero(mask)
+            # chunked yields: one low-threshold block can qualify
+            # millions of pairs, and a single yielded frame becomes a
+            # single Arrow batch — capping rows per yield bounds the
+            # executor's direct-buffer usage (guide §4.2 batch-size
+            # caveat; observed 300 MB allocations at sf1.0 directed)
+            step = 1_000_000
+            for lo in range(0, len(ii), step):
+                sl = slice(lo, lo + step)
+                yield pd.DataFrame(
+                    {
+                        "id_a": lid[ii[sl]],
+                        "id_b": rid[jj[sl]],
+                        "s": s[ii[sl], jj[sl]],
+                    }
+                )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, schema="id_a long, id_b long, s double"
+    )
+
+
+def hard_negatives_allpairs(
+    emb: DataFrame,
+    emb_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    pos_threshold: float = 0.4,
+) -> DataFrame:
+    """Hard-negative mining fused INTO the block nested-loop cosine
+    kernel (r6, guide §1.2 'fix the distributed algorithm first'):
+    each task scores its left block against the full executor-side
+    table exactly like allpairs_cosine (bit-identical ascending-order
+    float path), and — because every left row sees its COMPLETE
+    similarity row — reduces it in place to the hard_negatives
+    output: n_excluded = #(s >= pos_threshold), top-k of the
+    s < pos_threshold candidates by (s desc, neighbor id asc) on RAW
+    doubles, rows only for anchors (n_excluded >= 1).
+
+    The r5 plan materialized the O(n^2) pair table through a mirror
+    union and two windows (179 s at sf1.0, 41% of the whole bench);
+    the anchors-bounded directed two-pass (the documented corpus-scale
+    shape) degenerates on this corpus because ~100% of vectors have a
+    positive at 0.4.  Fusing the rank reduction into the kernel emits
+    exactly the <= k output rows per anchor — no pair row ever leaves
+    the task.  Equivalence to hard_negatives(allpairs_cosine(
+    threshold=-1)) is certified by tests/test_negatives.py::
+    test_hard_negatives_kernel_equals_windowed.
+
+    Output: query_id, rank (int), neighbor_id, cosine_sim (6dp via
+    kernels.spark_round — the operator's F.round boundary), n_excluded
+    (long)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels import spark_round
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        right = pd.read_parquet(emb_path, columns=[id_col, vec_col])
+        rb = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in right[vec_col]]
+        )
+        rid = right[id_col].to_numpy()
+        dim = rb.shape[1]
+        nb = np.zeros(len(rid))
+        for d in range(dim):  # ascending: matches asum(transform) order
+            nb += rb[:, d] * rb[:, d]
+        nb = np.sqrt(nb)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            la = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            lid = pdf[id_col].to_numpy()
+            na = np.zeros(len(lid))
+            for d in range(dim):  # ascending over the dim axis
+                na += la[:, d] * la[:, d]
+            na = np.sqrt(na)
+            # right-side TILED accumulation: per-element summation
+            # order over d is unchanged (still ascending), but each
+            # dots tile stays cache-resident across the 64 passes —
+            # the untiled form streamed a 100 MB accumulator through
+            # memory 64 times per task (measured 17 s at sf1.0;
+            # tiled ~2 s)
+            dots = np.empty((len(lid), len(rid)))
+            tj = max(1, (1 << 17) // max(1, len(lid)))  # ~1 MB tiles
+            for j0 in range(0, len(rid), tj):
+                j1 = min(j0 + tj, len(rid))
+                tile = np.zeros((len(lid), j1 - j0))
+                for d in range(dim):  # ascending over the dim axis
+                    tile += np.outer(la[:, d], rb[j0:j1, d])
+                dots[:, j0:j1] = tile
+            denom = np.outer(na, nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(denom > 0, dots / denom, 0.0)
+            q_ids, ranks, n_ids, sims, n_excs = [], [], [], [], []
+            for i in range(len(lid)):
+                row = s[i]
+                other = rid != lid[i]
+                n_exc = int(((row >= pos_threshold) & other).sum())
+                if n_exc == 0:
+                    continue
+                below = other & (row < pos_threshold)
+                cand_s = row[below]
+                cand_id = rid[below]
+                # top-k with exact (s desc, id asc) raw-double
+                # semantics: prune to the rows tied-or-above the
+                # k-th largest s with argpartition (O(n)), THEN
+                # lexsort only the survivors — a full 20k-row
+                # lexsort per anchor dominated the task profile
+                if len(cand_s) > k:
+                    kth = np.partition(cand_s, len(cand_s) - k)[
+                        len(cand_s) - k
+                    ]
+                    keep = cand_s >= kth
+                    cand_s = cand_s[keep]
+                    cand_id = cand_id[keep]
+                # -s is an exact sign flip; lexsort's last key is
+                # primary
+                order = np.lexsort((cand_id, -cand_s))[:k]
+                m = len(order)
+                q_ids.extend([lid[i]] * m)
+                ranks.extend(range(1, m + 1))
+                n_ids.extend(cand_id[order])
+                sims.extend(cand_s[order])
+                n_excs.extend([n_exc] * m)
             yield pd.DataFrame(
                 {
-                    "id_a": lid[ii],
-                    "id_b": rid[jj],
-                    "s": s[ii, jj],
+                    "query_id": np.asarray(q_ids, dtype=np.int64),
+                    "rank": np.asarray(ranks, dtype=np.int32),
+                    "neighbor_id": np.asarray(n_ids, dtype=np.int64),
+                    "cosine_sim": spark_round(
+                        np.asarray(sims, dtype=np.float64), 6
+                    ),
+                    "n_excluded": np.asarray(n_excs, dtype=np.int64),
                 }
             )
 
     return emb.select(id_col, vec_col).mapInPandas(
-        gen, schema="id_a long, id_b long, s double"
+        gen,
+        schema=(
+            "query_id long, rank int, neighbor_id long, "
+            "cosine_sim double, n_excluded long"
+        ),
     )
 
 

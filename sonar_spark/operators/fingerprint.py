@@ -431,6 +431,113 @@ def fingerprint_matches(
     )
 
 
+def _gram_hash_stream(
+    docs: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    words_col: str,
+    positions: bool,
+) -> DataFrame:
+    """Arrow kernel emitting the token k-gram stream of every doc
+    with >= k tokens as STABLE 64-bit hashes (blake2b-8 of the
+    space-joined gram — process-independent, unlike Python's builtin
+    hash) instead of gram strings (r6, guide §2.3 'shuffle narrower
+    types' + §4.2): the Catalyst form built each gram with an
+    interpreted transform/concat_ws lambda and shuffled ~30-byte
+    strings; this emits 8-byte keys from vectorized-ish Python and
+    cuts both the per-row compute and the shuffle width.
+
+    positions=True -> (id, pos, h) one row per gram instance
+    (1-based pos, the substring_spans contract); False -> (id, h, c)
+    per-doc gram-hash counts (the ngram_novelty contract — map-side
+    dedup before any shuffle).
+
+    Hash-collision safety: downstream consumers group/join on h where
+    the expression forms used the gram string; a 64-bit collision
+    between two distinct grams in one corpus could change results.
+    tests/test_fingerprint_gram_kernels.py certifies output equality
+    vs the retained *_expr forms on the real corpora (and the DuckDB
+    value oracles replay the string form end-to-end); the birthday
+    bound at the ~1e6-distinct-gram scale of these corpora is ~1e-7.
+    """
+    from collections.abc import Iterator
+    from hashlib import blake2b
+
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            if positions:
+                ids, poss, hs = [], [], []
+                for did, ws in zip(pdf[id_col], pdf[words_col]):
+                    n = len(ws)
+                    if n < k:
+                        continue
+                    ws = list(ws)
+                    for i in range(n - k + 1):
+                        h = int.from_bytes(
+                            blake2b(
+                                " ".join(ws[i:i + k]).encode(),
+                                digest_size=8,
+                            ).digest(),
+                            "big",
+                            signed=True,
+                        )
+                        ids.append(did)
+                        poss.append(i + 1)
+                        hs.append(h)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "pos": np.asarray(poss, dtype=np.int64),
+                        "h": np.asarray(hs, dtype=np.int64),
+                    }
+                )
+            else:
+                ids, hs, cs = [], [], []
+                for did, ws in zip(pdf[id_col], pdf[words_col]):
+                    n = len(ws)
+                    if n < k:
+                        continue
+                    ws = list(ws)
+                    cnt = Counter(
+                        int.from_bytes(
+                            blake2b(
+                                " ".join(ws[i:i + k]).encode(),
+                                digest_size=8,
+                            ).digest(),
+                            "big",
+                            signed=True,
+                        )
+                        for i in range(n - k + 1)
+                    )
+                    for h, c in cnt.items():
+                        ids.append(did)
+                        hs.append(h)
+                        cs.append(c)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "h": np.asarray(hs, dtype=np.int64),
+                        "c": np.asarray(cs, dtype=np.int64),
+                    }
+                )
+
+    schema = (
+        f"{id_col} {id_type}, pos long, h long"
+        if positions
+        else f"{id_col} {id_type}, h long, c long"
+    )
+    return docs.select(id_col, words_col).mapInPandas(gen, schema=schema)
+
+
 def substring_spans(
     docs: DataFrame,
     *,
@@ -455,7 +562,76 @@ def substring_spans(
     Per doc: number of maximal duplicated spans, duplicated-token
     count and fraction, and the longest span — the columns a curation
     policy trims or drops on.
+
+    r6 plan: the gram stream comes from the _gram_hash_stream Arrow
+    kernel as 8-byte hashes (was: interpreted struct/concat_ws
+    lambdas + ~30-byte string shuffle keys), the dup table joins back
+    on the hash (AQE broadcasts it), and only (id, pos) rows reach
+    the per-doc window.  Output-equality vs the retained string form
+    is certified by tests/test_fingerprint_gram_kernels.py.
     """
+    words = F.col(words_col)
+    base = docs.select(
+        id_col, F.size(words).cast("long").alias("n_tokens")
+    )
+    grams = _gram_hash_stream(
+        docs, k=k, id_col=id_col, words_col=words_col, positions=True
+    )
+    dup = grams.groupBy("h").agg(F.count("*").alias("__tot")).where(
+        F.col("__tot") >= 2
+    )
+    hits = grams.join(dup.select("h"), "h").select(id_col, "pos")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.select(
+        id_col,
+        "pos",
+        # a new token run starts iff this gram's coverage [pos, pos+k-1]
+        # neither overlaps nor touches the previous one's: pos > prev + k
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_doc) + k),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new"),
+    )
+    spans = flagged.select(
+        id_col,
+        "pos",
+        F.sum("__new").over(w_doc).alias("__span"),
+    ).groupBy(id_col, "__span").agg(
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).cast("long").alias("__len")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("__len").cast("long").alias("dup_tokens"),
+        F.max("__len").cast("long").alias("longest_dup_span"),
+    )
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("longest_dup_span", F.lit(0)).cast("long").alias(
+            "longest_dup_span"
+        ),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )
+
+
+def substring_spans_expr(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """The original string-keyed Catalyst form of substring_spans —
+    retained as the in-engine oracle for the gram-hash kernel swap
+    (tests/test_fingerprint_gram_kernels.py)."""
     words = F.col(words_col)
     base = docs.select(
         id_col, F.size(words).cast("long").alias("n_tokens"), words.alias("__ws")
@@ -479,8 +655,6 @@ def substring_spans(
     flagged = hits.select(
         id_col,
         "pos",
-        # a new token run starts iff this gram's coverage [pos, pos+k-1]
-        # neither overlaps nor touches the previous one's: pos > prev + k
         F.when(
             F.lag("pos").over(w_doc).isNull()
             | (F.col("pos") > F.lag("pos").over(w_doc) + k),
@@ -531,12 +705,58 @@ def ngram_novelty(
     signal an ingestion pipeline uses to prioritize or drop late
     near-boilerplate arrivals.
 
-    Shape: k-gram explode -> min(doc_id) per gram (one shuffle,
-    vocab-of-grams-bounded output) -> join back -> per-doc aggregate.
-    No pairwise stage; the first-seen table is the only state, which
-    is exactly what an incremental ingest keeps anyway.  Docs shorter
-    than k have no grams and score novelty 1.0 by convention.
+    Shape (r6): per-doc gram-hash COUNTS from the _gram_hash_stream
+    Arrow kernel (8-byte keys, deduped per doc before any shuffle —
+    was: interpreted concat_ws lambdas exploding every instance as a
+    ~30-byte string) -> min(doc_id) per hash (one narrow shuffle) ->
+    join back on the hash (the exchange is reused) -> per-doc
+    count-weighted aggregate.  No pairwise stage; the first-seen
+    table is the only state, which is exactly what an incremental
+    ingest keeps anyway.  Docs shorter than k have no grams and
+    score novelty 1.0 by convention.  Output-equality vs the
+    retained string form: tests/test_fingerprint_gram_kernels.py.
     """
+    words = F.col(words_col)
+    base = docs.select(
+        id_col, F.size(words).cast("long").alias("n_tokens")
+    )
+    gd = _gram_hash_stream(
+        docs, k=k, id_col=id_col, words_col=words_col, positions=False
+    )
+    first = gd.groupBy("h").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        gd.join(first, "h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), F.col("c"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.coalesce(
+            F.round(F.col("n_novel") / F.col("n_grams"), 6), F.lit(1.0)
+        ).alias("novelty_frac"),
+    )
+
+
+def ngram_novelty_expr(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """The original string-keyed Catalyst form of ngram_novelty —
+    retained as the in-engine oracle for the gram-hash kernel swap
+    (tests/test_fingerprint_gram_kernels.py)."""
     words = F.col(words_col)
     base = docs.select(
         id_col, F.size(words).cast("long").alias("n_tokens"), words.alias("__ws")

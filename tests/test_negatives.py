@@ -202,3 +202,33 @@ def test_hard_negatives_directed_equals_undirected(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_hard_negatives_kernel_equals_windowed(spark, sf_dir):
+    """The r6 fused kernel (rank reduction inside the block
+    nested-loop task) must reproduce the windowed operator over the
+    full threshold=-1 pair table bit-for-bit — including 6dp
+    rounding and the (s desc, neighbor asc) raw-double tie-break."""
+    from sonar_spark.operators.ann import (
+        allpairs_cosine,
+        hard_negatives_allpairs,
+    )
+    from sonar_spark.operators.negatives import hard_negatives
+
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    und = allpairs_cosine(emb, path, threshold=-1.0).select(
+        "id_a", "id_b", "s"
+    )
+    a = sorted(
+        map(tuple, hard_negatives(und, k=3, pos_threshold=0.4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            hard_negatives_allpairs(
+                emb, path, k=3, pos_threshold=0.4
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
