@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sonar_spark.config import AsofConfig, FrameConfig  # noqa: E402
+from sonar_spark.config import (  # noqa: E402
+    AsofConfig,
+    FeatureConfig,
+    FrameConfig,
+)
 from sonar_spark.datagen import entity_of  # noqa: E402
 from sonar_spark.functions.text import (  # noqa: E402
     doc_fingerprint,
@@ -42,6 +46,7 @@ from sonar_spark.operators.features import (  # noqa: E402
 from sonar_spark.operators.fingerprint import (  # noqa: E402
     lsh_candidate_pairs,
     minhash_fingerprints,
+    shingle_hash_table,
     simhash_near_duplicates,
 )
 from sonar_spark.operators.sessionize import sessionize_by_gap  # noqa: E402
@@ -319,10 +324,33 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 8 query vectors over the embedding
-    table (similarity-search baseline, SURVEY §2.6 NearestNeighbors)."""
+    table (similarity-search baseline, SURVEY §2.6 NearestNeighbors).
+    r6: scored via the allpairs_cosine block kernel in directed mode
+    (LEFT = the 8 queries, RIGHT = the executor-side table read) —
+    the knn_bruteforce BroadcastNestedLoopJoin built the 20k-row
+    catalog as the broadcast side and evaluated the interpreted
+    cosine fold on the 1-task query side (5.3 s at sf1.0; kernel
+    ~0.6 s).  The kernel's float path is bit-equal to the fold (the
+    r5 embedding_neardup certification); ranking/tie-break/rounding
+    unchanged."""
+    from sonar_spark.operators.ann import allpairs_cosine
+
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 8)
-    return knn_bruteforce(qs, emb, k=5).select(
+    scored = allpairs_cosine(
+        qs, f"{sf_dir}/embeddings.parquet", threshold=-1.0, directed=True
+    ).select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        F.col("s").alias("cosine_sim"),
+    )
+    top = topk_per_group(
+        scored,
+        "query_id",
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        5,
+    )
+    return top.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
         "neighbor_id",
@@ -335,10 +363,21 @@ def q_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream (per-token character lengths of documents) — the
     windowed-statistics core, vectorized Arrow kernel (SURVEY §2.2,
     §2.5). SQL-oracle-checkable because token values are derivable
-    identically in DuckDB."""
-    docs = _t(spark, sf_dir, "documents")
+    identically in DuckDB.  r6: feat_cfg prunes the kernel to the
+    four consumed features (guide §2.3 — Spark cannot see into
+    mapInArrow, so the Enable* flags ARE the column pruning; the
+    entropy histogram, zcr, flux, spectral and MFCC passes are
+    skipped)."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     toks = to_token_length_table(docs)
-    feats = frame_features_arrow(toks, FrameConfig(window=32, hop=8))
+    feats = frame_features_arrow(
+        toks,
+        FrameConfig(window=32, hop=8),
+        FeatureConfig(
+            enable_entropy=False, enable_zcr=False, enable_flux=False,
+            enable_spectral=False, enable_mfcc=False,
+        ),
+    )
     return feats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "frame_idx",
@@ -369,11 +408,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any sf (the scale path for full corpora is LSH candidates +
     # exact verification on survivors)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    t = docs.select(
-        "doc_id",
-        "source",
-        _shingles4(F.split(F.trim(F.col("text")), r"\s+")).alias("sh"),
-    )
+    # r6: hashed shingle sets from the Arrow kernel — the pairwise
+    # intersect/union then runs over 8-byte elements instead of
+    # ~30-byte strings (sizes identical, certified); source rides a
+    # broadcast join back on
+    t = shingle_hash_table(
+        docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+        )
+    ).join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
     # materialize the shingle arrays BEFORE the self-join: Catalyst
     # would otherwise inline the expression into the join and
     # recompute it once per PAIR row (n^2 evaluations instead of n)
@@ -452,8 +495,11 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token table + deterministic near-dup copies of ~10% of docs
     (tokens minus the last 3) — planted dedup workload. The planting
     rule (doc_id % 10 == 0, n_tok > 3) is SQL-replicable so DuckDB
-    oracles can reconstruct the corpus."""
-    base = to_token_table(_t(spark, sf_dir, "documents"))
+    oracles can reconstruct the corpus.  r6: _par-parallelized at the
+    scan so the tokenization and every kernel downstream (minhash,
+    shingles, frame features) runs at session parallelism instead of
+    on the single-row-group file's 1-task scan."""
+    base = to_token_table(_par(spark, _t(spark, sf_dir, "documents")))
     # n_tok > 3 guard: F.slice needs a non-negative length
     dups = base.where(
         (F.col("doc_id").cast("long") % 10 == 0) & (F.col("n_tok") > 3)
@@ -476,8 +522,9 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dup_corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-array view of _dup_corpus (same planting rule) — the
-    exact-verification unit reproducible in DuckDB SQL."""
-    docs = _t(spark, sf_dir, "documents")
+    exact-verification unit reproducible in DuckDB SQL.
+    _par-parallelized (r6)."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     base = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.trim(F.col("text")), r"\s+").alias("words"),
@@ -505,13 +552,13 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MinHashConfig(num_hashes=64, bands=32)
     corpus = _dup_corpus(spark, sf_dir)
     sigs = minhash_fingerprints(corpus, cfg)
-    cand = lsh_candidate_pairs(sigs, cfg).select("doc_a", "doc_b")
-    words = _dup_corpus_words(spark, sf_dir).select(
-        "doc_id", _shingles4(F.col("words")).alias("sh")
-    )
-    # materialize shingles before the joins (anti-inlining, same
-    # rationale as ngram_jaccard)
-    words = words.repartition(8)
+    cand = lsh_candidate_pairs(sigs, cfg, with_est=False)
+    # r6: hashed shingle sets from the Arrow kernel (8-byte elements;
+    # intersect/union SIZES equal the string form — certified) —
+    # the repartition doubles as the anti-inlining materialization
+    words = shingle_hash_table(
+        _dup_corpus_words(spark, sf_dir)
+    ).repartition(spark.sparkContext.defaultParallelism)
     j = (
         cand.join(
             words.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -578,10 +625,11 @@ def _dup_group_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MinHashConfig(num_hashes=64, bands=32)
     corpus = _dup_corpus(spark, sf_dir)
     sigs = minhash_fingerprints(corpus, cfg)
-    cand = lsh_candidate_pairs(sigs, cfg).select("doc_a", "doc_b")
-    words = _dup_corpus_words(spark, sf_dir).select(
-        "doc_id", _shingles4(F.col("words")).alias("sh")
-    ).repartition(8)
+    cand = lsh_candidate_pairs(sigs, cfg, with_est=False)
+    # r6: hashed shingle sets (the minhash_dedup rationale)
+    words = shingle_hash_table(
+        _dup_corpus_words(spark, sf_dir)
+    ).repartition(spark.sparkContext.defaultParallelism)
     j = cand.join(
         words.select(
             F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
@@ -705,7 +753,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     See functions/classifier.py."""
     from sonar_spark.functions.classifier import quality_classifier
 
-    return quality_classifier(_t(spark, sf_dir, "documents"))
+    return quality_classifier(_par(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,7 +767,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     sigs = minhash_fingerprints(corpus, MinHashConfig())
     cand = simhash_near_duplicates(sigs, max_hamming=3).select("doc_a", "doc_b")
-    words = _dup_corpus_words(spark, sf_dir).repartition(8)
+    words = _dup_corpus_words(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     j = (
         cand.join(
             words.select(
@@ -745,9 +793,15 @@ def q_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hybrid DTW fallback on low confidence keeps the lag column).
     The DuckDB oracle is the construction expectation: every doc with
     >= 12 frames recovers lag -3."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    # r6: only rms_energy is consumed — prune the kernel to it
     feats = frame_features_arrow(
-        to_token_length_table(docs), FrameConfig(window=8, hop=2)
+        to_token_length_table(docs), FrameConfig(window=8, hop=2),
+        FeatureConfig(
+            enable_moments=False, enable_percentiles=False,
+            enable_entropy=False, enable_zcr=False, enable_flux=False,
+            enable_spectral=False, enable_mfcc=False,
+        ),
     )
     series = build_doc_series(feats, "rms_energy")
     # deterministic aperiodic chirp marker: word-length rms series can
@@ -784,9 +838,15 @@ def q_align_best_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr_energy must win every pair and recover lag -3."""
     from sonar_spark.operators.align import multi_feature_align
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    # r6: only rms_energy + centroid are consumed — prune the kernel
     feats = frame_features_arrow(
-        to_token_length_table(docs), FrameConfig(window=8, hop=2)
+        to_token_length_table(docs), FrameConfig(window=8, hop=2),
+        FeatureConfig(
+            enable_moments=False, enable_percentiles=False,
+            enable_entropy=False, enable_zcr=False, enable_flux=False,
+            enable_mfcc=False,
+        ),
     )
     rms = build_doc_series(feats, "rms_energy").withColumnRenamed(
         "series", "energy"
@@ -1015,11 +1075,11 @@ def q_compare_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MinHashConfig(num_hashes=64, bands=32)
     corpus = _dup_corpus(spark, sf_dir)
     sigs = minhash_fingerprints(corpus, cfg)
-    cand = lsh_candidate_pairs(sigs, cfg).select("doc_a", "doc_b")
-    words = _dup_corpus_words(spark, sf_dir).select(
-        "doc_id", _shingles4(F.col("words")).alias("sh")
-    )
-    words = words.repartition(8)
+    cand = lsh_candidate_pairs(sigs, cfg, with_est=False)
+    # r6: hashed shingle sets (the minhash_dedup rationale)
+    words = shingle_hash_table(
+        _dup_corpus_words(spark, sf_dir)
+    ).repartition(spark.sparkContext.defaultParallelism)
     jp = (
         cand.join(
             words.select(
@@ -1077,7 +1137,17 @@ def q_compare_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     lcorpus = lbase.unionByName(ldups).unionByName(lcopies)
-    feats = frame_features_arrow(lcorpus, FrameConfig(window=32, hop=8))
+    # r6: _explicit_doc_stats consumes only the energy+moments
+    # families — prune the kernel to them
+    feats = frame_features_arrow(
+        lcorpus,
+        FrameConfig(window=32, hop=8),
+        FeatureConfig(
+            enable_percentiles=False, enable_entropy=False,
+            enable_zcr=False, enable_flux=False,
+            enable_spectral=False, enable_mfcc=False,
+        ),
+    )
     fps = _explicit_doc_stats(feats)
     out = compare_topk(fps, fps, k=3, candidates=sym)
     return out.select(
@@ -1212,10 +1282,16 @@ def q_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_frame_rz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame rms + zcr (W=16, H=4), 6-dp rounded (quantized
-    interface for the threshold comparisons in VAD/attack-decay)."""
-    docs = _t(spark, sf_dir, "documents")
+    interface for the threshold comparisons in VAD/attack-decay).
+    r6: kernel pruned to rms+zcr; _par-parallelized."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     feats = frame_features_arrow(
-        to_token_length_table(docs), FrameConfig(window=16, hop=4)
+        to_token_length_table(docs), FrameConfig(window=16, hop=4),
+        FeatureConfig(
+            enable_moments=False, enable_percentiles=False,
+            enable_entropy=False, enable_flux=False,
+            enable_spectral=False, enable_mfcc=False,
+        ),
     )
     return feats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1502,7 +1578,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned-probe recall path is property-tested in pytest."""
     from sonar_spark.operators.ann import ivf_assign, ivf_search, train_centroids
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     cents = train_centroids(emb, n_centroids=8, seed=42)
     index = ivf_assign(emb, cents)
     qs = emb.where(F.col("vec_id") < 8)
@@ -1533,7 +1609,7 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sonar_spark.operators.ann import pq_index, pq_search, pq_train
 
     C, B = pq_train()
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     index = pq_index(emb, C, B)
     qs = emb.where(F.col("vec_id") < 8)
     out = pq_search(index, qs, C, B, k=5, n_probe=2)
@@ -2133,7 +2209,7 @@ def q_chroma_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     token position maps to class = len(token) % 12; per (doc, frame)
     the class-summed values form a 12-bin profile. Output: per
     (doc, frame_idx, class) summed value + frame-normalized share."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     toks = to_token_length_table(docs).where(F.col("n_tok") >= 16)
     from sonar_spark.operators.frames import expand_frames
 
@@ -2298,7 +2374,7 @@ def q_frame_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     family."""
     from sonar_spark.config import FeatureConfig
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     toks = to_token_length_table(docs)
     cfg = FeatureConfig(
         enable_energy=False, enable_moments=False, enable_percentiles=False,
@@ -2321,7 +2397,7 @@ def q_mfcc_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants, so the DuckDB oracle embeds the identical weights."""
     from sonar_spark.config import FeatureConfig
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     toks = to_token_length_table(docs)
     cfg = FeatureConfig(
         enable_energy=False, enable_moments=False, enable_percentiles=False,
@@ -2472,11 +2548,17 @@ def q_window_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_windowed_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window.Apply (windowing.go:167-186): Hann-weighted frames
     through the same Arrow kernel — every statistic computed over
-    coefficient-multiplied values (W=32, H=8)."""
-    docs = _t(spark, sf_dir, "documents")
+    coefficient-multiplied values (W=32, H=8).  r6: feat_cfg pruned
+    to the four consumed features (the frame_energy rationale)."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     toks = to_token_length_table(docs)
     feats = frame_features_arrow(
-        toks, FrameConfig(window=32, hop=8, window_type="hann")
+        toks,
+        FrameConfig(window=32, hop=8, window_type="hann"),
+        FeatureConfig(
+            enable_entropy=False, enable_zcr=False, enable_flux=False,
+            enable_spectral=False, enable_mfcc=False,
+        ),
     )
     return feats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2909,10 +2991,11 @@ def q_speech_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float semantics (ascending cumsum order, half-up 6-dp rounds at
     # the same per-lag/frame-energy boundaries), gate-decision-equal
     # on the full sf0.1 corpus (verified before the swap).
-    # (no repartition: the gate kernel is ~50 us/doc — the exchange
-    # would cost more than the single-split loop it spreads)
+    # r6: _par — at ~50 us/doc the 1-task single-split loop costs
+    # ~2.5 s at sf1.0's 50k docs; the few-MB exchange is cheaper
+    # (the r5 no-repartition note was sized to sf0.1's 5k docs)
     gate = speech_gate(
-        toks.select(
+        _par(spark, toks).select(
             F.col("doc_id").cast("long").alias("doc_id"), "tokens"
         )
     )
@@ -3700,7 +3783,7 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ntile sort; training and scoring stay broadcast-shaped."""
     from sonar_spark.functions.lm import ngram_lm_scores
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
     )
     return ngram_lm_scores(docs)
@@ -3736,7 +3819,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a two-column projection."""
     from sonar_spark.operators.packing import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
@@ -3755,7 +3838,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted-text md5 makes the whole masked output value-verified."""
     from sonar_spark.functions.text import pii_scrub
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     i = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     payload = F.concat(
@@ -3813,7 +3896,7 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, one per-doc aggregate at any scale."""
     from sonar_spark.operators.bpe import bpe_tokenize_stats, segmented_words
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
     )
     seg = segmented_words(docs, n_merges=8)
@@ -3829,7 +3912,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the term for determinism."""
     from sonar_spark.functions.rank import tfidf_topk
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _par(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
     )
     return tfidf_topk(docs, k=5)
@@ -3898,7 +3981,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivial by construction.  See operators/semdedup.py."""
     from sonar_spark.operators.semdedup import semdedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias(
@@ -4086,7 +4169,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's unrolled CTE replay.  See functions/pca.py."""
     from sonar_spark.functions.pca import pca_project
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _par(spark, _t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias(
             "embedding"
@@ -6730,7 +6813,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort.  See functions/sampling.py."""
     from sonar_spark.functions.sampling import weighted_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return weighted_sample(docs, k=5, strata_col="source", salt="es1")
 
 
@@ -7051,14 +7134,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_fingerprints,
     )
 
-    words = _dup_corpus_words(spark, sf_dir)
+    # persist: the word table feeds four subtrees (batch/corpus
+    # shingle kernels + both md5 fingerprint projections)
+    words = _dup_corpus_words(spark, sf_dir).persist()
     is_batch = F.col("doc_id").endswith("_dup") | F.col("doc_id").endswith(
         "_copy"
     )
+    # r6: the exploded band table feeds BOTH join sides (batch and
+    # corpus filters of the same subtree) — persist it so the minhash
+    # kernel runs once, not twice
     sigs = minhash_fingerprints(
         _dup_corpus(spark, sf_dir),
         MinHashConfig(num_hashes=64, bands=32),
-    ).select("doc_id", F.posexplode("bands").alias("bi", "bh"))
+    ).select("doc_id", F.posexplode("bands").alias("bi", "bh")).persist()
     cand = (
         sigs.where(is_batch)
         .select(F.col("doc_id").alias("b_id"), "bi", "bh")
@@ -7202,7 +7290,7 @@ def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sonar_spark.functions.corpus import temperature_mix
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id",
         "source",

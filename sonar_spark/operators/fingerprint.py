@@ -103,17 +103,31 @@ def lsh_candidate_pairs(
     sig_df: DataFrame,
     cfg: MinHashConfig = MinHashConfig(),
     max_bucket: int = 1000,
+    *,
+    with_est: bool = True,
 ) -> DataFrame:
     """Banded-LSH candidate pairs with estimated Jaccard.
 
-    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct.
-    est_jaccard = fraction of agreeing minhash components (unbiased
-    estimator of shingle-set Jaccard). One shuffle on the band key;
-    buckets larger than max_bucket are dropped (logged upstream) —
-    at web scale a bucket of identical band-hash >1000 docs means an
-    exact-dup cluster better handled by the exact-dedup pass."""
+    Output: (doc_a, doc_b[, est_jaccard]) with doc_a < doc_b,
+    distinct.  est_jaccard = fraction of agreeing minhash components
+    (unbiased estimator of shingle-set Jaccard). One shuffle on the
+    band key; buckets larger than max_bucket are dropped (logged
+    upstream) — at web scale a bucket of identical band-hash >1000
+    docs means an exact-dup cluster better handled by the exact-dedup
+    pass.  with_est=False skips attaching the signature arrays to the
+    survivors (r6) — every production caller consumes only the pair
+    ids and verifies with exact Jaccard, so the two signature joins
+    are pure overhead there."""
+    # r6 (guide §2.3 "shuffle keys and metadata instead of
+    # payloads"): the band explode used to CARRY the 64-long minhash
+    # array — a 32x amplification of a ~512 B payload through the
+    # bucket-cap window AND both self-join sides.  Now only
+    # (doc_id, band_idx, band_hash) rides the band shuffle; the
+    # signatures are attached to the DEDUPED surviving pairs by two
+    # joins against the (narrow, per-doc) signature table, which AQE
+    # broadcasts when it fits.  est_jaccard arithmetic is unchanged.
     b = sig_df.select(
-        "doc_id", "minhash", F.posexplode("bands").alias("band_idx", "band_hash")
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     # cap pathological buckets
     counted = b.withColumn(
@@ -123,19 +137,31 @@ def lsh_candidate_pairs(
         F.col("band_idx"),
         F.col("band_hash"),
         F.col("doc_id").alias("doc_a"),
-        F.col("minhash").alias("__mh_a"),
     )
     right = counted.select(
         F.col("band_idx"),
         F.col("band_hash"),
         F.col("doc_id").alias("doc_b"),
-        F.col("minhash").alias("__mh_b"),
     )
     pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "__mh_a", "__mh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    if not with_est:
+        return pairs
+    mh = sig_df.select("doc_id", "minhash")
+    pairs = pairs.join(
+        mh.select(
+            F.col("doc_id").alias("doc_a"), F.col("minhash").alias("__mh_a")
+        ),
+        "doc_a",
+    ).join(
+        mh.select(
+            F.col("doc_id").alias("doc_b"), F.col("minhash").alias("__mh_b")
+        ),
+        "doc_b",
     )
     est = F.aggregate(
         F.zip_with("__mh_a", "__mh_b", lambda x, y: (x == y).cast("double")),
@@ -538,6 +564,63 @@ def _gram_hash_stream(
     return docs.select(id_col, words_col).mapInPandas(gen, schema=schema)
 
 
+def shingle_hash_table(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, sh array<long>): each doc's DISTINCT word-k-gram shingles
+    as stable blake2b-64 hashes — the r6 drop-in for the Catalyst
+    string-shingle arrays at every exact-Jaccard VERIFICATION site
+    (guide §2.3/§4.2): |A ∩ B| and |A ∪ B| over the hashed sets equal
+    the string-set sizes whenever the hash is collision-free on the
+    corpus (certified per-corpus by
+    tests/test_fingerprint_gram_kernels.py::test_shingle_hash_jaccard
+    _equals_string, plus every consumer's DuckDB value oracle, which
+    replays the STRING form end-to-end), while the interpreted
+    transform+concat_ws build and the string-array intersect/union
+    disappear.  Shingle rule matches _shingles4/sh4: positions
+    1..max(n-k+1, 1), short docs yield one clamped shingle,
+    duplicates dropped.  NOT for consumers whose VALUES depend on the
+    shingle bytes (the Bloom md5 bit table keeps strings)."""
+    from collections.abc import Iterator
+    from hashlib import blake2b
+
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids, shs = [], []
+            for did, ws in zip(pdf[id_col], pdf[words_col]):
+                ws = list(ws)
+                m = max(len(ws) - (k - 1), 1)
+                seen = dict.fromkeys(
+                    int.from_bytes(
+                        blake2b(
+                            " ".join(ws[i:i + k]).encode(),
+                            digest_size=8,
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for i in range(m)
+                )
+                ids.append(did)
+                shs.append(np.fromiter(seen, dtype=np.int64))
+            yield pd.DataFrame({id_col: ids, out_col: shs})
+
+    return docs.select(id_col, words_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {out_col} array<long>"
+    )
+
+
 def substring_spans(
     docs: DataFrame,
     *,
@@ -851,17 +934,16 @@ def incremental_dedup(
         )
     )
 
-    def sh4(words):
-        n = F.size(words)
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n - 3, F.lit(1))),
-                lambda i: F.array_join(F.slice(words, i, 4), " "),
-            )
-        )
-
-    bs = b.select("b_id", sh4(F.col("b_words")).alias("b_sh"))
-    cs = c.select("c_id", sh4(F.col("c_words")).alias("c_sh"))
+    # r6: hashed shingle sets from the Arrow kernel (intersect/union
+    # sizes equal the string form — the shingle_hash_table contract);
+    # the exact md5 fingerprint above still hashes the full token
+    # stream, so exact-dup detection is untouched
+    bs = shingle_hash_table(
+        batch, id_col="doc_id", words_col="words", out_col="b_sh"
+    ).withColumnRenamed("doc_id", "b_id")
+    cs = shingle_hash_table(
+        corpus, id_col="doc_id", words_col="words", out_col="c_sh"
+    ).withColumnRenamed("doc_id", "c_id")
     if candidate_pairs is not None:
         cand = candidate_pairs.select("b_id", "c_id").distinct()
     else:

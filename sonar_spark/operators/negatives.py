@@ -11,8 +11,9 @@ negative of an anchor is
     r = md5_60(doc_id:j) mod (N-1);  neg = r + 1 if r >= g else r
 
 — a bijection from [0, N-1) onto [0, N) \\ {g}, so each other doc is
-hit with probability exactly 1/(N-1) and self-pairs are impossible
-by construction.
+hit uniformly up to a <= (N-1)/2^60 modulo bias (the mod of a 60-bit
+draw is exactly uniform only when N-1 divides 2^60) and self-pairs
+are impossible by construction.
 
 The dense index is the scale-sensitive part: row_number() over a
 global ORDER BY is a single-partition window (fine in an oracle,
@@ -39,7 +40,24 @@ def range_buckets(
     """Add __b = deterministic, order-respecting bucket id (monotone
     in `col`) from one tiny min/max aggregate — the first pass of
     the relational zipWithIndex machinery, shared by
-    global_dense_index and sharding.global_cumsum."""
+    global_dense_index and sharding.global_cumsum.
+
+    NUMERIC-ONLY CONTRACT (ADVICE r5): the bucket formula does
+    arithmetic on `col`, so `col` must be a numeric (or date/
+    timestamp-as-number) column; a string column would yield null
+    buckets (rows silently dropped by the downstream inner join) or
+    a numeric-bucket/lexicographic-window hybrid order.  Asserted
+    here rather than documented-only."""
+    import pyspark.sql.types as T
+
+    dt = df.schema[col].dataType
+    if not isinstance(
+        dt, (T.NumericType, T.DateType, T.TimestampType)
+    ):
+        raise TypeError(
+            f"range_buckets requires a numeric column; {col} is "
+            f"{dt.simpleString()}"
+        )
     mm = df.groupBy().agg(
         F.min(col).alias("__lo"), F.max(col).alias("__hi")
     )

@@ -42,7 +42,75 @@ def pack_sequences(
     (0-based, per shard), offset inside the window, and the truncated
     flag.  Deterministic: docs are folded in ascending `id_col` order
     within each shard.
+
+    r6: the per-shard fold runs in an applyInPandas kernel — the
+    Catalyst aggregate() built the output array with a concat per
+    element, i.e. O(shard^2) struct copies per shard (a genuine
+    scale-killer: quadratic in shard size, measured ~3 s at sf1.0's
+    12.5k-doc shards); the kernel is the same next-fit recurrence as
+    a linear Python loop over (id, length) pairs only.  Bit-equality
+    vs the retained fold form: tests/test_curation.py::
+    test_pack_sequences_kernel_equals_fold.
     """
+    import numpy as np
+    import pandas as pd
+
+    cap_i = int(capacity)
+    shard_type = docs.schema[shard_col].dataType.simpleString()
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        ns = pdf[len_col].to_numpy()
+        bins = np.empty(len(ids), dtype=np.int64)
+        offs = np.empty(len(ids), dtype=np.int64)
+        truncs = np.empty(len(ids), dtype=bool)
+        b = fill = 0
+        for j in range(len(ids)):
+            n = int(ns[j])
+            if fill > 0 and fill + n > cap_i:
+                b += 1
+                off = 0
+            else:
+                off = fill
+            trunc = n > cap_i
+            fill = cap_i if trunc else off + n
+            bins[j] = b
+            offs[j] = off
+            truncs[j] = trunc
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                shard_col: pdf[shard_col].to_numpy(),
+                "window_id": bins,
+                "window_off": offs,
+                "truncated": truncs,
+            }
+        )
+
+    return (
+        docs.select(shard_col, id_col, len_col)
+        .groupBy(shard_col)
+        .applyInPandas(
+            pack_one,
+            schema=(
+                f"{id_col} long, {shard_col} {shard_type}, "
+                "window_id long, window_off long, truncated boolean"
+            ),
+        )
+    )
+
+
+def pack_sequences_expr(
+    docs: DataFrame,
+    *,
+    capacity: int = 256,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    shard_col: str = "source",
+) -> DataFrame:
+    """The original Catalyst aggregate() fold form — retained as the
+    in-engine oracle for the kernel swap (tests/test_curation.py)."""
     cap = F.lit(int(capacity))
     per_shard = docs.groupBy(shard_col).agg(
         F.sort_array(

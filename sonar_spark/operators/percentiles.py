@@ -149,18 +149,40 @@ def percentile_methods(
 ) -> DataFrame:
     """(group, method, q, value) for every method x quantile.
 
-    Physical plan: one sort shuffle (row_number over the group), one
-    hash aggregation; every order statistic is a max(when(rn == k))
-    — nothing collects per-group arrays, so group cardinality is
-    unbounded."""
+    Physical plan (r6): value HISTOGRAM instead of a full sort — the
+    former plan ranked every row with row_number() over the group
+    (at 3 groups that is a 3-partition sort of the whole table, i.e.
+    near-serial on a wide cluster); now the heavy reduction is the
+    map-side-combined groupBy(group, value).count() and only the
+    distinct-value histogram (bounded by value cardinality) flows
+    into the per-group cumulative window.  Every order statistic
+    v@k becomes a histogram-range lookup: the rows with rank k are
+    exactly the histogram row with cum-c < k <= cum, so
+    max(when(rn == k)) == max(when(cum-c < k AND k <= cum)) — the
+    quantile_histogram correspondence; all h/interpolation
+    arithmetic is unchanged.  Certified against the numpy sort kernel
+    (tests/test_stats_ops.py::test_percentile_methods_spark_matches_
+    kernel) including the heavy-ties case where the range lookup
+    differs structurally from rn ==."""
     wo = Window.partitionBy(group).orderBy("__v")
     wp = Window.partitionBy(group)
-    d = (
-        df.select(group, F.col(value).cast("double").alias("__v"))
-        .withColumn("__rn", F.row_number().over(wo))
-        .withColumn("__n", F.count("*").over(wp).cast("double"))
+    h = df.groupBy(
+        group, F.col(value).cast("double").alias("__v")
+    ).agg(F.count("*").cast("long").alias("__c"))
+    d = h.withColumn("__cum", F.sum("__c").over(wo)).withColumn(
+        "__n", F.sum("__c").over(wp).cast("double")
     )
-    rn, v, n = F.col("__rn"), F.col("__v"), F.col("__n")
+    v, n = F.col("__v"), F.col("__n")
+    cm, c = F.col("__cum"), F.col("__c")
+
+    class _HistRank:
+        """Stands in for the row_number column inside
+        _value_at-style lookups: rn == k  <=>  cum-c < k <= cum."""
+
+        def __eq__(self, k):  # noqa: D105
+            return (cm - c < k) & (k <= cm)
+
+    rn = _HistRank()
     aggs = []
     for m in methods:
         for q in qs:

@@ -184,12 +184,23 @@ def semdedup(
             csv = np.concatenate(css)
             vb = np.stack([v for chunk in vecs for v in chunk])
             d = vb.shape[1]
-            dots = np.zeros((n, n))
             nrm = np.zeros(n)
             for k in range(d):  # ascending: matches the fold order
                 c = vb[:, k]
-                dots += np.outer(c, c)
                 nrm += c * c
+            # right-side tiled accumulation (r6): per-element
+            # ascending-k order unchanged, but each dots tile stays
+            # cache-resident instead of streaming the full n x n
+            # accumulator through memory d times (the
+            # hard_negatives_allpairs lesson)
+            dots = np.empty((n, n))
+            tj = max(1, (1 << 17) // n)
+            for j0 in range(0, n, tj):
+                j1 = min(j0 + tj, n)
+                tile = np.zeros((n, j1 - j0))
+                for k in range(d):  # ascending fold order
+                    tile += np.outer(vb[:, k], vb[j0:j1, k])
+                dots[:, j0:j1] = tile
             na = np.sqrt(nrm)
             den = np.outer(na, na)
             with np.errstate(divide="ignore", invalid="ignore"):

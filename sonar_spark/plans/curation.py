@@ -165,7 +165,7 @@ class CurationJob:
         )
         tok = to_token_table(docs)
         sigs = minhash_fingerprints(tok, self.minhash_cfg)
-        cand = lsh_candidate_pairs(sigs, self.minhash_cfg).select(
+        cand = lsh_candidate_pairs(sigs, self.minhash_cfg, with_est=False).select(
             "doc_a", "doc_b"
         )
         sh = words.select(

@@ -27,7 +27,17 @@ from .pipeline import FeatureStore
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    """Documents scan, repartitioned up to session parallelism when
+    the file arrives with fewer splits (r6; the local testdata is a
+    single-row-group parquet, so EVERY builder's kernel work ran on
+    a 1-task scan — the repartition moves the few-MB table once and
+    unlocks 32-way Arrow kernels; a no-op when the input is already
+    split-parallel, i.e. at cluster scale)."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
 
 
 def token_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,9 +65,18 @@ def frame_rms(
     """Per-frame (rms_energy, flux) — 10 queries consume this."""
 
     def build() -> DataFrame:
+        from ..config import FeatureConfig
+
+        # r6: the table carries only rms+flux — prune the kernel to
+        # them (the Enable* flags ARE column pruning for mapInArrow)
         feats = frame_features_arrow(
             to_token_length_table(_docs(spark, sf_dir)),
             FrameConfig(window=W, hop=H),
+            FeatureConfig(
+                enable_moments=False, enable_percentiles=False,
+                enable_entropy=False, enable_zcr=False,
+                enable_spectral=False, enable_mfcc=False,
+            ),
         )
         return feats.select(
             F.col("doc_id").cast("long").alias("doc_id"),

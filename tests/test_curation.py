@@ -799,3 +799,28 @@ def test_temperature_mix_budget_conservation(spark):
     assert total <= 55555
     assert 55555 - total < len(out)  # floor-division shortfall bound
     assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+
+
+def test_pack_sequences_kernel_equals_fold(spark, sf_dir):
+    """The r6 applyInPandas packer must reproduce the retained
+    Catalyst fold form row-for-row on the real corpus (capacity 96:
+    the truncation branch is live)."""
+    from pyspark.sql import functions as F
+
+    from sonar_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    cols = ["doc_id", "source", "window_id", "window_off", "truncated"]
+    a = sorted(map(tuple, pack_sequences(docs, capacity=96)
+                   .select(cols).collect()))
+    b = sorted(map(tuple, pack_sequences_expr(docs, capacity=96)
+                   .select(cols).collect()))
+    assert len(a) == len(b) > 0
+    assert a == b

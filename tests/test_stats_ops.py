@@ -50,6 +50,11 @@ def test_percentile_methods_spark_matches_kernel(spark):
         vals = np.round(rng.standard_normal(n) * 10, 3)
         data[g] = vals
         rows += [(g, float(v)) for v in vals]
+    # heavy-ties group: the r6 histogram formulation looks ranks up
+    # as cum-ranges, so repeated values must collapse correctly
+    vals = np.asarray([1.0] * 40 + [2.0] * 15 + [3.0] * 45)
+    data["t"] = vals
+    rows += [("t", float(v)) for v in vals]
     df = spark.createDataFrame(rows, "g string, v double")
     out = percentile_methods(df, "v", "g", qs=(0.25, 0.5, 0.9))
     for r in out.collect():
