@@ -517,7 +517,14 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "source",
     )
-    return base.unionByName(dups).unionByName(copies)
+    # coalesce (narrow, no shuffle): the 3-branch union of a
+    # _par'd scan would otherwise carry 3x parallelism partitions
+    # through every downstream stage (96 tiny tasks per stage)
+    return (
+        base.unionByName(dups)
+        .unionByName(copies)
+        .coalesce(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _dup_corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,7 +545,14 @@ def _dup_corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = base.where(F.col("doc_id").cast("long") % 10 == 5).select(
         F.concat(F.col("doc_id"), F.lit("_copy")).alias("doc_id"), "words"
     )
-    return base.unionByName(dups).unionByName(copies)
+    # coalesce (narrow, no shuffle): the 3-branch union of a
+    # _par'd scan would otherwise carry 3x parallelism partitions
+    # through every downstream stage (96 tiny tasks per stage)
+    return (
+        base.unionByName(dups)
+        .unionByName(copies)
+        .coalesce(spark.sparkContext.defaultParallelism)
+    )
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,7 +1135,11 @@ def q_compare_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprints exactly; the LSH/shingle pruning above runs on the
     # token-id corpus, which only affects the candidate set that the
     # exact-Jaccard verification pins down either way
-    lbase = to_token_length_table(_t(spark, sf_dir, "documents"))
+    # r6: _par so the frame kernel below runs at session parallelism
+    # (the coalesce after the union caps the 3-branch fan-out)
+    lbase = to_token_length_table(
+        _par(spark, _t(spark, sf_dir, "documents"))
+    )
     ldups = lbase.where(
         (F.col("doc_id").cast("long") % 10 == 0) & (F.col("n_tok") > 3)
     ).select(
@@ -1136,7 +1154,11 @@ def q_compare_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "source",
     )
-    lcorpus = lbase.unionByName(ldups).unionByName(lcopies)
+    lcorpus = (
+        lbase.unionByName(ldups)
+        .unionByName(lcopies)
+        .coalesce(spark.sparkContext.defaultParallelism)
+    )
     # r6: _explicit_doc_stats consumes only the energy+moments
     # families — prune the kernel to them
     feats = frame_features_arrow(

@@ -6,13 +6,14 @@ optimization round (OPTIMIZATION_r06.md cites these numbers).
 
 Usage:
   python bench_extra.py [--sf DIR] [--plans DIR/suffix] [--reps N]
-                        [--no-store] [query ...]
+                        [--store] [query ...]
 
 With no query names: the full bench.py query list.  --plans writes
 plans/<dir>/<query>_<suffix>.txt for each query (e.g. --plans
 r06/before).  Feature-store-backed queries need the store built once:
 pass --store to (re)build it first (mirrors bench.py's fresh-store
-semantics), or --no-store to skip store handling entirely.
+semantics); without it the existing store (or inline derivation) is
+used as-is.
 """
 
 from __future__ import annotations

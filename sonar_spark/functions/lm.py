@@ -75,33 +75,26 @@ def ngram_lm_scores(
         )
     )
 
-    # r6: ONE pre-aggregated per-doc gram-count table feeds training
-    # AND scoring.  The former plan re-exploded the corpus for the
-    # unigram table, the bigram table and the scoring pass (three
-    # full gram streams); now the exploded stream is reduced once to
-    # (doc, w, prev, count) — map-side combined — and everything
-    # downstream is count-weighted exact-integer arithmetic over that
-    # persisted table (sum(c * micro) == the per-instance sum, since
-    # identical (w, prev) rows score identical micro-bits).
-    gd = toks.groupBy(id_col, "__n", "__w", "__prev").agg(
-        F.count("*").cast("long").alias("__c")
-    ).persist()
-    uni = gd.groupBy("__w").agg(
-        F.sum("__c").cast("long").alias("__cw")
+    # the model tables are vocab-bounded (V rows / <= V^2 rows) but
+    # have 3 consumers each on the plan — persist them so training
+    # costs ONE corpus scan per table instead of one per consumer
+    # (at 100 TB these are the tables a FeaturizeJob would land).
+    uni = toks.groupBy("__w").agg(
+        F.count("*").cast("long").alias("__cw")
     ).persist()
     totals = uni.agg(
         F.sum("__cw").cast("long").alias("__tn"),
         F.count("*").cast("long").alias("__tv"),
     )
     bigr = (
-        gd.where(F.col("__prev").isNotNull())
+        toks.where(F.col("__prev").isNotNull())
         .groupBy("__prev", "__w")
-        .agg(F.sum("__c").cast("long").alias("__c12"))
+        .agg(F.count("*").cast("long").alias("__c12"))
     )
 
     k = F.lit(float(k_smooth))
     scored = (
-        gd.crossJoin(F.broadcast(totals))
+        toks.crossJoin(F.broadcast(totals))
         .join(
             F.broadcast(uni.select(F.col("__w").alias("__prev"),
                                    F.col("__cw").alias("__c1"))),
@@ -122,7 +115,7 @@ def ngram_lm_scores(
     micro = F.round(F.round(F.log2(p), 6) * 1e6, 0).cast("long")
     per_doc = scored.groupBy(id_col).agg(
         F.max("__n").cast("long").alias("n_tokens"),
-        F.sum(F.col("__c") * micro).alias("__ms"),
+        F.sum(micro).alias("__ms"),
     )
     bits = F.round(
         -F.col("__ms") / 1e6 / F.col("n_tokens") + 1e-12, 6

@@ -64,7 +64,10 @@ def jl_project(emb: DataFrame, *, id_col: str = "vec_id",
     spark_round_micro == the Catalyst round-round-cast idiom), the
     per-(id, j) sum is exact int64, p = round(mu/1e9 + 1e-12, 6) —
     certified bit-equal to the retained expression form by
-    tests/test_projection_kernels.py."""
+    tests/test_projection_kernels.py.  Contract: vectors must be
+    JL_IN-dimensional (the kernel broadcasts against the full R;
+    the expression form would silently project the overlapping k
+    range of a shorter vector instead)."""
     from collections.abc import Iterator
 
     import numpy as np

@@ -202,13 +202,23 @@ def repetition_profile(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            ids, ns, tops, d3, d5 = [], [], [], [], []
+            ids: list = []
+            ns: list = []
+            tops: list = []
+            d3: list = []
+            d5: list = []
             for did, ws in zip(pdf[id_col], pdf[words_col]):
                 ws = list(ws)
                 n = len(ws)
+                if n == 0:
+                    # the expression form's inner join with the
+                    # exploded top-word table drops zero-token docs;
+                    # match it (split(trim(text)) never yields an
+                    # empty array, so this is a contract edge only)
+                    continue
                 ids.append(did)
                 ns.append(n)
-                tops.append(max(Counter(ws).values()) if n else 0)
+                tops.append(max(Counter(ws).values()))
                 for k, acc in ((3, d3), (5, d5)):
                     m = max(n - (k - 1), 1)
                     grams = [

@@ -1107,7 +1107,10 @@ def spark_round(x: np.ndarray, dp: int) -> np.ndarray:
                     q, rounding=ROUND_HALF_UP
                 )
             )
-    return out
+    # + 0.0 normalizes -0.0 -> +0.0: BigDecimal has no signed zero,
+    # so Spark's round returns +0.0 for any tiny negative that rounds
+    # to zero — and the driver's value hash is signbit-strict
+    return out + 0.0
 
 
 def spark_round_micro(x: np.ndarray, dp: int) -> np.ndarray:

@@ -398,11 +398,24 @@ def allpairs_cosine(
             )
             lid = pdf[id_col].to_numpy()
             na = np.zeros(len(lid))
-            dots = np.zeros((len(lid), len(rid)))
             for k in range(dim):  # ascending over the dim axis
                 na += la[:, k] * la[:, k]
-                dots += np.outer(la[:, k], rb[:, k])
             na = np.sqrt(na)
+            # right-side TILED accumulation (r6): per-element
+            # ascending-k summation order unchanged, but each dots
+            # tile stays cache-resident across the dim passes instead
+            # of streaming the full accumulator through memory dim
+            # times (the hard_negatives_allpairs lesson; bit-identical
+            # by construction — one float64 add per (element, k)
+            # either way)
+            dots = np.empty((len(lid), len(rid)))
+            tj = max(1, (1 << 17) // max(1, len(lid)))
+            for j0 in range(0, len(rid), tj):
+                j1 = min(j0 + tj, len(rid))
+                tile = np.zeros((len(lid), j1 - j0))
+                for k in range(dim):  # ascending over the dim axis
+                    tile += np.outer(la[:, k], rb[j0:j1, k])
+                dots[:, j0:j1] = tile
             denom = np.outer(na, nb)
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = np.where(denom > 0, dots / denom, 0.0)

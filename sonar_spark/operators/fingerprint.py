@@ -168,7 +168,10 @@ def lsh_candidate_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     ) / F.size("__mh_a")
-    return pairs.withColumn("est_jaccard", est).drop("__mh_a", "__mh_b")
+    # explicit order: the using-column joins above hoist doc_b first
+    return pairs.select(
+        "doc_a", "doc_b", est.alias("est_jaccard")
+    )
 
 
 def near_duplicates(

@@ -57,9 +57,14 @@ def pack_sequences(
 
     cap_i = int(capacity)
     shard_type = docs.schema[shard_col].dataType.simpleString()
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort")
+        # (id, n) sort matches sort_array's struct ordering in the
+        # retained fold form (ids are unique in practice; the length
+        # tie-break keeps the two forms identical if they ever are
+        # not)
+        pdf = pdf.sort_values([id_col, len_col], kind="mergesort")
         ids = pdf[id_col].to_numpy()
         ns = pdf[len_col].to_numpy()
         bins = np.empty(len(ids), dtype=np.int64)
@@ -94,7 +99,7 @@ def pack_sequences(
         .applyInPandas(
             pack_one,
             schema=(
-                f"{id_col} long, {shard_col} {shard_type}, "
+                f"{id_col} {id_type}, {shard_col} {shard_type}, "
                 "window_id long, window_off long, truncated boolean"
             ),
         )

@@ -54,6 +54,7 @@ def quantile_histogram(
     Pass ``counts`` to reuse a pre-aggregated histogram: ``df`` is
     then taken as one row per (group, value) with that count column,
     skipping the internal groupBy.
+
     """
     if counts is None:
         h = df.groupBy(
@@ -65,6 +66,12 @@ def quantile_histogram(
             F.col(value).cast("double").alias("__v"),
             F.col(counts).cast("long").alias("__c"),
         )
+    # NOTE (r6): a bucketed two-pass cumsum (the relational
+    # zipWithIndex machinery, per group) was prototyped here to
+    # parallelize the per-group window beyond |groups| partitions; it
+    # measured FLAT at sf1.0 (~5.5 s either way — the window sort is
+    # not this query's bottleneck) and ~3x WORSE at sf0.1 (five extra
+    # tiny stages dominate), so the single window stands.
     wo = Window.partitionBy(group).orderBy("__v")
     wp = Window.partitionBy(group)
     cum = h.withColumn("__cum", F.sum("__c").over(wo)).withColumn(
@@ -177,10 +184,22 @@ def percentile_methods(
 
     class _HistRank:
         """Stands in for the row_number column inside
-        _value_at-style lookups: rn == k  <=>  cum-c < k <= cum."""
+        _value_at-style lookups: rn == k  <=>  cum-c < k <= cum.
+        ONLY equality is meaningful over the histogram; any other
+        rank arithmetic raises instead of silently building a wrong
+        expression (and _value_at must keep the rn == k operand
+        order — Column.__eq__ would win a reflected compare)."""
 
         def __eq__(self, k):  # noqa: D105
             return (cm - c < k) & (k <= cm)
+
+        def _no(self, *_):
+            raise TypeError(
+                "histogram rank supports only `rn == k` lookups"
+            )
+
+        __lt__ = __le__ = __gt__ = __ge__ = _no
+        __add__ = __radd__ = __sub__ = __rsub__ = _no
 
     rn = _HistRank()
     aggs = []

@@ -298,7 +298,16 @@ class FeatureStore:
             # two writers' part files
             tmp = f"{p}.tmp-{os.getpid()}-{threading.get_ident()}"
             t0 = time.time()
-            builder().write.mode("overwrite").parquet(tmp)
+            # r6 (guide §6 output sizing): builders now run at session
+            # parallelism, which would land 32-96 tiny part files per
+            # table and tax every consumer scan with per-file task
+            # overhead; the AQE REBALANCE hint coalesces the write to
+            # advisoryPartitionSizeInBytes-sized files (size-adaptive
+            # — a big table still writes many files) without reducing
+            # the build's own parallelism the way coalesce() would.
+            builder().hint("rebalance").write.mode("overwrite").parquet(
+                tmp
+            )
             try:
                 os.rename(tmp, p)  # write-once: fails if a winner exists
                 # lineage sidecar (the FeaturizeJob marker idea at
