@@ -27,17 +27,13 @@ from .pipeline import FeatureStore
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents scan, repartitioned up to session parallelism when
-    the file arrives with fewer splits (r6; the local testdata is a
-    single-row-group parquet, so EVERY builder's kernel work ran on
-    a 1-task scan — the repartition moves the few-MB table once and
-    unlocks 32-way Arrow kernels; a no-op when the input is already
-    split-parallel, i.e. at cluster scale)."""
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        df = df.repartition(n)
-    return df
+    """Documents scan.  NOTE (r6): a repartition-to-parallelism here
+    was prototyped and A/B-reverted — build_all's DAG concurrency
+    already overlaps the builders' serial scan phases, so the extra
+    exchange per builder measured ~+2.5 s at sf0.1 and no win at
+    sf1.0 (unlike the per-QUERY `_par` sites, which have no such
+    overlap)."""
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 def token_values(spark: SparkSession, sf_dir: str) -> DataFrame:
