@@ -1600,7 +1600,9 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned-probe recall path is property-tested in pytest."""
     from sonar_spark.operators.ann import ivf_assign, ivf_search, train_centroids
 
-    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    # (no _par: A/B-measured no sf1.0 win — the search is probe- and
+    # join-bound, not assign-bound — and a sf0.1 cost)
+    emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_centroids=8, seed=42)
     index = ivf_assign(emb, cents)
     qs = emb.where(F.col("vec_id") < 8)
